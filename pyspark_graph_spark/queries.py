@@ -1,0 +1,199 @@
+"""Driver-facing query registry: Spark queries + matching DuckDB oracle SQL.
+
+Each registered query is a ``(spark, sf_dir) -> DataFrame`` callable; the
+oracle is the ANSI-SQL equivalent DuckDB runs over the same parquet tables
+(pre-registered views: region nation customer supplier part orders lineitem
+events documents embeddings). Column names and types are aligned on both
+sides — the driver sorts columns by name and value-hashes.
+
+Shared SQL fragments mirror the graph builders in ``sources/tables.py`` so the
+Spark plan and the oracle operate on the identical graph.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.constants import ADJ, DEGREE, ID, IN_DEGREE, OUT_DEGREE
+from pyspark_graph_spark.sources.tables import (
+    customer_supplier_graph,
+    nation_graph,
+    supplier_co_occurrence_graph,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (must mirror sources/tables.py builders exactly)
+# ---------------------------------------------------------------------------
+
+# supplier co-occurrence edges: src < dst suppliers sharing an order
+SUPPLIER_EDGES_CTE = """
+supplier_pairs AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+supplier_edges AS (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM supplier_pairs a
+    JOIN supplier_pairs b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+supplier_sym AS (
+    SELECT src, dst FROM supplier_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM supplier_edges
+)
+"""
+
+# customer->supplier bipartite edges in the disjoint 2k / 2k+1 id space
+BIPARTITE_EDGES_CTE = """
+bipartite_edges AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+"""
+
+# nation graph: pairs sharing a region, canonical order
+NATION_EDGES_CTE = """
+nation_edges AS (
+    SELECT CAST(a.n_nationkey AS BIGINT) AS src,
+           CAST(b.n_nationkey AS BIGINT) AS dst
+    FROM nation a
+    JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+),
+nation_sym AS (
+    SELECT src, dst FROM nation_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM nation_edges
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# M0 — core data model views
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "degrees",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+deg AS (
+    SELECT src AS id, COUNT(DISTINCT dst) AS degree
+    FROM supplier_sym GROUP BY src
+)
+SELECT s.s_suppkey AS id, CAST(COALESCE(deg.degree, 0) AS BIGINT) AS degree
+FROM supplier s LEFT JOIN deg ON s.s_suppkey = deg.id
+""",
+)
+def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected degrees (distinct neighbors) on the supplier co-occurrence
+    graph; isolated suppliers included with degree 0."""
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    return g.degrees.select(ID, F.col(DEGREE).cast("long").alias(DEGREE))
+
+
+@query(
+    "out_degrees",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()}
+SELECT src AS id, COUNT(*) AS out_degree
+FROM bipartite_edges GROUP BY src
+""",
+)
+def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = customer_supplier_graph(spark, sf_dir)
+    return g.out_degrees
+
+
+@query(
+    "in_degrees",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()}
+SELECT dst AS id, COUNT(*) AS in_degree
+FROM bipartite_edges GROUP BY dst
+""",
+)
+def q_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = customer_supplier_graph(spark, sf_dir)
+    return g.in_degrees
+
+
+@query(
+    "adjacency",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+adj AS (
+    SELECT src AS id, list_sort(list(DISTINCT dst)) AS adjacent
+    FROM nation_sym GROUP BY src
+)
+SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+       COALESCE(adj.adjacent, CAST([] AS BIGINT[])) AS adjacent
+FROM nation n LEFT JOIN adj ON n.n_nationkey = adj.id
+""",
+)
+def q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = nation_graph(spark, sf_dir)
+    return g.adjacency.select(ID, F.col(ADJ).cast("array<long>").alias(ADJ))
+
+
+@query(
+    "triplets",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()}
+SELECT e.src, e.dst, a.n_name AS src_name, b.n_name AS dst_name
+FROM nation_edges e
+JOIN nation a ON e.src = a.n_nationkey
+JOIN nation b ON e.dst = b.n_nationkey
+""",
+)
+def q_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = nation_graph(spark, sf_dir)
+    return g.triplets().select(
+        "src",
+        "dst",
+        F.col("src_n_name").alias("src_name"),
+        F.col("dst_n_name").alias("dst_name"),
+    )
+
+
+@query(
+    "degree_topk",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+deg AS (
+    SELECT src AS id, COUNT(DISTINCT dst) AS degree
+    FROM supplier_sym GROUP BY src
+)
+SELECT id, CAST(degree AS BIGINT) AS degree
+FROM deg ORDER BY degree DESC, id ASC LIMIT 20
+""",
+)
+def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship M0 query: top-20 most-connected suppliers by co-occurrence
+    degree. Deterministic tie-break on id."""
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    return (
+        g.degrees.filter(F.col(DEGREE) > 0)
+        .select(ID, F.col(DEGREE).cast("long").alias(DEGREE))
+        .orderBy(F.desc(DEGREE), F.asc(ID))
+        .limit(20)
+    )

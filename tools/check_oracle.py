@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Local approximation of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 in Spark AND its ``oracle_sql()``
+in DuckDB over the same parquet views, then compares row count, column
+names, and an order-insensitive multiset of canonicalized values.
+
+Usage: python tools/check_oracle.py [query ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(v):
+    """Canonicalize a value for order-insensitive comparison."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round so Spark-vs-DuckDB summation-order noise doesn't flip hashes
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def df_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return Counter(
+        tuple(canon(r[i]) for i in order) for r in rows
+    )
+
+
+def main(names: list[str] | None = None) -> int:
+    import __spark_entry__ as entrymod
+    from pyspark_graph_spark.session import get_spark
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    targets = names or list(qs)
+    unknown = [n for n in targets if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}; available: {sorted(qs)}")
+        return 2
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    failures = []
+    for name in targets:
+        t0 = time.time()
+        sdf = qs[name](spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name}: rows-only ({len(srows)} rows, spark {t_spark:.1f}s)")
+            if not srows:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
+        t0 = time.time()
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = cur.fetchall()
+        t_duck = time.time() - t0
+
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            sm, om = df_multiset(scols, srows), df_multiset(ocols, orows)
+            if sm != om:
+                only_s = list((sm - om).items())[:3]
+                only_o = list((om - sm).items())[:3]
+                problems.append(
+                    f"value mismatch: spark-only={only_s} oracle-only={only_o}"
+                )
+        status = "OK" if not problems else "FAIL"
+        print(
+            f"  {name}: {status} ({len(srows)} rows, "
+            f"spark {t_spark:.1f}s, duckdb {t_duck:.1f}s)"
+        )
+        for p in problems:
+            print(f"      {p}")
+            failures.append((name, p))
+    print()
+    if failures:
+        print(f"{len(failures)} problem(s)")
+        return 1
+    print(f"all {len(targets)} queries consistent with oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
