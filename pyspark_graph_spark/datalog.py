@@ -1,0 +1,127 @@
+"""Datalog-style conjunctive queries over a property graph.
+
+Semantics of reference datalog.py:10-66, with the negation bug fixed: the
+reference's ``result.join(neg_df, how="anti")`` passes no join condition
+(reference datalog.py:65), which anti-joins on nothing and deletes every row
+whenever the negated premise is nonempty. We anti-join on the variable
+columns the negated premise shares with the positive result — the documented
+intent (negation-as-failure on bound variables).
+
+Extensions over the reference:
+- ``Edge`` premises accept attribute bindings (like ``Vertex``).
+- ``DatalogQuery`` accepts an optional cross-variable ``condition`` applied
+  after the conjunctive join (the reference can only filter within a single
+  premise's table).
+
+Everything is plan composition — filter, rename, natural join, anti-join,
+project — so Catalyst reorders the join tree and pushes premise conditions
+into the scans.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.constants import DST, ID, SRC
+from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import common_columns, multiple_join
+
+
+class Premise(ABC):
+    """A rule producing a DataFrame whose columns are datalog variables."""
+
+    @abstractmethod
+    def apply(self, g: Graph) -> DataFrame: ...
+
+
+class Vertex(Premise):
+    """Bind a vertex to variable ``name``; optionally filter by ``condition``
+    (Column or SQL string over the vertex table) and bind attribute columns
+    to additional variables via ``var_name=attr_column`` kwargs."""
+
+    def __init__(
+        self, name: str, condition: Column | str | None = None, **bindings: str
+    ):
+        self.name = name
+        self.condition = condition
+        self.bindings = bindings
+
+    def apply(self, g: Graph) -> DataFrame:
+        df = g.vertices
+        if self.condition is not None:
+            df = df.filter(self.condition)
+        cols = [F.col(ID).alias(self.name)] + [
+            F.col(attr).alias(var) for var, attr in self.bindings.items()
+        ]
+        return df.select(cols)
+
+
+class Edge(Premise):
+    """Bind an edge's endpoints to variables ``src``/``dst``; optionally
+    filter and bind edge-attribute columns."""
+
+    def __init__(
+        self,
+        src: str,
+        dst: str,
+        condition: Column | str | None = None,
+        **bindings: str,
+    ):
+        self.src = src
+        self.dst = dst
+        self.condition = condition
+        self.bindings = bindings
+
+    def apply(self, g: Graph) -> DataFrame:
+        df = g.edges
+        if self.condition is not None:
+            df = df.filter(self.condition)
+        cols = [
+            F.col(SRC).alias(self.src),
+            F.col(DST).alias(self.dst),
+        ] + [F.col(attr).alias(var) for var, attr in self.bindings.items()]
+        return df.select(cols)
+
+
+class DatalogQuery:
+    """Conjunctive query with negation.
+
+    ``projection``: variable names (or Columns) to return.
+    ``premises``: positive premises, natural-joined on shared variables.
+    ``negated_premises``: rows matching these (on their shared variables with
+    the positive result) are removed — negation as failure.
+    ``condition``: optional cross-variable filter applied after the join.
+    """
+
+    def __init__(
+        self,
+        projection: Sequence[str | Column],
+        premises: Sequence[Premise],
+        negated_premises: Sequence[Premise] | None = None,
+        condition: Column | str | None = None,
+    ):
+        if not premises:
+            raise ValueError("DatalogQuery requires at least one premise")
+        self.projection = list(projection)
+        self.premises = list(premises)
+        self.negated_premises = list(negated_premises or [])
+        self.condition = condition
+
+    def apply(self, g: Graph) -> DataFrame:
+        result = multiple_join([p.apply(g) for p in self.premises])
+        if self.condition is not None:
+            result = result.filter(self.condition)
+        for neg in self.negated_premises:
+            neg_df = neg.apply(g)
+            on = common_columns(result, neg_df)
+            if not on:
+                raise ValueError(
+                    "negated premise shares no variables with the positive "
+                    f"premises: {neg_df.columns} vs {result.columns}"
+                )
+            result = result.join(neg_df, on=on, how="anti")
+        return result.select(self.projection)

@@ -18,6 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import ADJ, DEGREE, ID, IN_DEGREE, OUT_DEGREE
+from pyspark_graph_spark.datalog import DatalogQuery, Edge, Vertex
+from pyspark_graph_spark.operators.similarity import (
+    JaccardSimilarity,
+    OverlapCoefficient,
+)
+from pyspark_graph_spark.operators.triangle_count import TriangleCount
 from pyspark_graph_spark.sources.tables import (
     customer_supplier_graph,
     nation_graph,
@@ -197,3 +203,161 @@ def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(DEGREE), F.asc(ID))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# M1 — one-shot operators: triangle count, similarity, datalog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM supplier_edges e1
+JOIN supplier_edges e2 ON e1.dst = e2.src
+JOIN supplier_edges e3 ON e1.src = e3.src AND e2.dst = e3.dst
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the supplier co-occurrence graph (single-row count)."""
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    return TriangleCount().triangles(g).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@query(
+    "jaccard",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+deg AS (
+    SELECT src AS id, COUNT(DISTINCT dst) AS d FROM nation_sym GROUP BY src
+),
+common AS (
+    SELECT a.src AS src, b.src AS dst, COUNT(*) AS common
+    FROM nation_sym a
+    JOIN nation_sym b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT c.src, c.dst,
+       c.common * 1.0 / (da.d + db.d - c.common) AS jaccard
+FROM common c
+JOIN deg da ON c.src = da.id
+JOIN deg db ON c.dst = db.id
+""",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard neighbor similarity on the nation graph (pairs sharing ≥1
+    neighbor, canonical src<dst)."""
+    g = nation_graph(spark, sf_dir)
+    return JaccardSimilarity().run(g)
+
+
+@query(
+    "overlap",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+deg AS (
+    SELECT src AS id, COUNT(DISTINCT dst) AS d FROM nation_sym GROUP BY src
+),
+common AS (
+    SELECT a.src AS src, b.src AS dst, COUNT(*) AS common
+    FROM nation_sym a
+    JOIN nation_sym b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT c.src, c.dst,
+       c.common * 1.0 / LEAST(da.d, db.d) AS overlap
+FROM common c
+JOIN deg da ON c.src = da.id
+JOIN deg db ON c.dst = db.id
+""",
+)
+def q_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = nation_graph(spark, sf_dir)
+    return OverlapCoefficient().run(g)
+
+
+@query(
+    "jaccard_suppliers",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+deg AS (
+    SELECT src AS id, COUNT(DISTINCT dst) AS d FROM supplier_sym GROUP BY src
+),
+common AS (
+    SELECT a.src AS src, b.src AS dst, COUNT(*) AS common
+    FROM supplier_sym a
+    JOIN supplier_sym b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT c.src, c.dst,
+       c.common * 1.0 / (da.d + db.d - c.common) AS jaccard
+FROM common c
+JOIN deg da ON c.src = da.id
+JOIN deg db ON c.dst = db.id
+WHERE c.common * 1.0 / (da.d + db.d - c.common) >= 0.5
+""",
+)
+def q_jaccard_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard at supplier-graph scale with a similarity threshold."""
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    return JaccardSimilarity(min_similarity=0.5).run(g)
+
+
+@query(
+    "datalog_non_adjacent",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()}
+SELECT c.c_custkey * 2 AS a, s.s_suppkey * 2 + 1 AS b
+FROM customer c
+JOIN supplier s ON c.c_nationkey = s.s_nationkey
+WHERE NOT EXISTS (
+    SELECT 1 FROM bipartite_edges e
+    WHERE e.src = c.c_custkey * 2 AND e.dst = s.s_suppkey * 2 + 1
+)
+""",
+)
+def q_datalog_non_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog with negation: same-nation (customer, supplier) pairs where
+    the customer never bought from the supplier."""
+    g = customer_supplier_graph(spark, sf_dir)
+    q = DatalogQuery(
+        projection=["a", "b"],
+        premises=[
+            Vertex("a", F.col("kind") == "customer", nk="nationkey"),
+            Vertex("b", F.col("kind") == "supplier", nk="nationkey"),
+        ],
+        negated_premises=[Edge("a", "b")],
+    )
+    return q.apply(g)
+
+
+@query(
+    "datalog_triangles",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()}
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM supplier_edges e1
+JOIN supplier_edges e2 ON e1.dst = e2.src
+JOIN supplier_edges e3 ON e1.src = e3.src AND e2.dst = e3.dst
+JOIN supplier s ON s.s_suppkey = e1.src
+WHERE s.s_nationkey < 13
+""",
+)
+def q_datalog_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datalog motif: triangles whose lowest vertex is a sub-13-nation
+    supplier (vertex condition + 3 edge premises)."""
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    q = DatalogQuery(
+        projection=["a", "b", "c"],
+        premises=[
+            Vertex("a", F.col("s_nationkey") < 13),
+            Edge("a", "b"),
+            Edge("b", "c"),
+            Edge("a", "c"),
+        ],
+    )
+    return q.apply(g)

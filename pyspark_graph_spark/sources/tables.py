@@ -105,10 +105,12 @@ def customer_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
     customers = load_table(spark, sf_dir, "customer").select(
         (F.col("c_custkey") * 2).alias(ID),
         F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
     )
     suppliers = load_table(spark, sf_dir, "supplier").select(
         (F.col("s_suppkey") * 2 + 1).alias(ID),
         F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"

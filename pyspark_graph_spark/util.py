@@ -75,11 +75,13 @@ def match_structure(
     sort-merge joins on the unified variables. Canonicalize edges first
     (``order_edges``) to cut the candidate space for undirected motifs.
     """
+    match = list(match)
     frames = [
         edges.select(F.col(SRC).alias(s), F.col(DST).alias(d))
         for s, d in match
     ]
-    return multiple_join(frames)
+    variables = list(dict.fromkeys(v for pair in match for v in pair))
+    return multiple_join(frames).select(variables)
 
 
 def order_edges(edges: DataFrame) -> DataFrame:
