@@ -1,11 +1,27 @@
+from pyspark_graph_spark.operators.aggregate_messages import AggregateMessages
+from pyspark_graph_spark.operators.bfs import BreadthFirstSearch
+from pyspark_graph_spark.operators.connected_components import (
+    AlternatingConnectedComponents,
+    ConnectedComponents,
+)
+from pyspark_graph_spark.operators.label_propagation import LabelPropagation
+from pyspark_graph_spark.operators.pregel import Pregel
 from pyspark_graph_spark.operators.similarity import (
     JaccardSimilarity,
     OverlapCoefficient,
 )
 from pyspark_graph_spark.operators.triangle_count import TriangleCount
+from pyspark_graph_spark.operators.wl_kernel import WLKernel
 
 __all__ = [
+    "AggregateMessages",
+    "AlternatingConnectedComponents",
+    "BreadthFirstSearch",
+    "ConnectedComponents",
     "JaccardSimilarity",
+    "LabelPropagation",
     "OverlapCoefficient",
+    "Pregel",
     "TriangleCount",
+    "WLKernel",
 ]

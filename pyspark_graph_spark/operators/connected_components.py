@@ -1,0 +1,135 @@
+"""Connected components — Pregel min-label propagation and alternating stars.
+
+Two implementations, as in the reference (connected_components.py:18-92):
+
+- :class:`ConnectedComponents` — Pregel min-label flood. Simple; rounds
+  proportional to component diameter. Both directions are always messaged:
+  min-label along out-edges only computes neither weakly- nor
+  strongly-connected components (the reference's docstring claims SCC for
+  directed graphs — reference connected_components.py:19-21 — which is
+  wrong; we compute **weakly** connected components for any graph).
+- :class:`AlternatingConnectedComponents` — the large-star/small-star
+  alternation of Kiveris et al., "Connected Components in MapReduce and
+  Beyond" (SOCC'14). O(log n) rounds independent of diameter — this is the
+  100 TB-scale implementation. Each round is two window aggregations +
+  dedup, checkpointed; convergence is a (sum, count) fixpoint probe on the
+  checkpointed edge list (labels only ever decrease, so an unchanged sum
+  implies a fixpoint).
+
+Both return ``(id, component)`` where ``component`` is the minimum vertex id
+in the component; isolated vertices are their own component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.constants import DST, ID, MSG, SRC, STATE
+from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.operators.pregel import Pregel
+
+COMPONENT = "component"
+
+
+class ConnectedComponents:
+    """Weakly connected components via Pregel min-label propagation."""
+
+    def __init__(self, max_iterations: int = 20):
+        self.max_iterations = max_iterations
+
+    def run(self, g: Graph) -> DataFrame:
+        pregel = Pregel(
+            initial_state=F.col(ID),
+            agg_expr=F.min(MSG),
+            msg_to_dst=F.col(STATE),
+            msg_to_src=F.col(STATE),  # always both ways: weak components
+            update_expr=F.least(F.col(STATE), F.col(MSG)),
+            max_iterations=self.max_iterations,
+        )
+        return pregel.run(g).select(ID, F.col(STATE).alias(COMPONENT))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to m(u)=min(Γ(u) ∪ {u}).
+
+    Neighborhoods are taken over both directions (input is symmetrized here
+    because small-star emits oriented edges). One shuffle (window over src).
+    """
+    sym = edges.unionByName(
+        edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    ).distinct()
+    w = Window.partitionBy(SRC)
+    m = F.least(F.min(DST).over(w), F.col(SRC))
+    return (
+        sym.withColumn("__m", m)
+        .filter(F.col(DST) > F.col(SRC))
+        .select(F.col(DST).alias(SRC), F.col("__m").alias(DST))
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small, then connect u and all its (smaller)
+    neighbors to its minimum neighbor."""
+    oriented = edges.select(
+        F.greatest(SRC, DST).alias(SRC), F.least(SRC, DST).alias(DST)
+    ).filter(F.col(SRC) != F.col(DST)).distinct()
+    w = Window.partitionBy(SRC)
+    m = F.min(DST).over(w)
+    with_m = oriented.withColumn("__m", m)
+    # neighbors v (all < u) point at m ...
+    nbrs = with_m.select(F.col(DST).alias(SRC), F.col("__m").alias(DST))
+    # ... and u itself points at m
+    selfe = with_m.select(SRC, F.col("__m").alias(DST)).distinct()
+    return (
+        nbrs.unionByName(selfe)
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+    )
+
+
+class AlternatingConnectedComponents:
+    """Large-star/small-star alternating connected components (Kiveris et al.)."""
+
+    def __init__(self, max_iterations: int = 20):
+        self.max_iterations = max_iterations
+
+    def run(self, g: Graph) -> DataFrame:
+        # loop-free edge pairs (large-star symmetrizes per round)
+        edges = (
+            g.edges.select(SRC, DST)
+            .filter(F.col(SRC) != F.col(DST))
+            .distinct()
+            .localCheckpoint()
+        )
+
+        def fp(e: DataFrame) -> tuple:
+            # order-insensitive content fingerprint; ids span the full 64-bit
+            # hash range, so sums would overflow ANSI arithmetic — XOR of row
+            # hashes + count is overflow-free and cheap on checkpointed data
+            r = e.agg(
+                F.bit_xor(F.xxhash64(SRC, DST)).alias("x"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            return (r["x"], r["n"])
+
+        fingerprint = fp(edges)
+        for _ in range(self.max_iterations):
+            edges = _small_star(_large_star(edges)).localCheckpoint()
+            new_fingerprint = fp(edges)
+            if new_fingerprint == fingerprint:
+                break
+            fingerprint = new_fingerprint
+
+        # post-fixpoint the edge list is a star forest pointing at roots
+
+
+        membership = edges.select(F.col(SRC).alias(ID), F.col(DST).alias(COMPONENT))
+        roots_and_isolated = (
+            g.vertices.select(ID)
+            .join(membership.select(ID), on=ID, how="anti")
+            .withColumn(COMPONENT, F.col(ID))
+        )
+        return membership.unionByName(roots_and_isolated)

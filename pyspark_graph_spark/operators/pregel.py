@@ -1,0 +1,150 @@
+"""Pregel: bulk-synchronous vertex-centric iteration on DataFrames.
+
+Semantics of reference pregel.py:11-90 — per superstep, *changed* vertices
+send message expressions along their edges (``msg_to_dst`` evaluated with the
+sender = edge source, ``msg_to_src`` with the sender = edge destination);
+messages are aggregated per receiving vertex; receivers update state; the
+loop converges when no state changed (null-safe ``!=``) or at
+``max_iterations``.
+
+Physical redesign for scale (the reference's biggest flaw, SURVEY.md §3b):
+
+- **``localCheckpoint`` per superstep.** The reference keeps the whole
+  lineage, so superstep *i* re-executes supersteps *1..i-1* — O(rounds²)
+  total work and unbounded plan growth. We truncate lineage every round;
+  per-round cost is constant and the convergence probe (``isEmpty``) reads
+  checkpointed partitions only.
+- **Frontier messaging kept** (only changed vertices send — algorithmic
+  pruning the reference also does).
+- **``unionByName`` upsert** — the reference's positional union
+  (pregel.py:68) silently depends on column order.
+
+The aggregation accepts either a Column aggregate expression over the ``msg``
+column (e.g. ``F.min``) or a callable ``DataFrame -> DataFrame`` mapping the
+raw message frame ``(id, msg)`` to an aggregated ``(id, msg)`` — needed for
+aggregates that are not single expressions (e.g. deterministic mode, used by
+label propagation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.constants import (
+    DST,
+    ID,
+    MSG,
+    OLD_STATE,
+    SRC,
+    STATE,
+)
+from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import ne_null_safe
+
+
+class Pregel:
+    """BSP vertex-program runner.
+
+    Parameters
+    ----------
+    initial_state : Column
+        Evaluated over the vertex table to seed ``state``.
+    agg_expr : Column | Callable[[DataFrame], DataFrame]
+        Aggregate over the ``msg`` column (Column form), or a function
+        reducing the message frame ``(id, msg)`` to one row per id.
+    msg_to_dst / msg_to_src : Column | None
+        Message expressions. For ``msg_to_dst`` the evaluation context is the
+        edge row joined with the *source* vertex's state row (columns: edge
+        attrs + vertex attrs + ``state``); the message is delivered to the
+        edge destination. ``msg_to_src`` is the mirror image.
+    update_expr : Column
+        New state from ``state`` (current) and ``msg`` (aggregated);
+        default = ``msg``.
+    comparison : Callable[[Column, Column], Column]
+        Change detector between old and new state; default null-safe ``!=``.
+    max_iterations : int
+    include_all_in_first_round : bool
+        Seed the frontier with every vertex (reference behavior).
+    """
+
+    def __init__(
+        self,
+        initial_state: Column,
+        agg_expr: Column | Callable[[DataFrame], DataFrame],
+        msg_to_dst: Column | None = None,
+        msg_to_src: Column | None = None,
+        update_expr: Column | None = None,
+        comparison: Callable[[Column, Column], Column] = ne_null_safe,
+        max_iterations: int = 10,
+    ):
+        if msg_to_dst is None and msg_to_src is None:
+            raise ValueError("at least one of msg_to_dst/msg_to_src required")
+        self.initial_state = initial_state
+        self.agg_expr = agg_expr
+        self.msg_to_dst = msg_to_dst
+        self.msg_to_src = msg_to_src
+        self.update_expr = update_expr if update_expr is not None else F.col(MSG)
+        self.comparison = comparison
+        self.max_iterations = max_iterations
+
+    # -- messaging ----------------------------------------------------------
+
+    def _messages(self, edges: DataFrame, senders: DataFrame) -> DataFrame:
+        """Build the (id, msg) frame for one superstep.
+
+        ``senders`` is the changed-state frame (id, attrs..., state). Each
+        directed edge whose sender endpoint changed emits the message
+        expression evaluated over edge ⋈ sender-state columns.
+        """
+        msgs = []
+        if self.msg_to_dst is not None:
+            ctx = edges.join(senders, on=edges[SRC] == senders[ID])
+            msgs.append(
+                ctx.select(edges[DST].alias(ID), self.msg_to_dst.alias(MSG))
+            )
+        if self.msg_to_src is not None:
+            ctx = edges.join(senders, on=edges[DST] == senders[ID])
+            msgs.append(
+                ctx.select(edges[SRC].alias(ID), self.msg_to_src.alias(MSG))
+            )
+        out = msgs[0]
+        for m in msgs[1:]:
+            out = out.unionByName(m)
+        return out
+
+    def _aggregate(self, messages: DataFrame) -> DataFrame:
+        if callable(self.agg_expr) and not isinstance(self.agg_expr, Column):
+            return self.agg_expr(messages)
+        return messages.groupBy(ID).agg(self.agg_expr.alias(MSG))
+
+    # -- main loop ----------------------------------------------------------
+
+    def run(self, g: Graph) -> DataFrame:
+        """Returns the vertex table with a final ``state`` column."""
+        edges = g.edges
+        state = g.vertices.withColumn(STATE, self.initial_state).localCheckpoint()
+        changed = state  # every vertex is "changed" before round 1
+
+        for _ in range(self.max_iterations):
+            agg = self._aggregate(self._messages(edges, changed))
+            updated = (
+                state.join(agg, on=ID, how="inner")
+                .withColumn(OLD_STATE, F.col(STATE))
+                .withColumn(STATE, self.update_expr)
+            )
+            changed = (
+                updated.filter(self.comparison(F.col(OLD_STATE), F.col(STATE)))
+                .drop(OLD_STATE, MSG)
+                .localCheckpoint()
+            )
+            if changed.isEmpty():
+                break
+            state = (
+                state.join(changed.select(ID), on=ID, how="anti")
+                .unionByName(changed)
+                .localCheckpoint()
+            )
+        return state

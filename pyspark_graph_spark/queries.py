@@ -361,3 +361,114 @@ def q_datalog_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return q.apply(g)
+
+
+# ---------------------------------------------------------------------------
+# M2 — iterative operators: connected components, BFS, messaging
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {BIPARTITE_EDGES_CTE.strip()},
+bipartite_sym AS (
+    SELECT src, dst FROM bipartite_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM bipartite_edges
+),
+verts AS (
+    SELECT c_custkey * 2 AS id FROM customer
+    UNION
+    SELECT s_suppkey * 2 + 1 AS id FROM supplier
+),
+reach(id, r) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT e.dst, reach.r
+    FROM reach JOIN bipartite_sym e ON e.src = reach.id
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
+@query("connected_components", oracle=_CC_ORACLE)
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly connected components of the customer-supplier graph via the
+    O(log n)-round alternating large-star/small-star algorithm."""
+    from pyspark_graph_spark.operators import AlternatingConnectedComponents
+
+    g = customer_supplier_graph(spark, sf_dir)
+    return AlternatingConnectedComponents().run(g)
+
+
+@query("connected_components_pregel", oracle=_CC_ORACLE)
+def q_connected_components_pregel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result via Pregel min-label propagation (diameter-bound rounds)."""
+    from pyspark_graph_spark.operators import ConnectedComponents
+
+    g = customer_supplier_graph(spark, sf_dir)
+    return ConnectedComponents(max_iterations=30).run(g)
+
+
+@query(
+    "bfs",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()}
+SELECT CAST(2 AS BIGINT) AS start_id, e.dst AS end_id,
+       [CAST(2 AS BIGINT), e.dst] AS vertices
+FROM bipartite_edges e WHERE e.src = 2
+""",
+)
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS from customer #1 to any supplier (depth-1 paths with vertex
+    arrays; edge-id arrays projected out for oracle comparability)."""
+    from pyspark_graph_spark.operators import BreadthFirstSearch
+
+    g = customer_supplier_graph(spark, sf_dir)
+    bfs = BreadthFirstSearch(
+        (F.col("kind") == "customer") & (F.col(ID) == 2),
+        F.col("kind") == "supplier",
+    )
+    return bfs.run(g).select(
+        F.col("start").alias("start_id"),
+        F.col("end").alias("end_id"),
+        "vertices",
+    )
+
+
+@query(
+    "aggregate_messages",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()}
+SELECT e.src AS id, CAST(SUM(sup.s_nationkey) AS BIGINT) AS msg
+FROM supplier_sym e JOIN supplier sup ON sup.s_suppkey = e.dst
+GROUP BY e.src
+""",
+)
+def q_aggregate_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of triplet messaging: per supplier, the sum of its
+    co-occurrence neighbors' nation keys."""
+    from pyspark_graph_spark.operators import AggregateMessages
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    am = AggregateMessages(
+        agg=F.sum("msg").cast("long"),
+        to_dst=F.col("src_s_nationkey"),
+        to_src=F.col("dst_s_nationkey"),
+    )
+    return am.run(g)
+
+
+@query("label_propagation")  # iterative mode fixpoint: rows-only check
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_graph_spark.operators import LabelPropagation
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    return LabelPropagation(max_iterations=5).run(g)
+
+
+@query("wl_kernel")  # iterated hashing: rows-only check
+def q_wl_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_graph_spark.operators import WLKernel
+
+    g = nation_graph(spark, sf_dir)
+    h = WLKernel().run(g)
+    return spark.createDataFrame([(h,)], "graph_hash string")
