@@ -4,7 +4,9 @@ from pyspark_graph_spark.operators.connected_components import (
     AlternatingConnectedComponents,
     ConnectedComponents,
 )
+from pyspark_graph_spark.operators.katz import KatzIndex
 from pyspark_graph_spark.operators.label_propagation import LabelPropagation
+from pyspark_graph_spark.operators.shortest_paths import ShortestPaths
 from pyspark_graph_spark.operators.pregel import Pregel
 from pyspark_graph_spark.operators.similarity import (
     JaccardSimilarity,
@@ -19,7 +21,9 @@ __all__ = [
     "BreadthFirstSearch",
     "ConnectedComponents",
     "JaccardSimilarity",
+    "KatzIndex",
     "LabelPropagation",
+    "ShortestPaths",
     "OverlapCoefficient",
     "Pregel",
     "TriangleCount",

@@ -472,3 +472,65 @@ def q_wl_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = nation_graph(spark, sf_dir)
     h = WLKernel().run(g)
     return spark.createDataFrame([(h,)], "graph_hash string")
+
+
+# ---------------------------------------------------------------------------
+# M3 — shortest paths (landmarks) and Katz index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shortest_paths",
+    oracle=f"""
+WITH RECURSIVE {BIPARTITE_EDGES_CTE.strip()},
+bipartite_sym AS (
+    SELECT src, dst FROM bipartite_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM bipartite_edges
+),
+lm(id) AS (
+    SELECT CAST(2 AS BIGINT) UNION ALL SELECT 3 UNION ALL SELECT 5
+),
+walk(id, landmark, d) AS (
+    SELECT id, id, 0 FROM lm
+    UNION
+    SELECT e.src, walk.landmark, walk.d + 1
+    FROM walk JOIN bipartite_sym e ON e.dst = walk.id
+    WHERE walk.d < 15
+)
+SELECT id, landmark, CAST(MIN(d) AS INTEGER) AS distance
+FROM walk GROUP BY id, landmark
+""",
+)
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from every vertex to landmarks {customer #1,
+    supplier #1, supplier #2} on the undirected customer-supplier graph,
+    exploded to (id, landmark, distance) rows."""
+    from pyspark_graph_spark.operators import ShortestPaths
+
+    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    return ShortestPaths([2, 3, 5], max_iterations=15).run_exploded(g)
+
+
+@query(
+    "katz",
+    oracle=f"""
+WITH RECURSIVE {NATION_EDGES_CTE.strip()},
+walks(src, dst, k) AS (
+    SELECT src, dst, 1 FROM nation_sym
+    UNION ALL
+    SELECT w.src, e.dst, w.k + 1
+    FROM walks w JOIN nation_sym e ON w.dst = e.src
+    WHERE w.k < 3
+)
+SELECT src, dst, SUM(POWER(0.125, k)) AS katz_index
+FROM walks GROUP BY src, dst
+""",
+)
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated Katz index (beta=1/8, K=3) on the nation graph. Dyadic
+    beta makes every partial sum exact, so values are bit-comparable."""
+    from pyspark_graph_spark.operators import KatzIndex
+
+    g = nation_graph(spark, sf_dir)
+    return KatzIndex(beta=0.125, max_iterations=3).run(g)

@@ -94,7 +94,9 @@ def supplier_co_occurrence_graph(
     )
 
 
-def customer_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
+def customer_supplier_graph(
+    spark: SparkSession, sf_dir: str, directed: bool = True
+) -> Graph:
     """Bipartite customer→supplier graph (directed).
 
     Vertex ids are made disjoint arithmetically — customer ``2*c_custkey``,
@@ -127,7 +129,7 @@ def customer_supplier_graph(spark: SparkSession, sf_dir: str) -> Graph:
         .distinct()
     )
     return Graph(
-        customers.unionByName(suppliers), edges, directed=True, indexed=True
+        customers.unionByName(suppliers), edges, directed=directed, indexed=True
     )
 
 
