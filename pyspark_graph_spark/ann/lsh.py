@@ -1,0 +1,132 @@
+"""Random-hyperplane LSH (multi-table forest) for approximate cosine search.
+
+Per-bit collision probability for vectors at angle θ is 1-θ/π, so a single
+b-bit table collides with probability (1-θ/π)^b — hopeless for the weakly
+correlated neighbors real embedding corpora have (θ ≈ 60-75°). The standard
+fix is an **LSH forest**: L independent tables of b planes each; a pair is a
+candidate if it collides in *any* table (recall 1-(1-p^b)^L), with 1-bit
+multi-probe on the query side widening each table further.
+
+All sketching is row-local built-in expressions (literal plane arrays,
+zip_with/aggregate dot products) — zero shuffles, no UDFs, no plane table to
+join. The only shuffle is the candidate join on (table, bucket).
+
+Scale: corpus rows explode ×L into the index (the classic LSH space/recall
+trade); bucket fan-in is corpus/2^b per table — size b to keep buckets
+shallow and let AQE split stragglers. Exact cosine re-rank bounds the
+false-positive cost.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.functions.vectors import cosine_similarity
+
+SIM = "cosine_sim"
+RANK = "rank"
+
+
+class RandomHyperplaneLSH:
+    def __init__(
+        self,
+        dim: int,
+        num_tables: int = 16,
+        planes_per_table: int = 6,
+        k: int = 5,
+        multi_probe: bool = True,
+        seed: int = 42,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.dim = dim
+        self.num_tables = num_tables
+        self.planes_per_table = planes_per_table
+        self.k = k
+        self.multi_probe = multi_probe
+        self.id_col = id_col
+        self.vec_col = vec_col
+        rng = random.Random(seed)
+        # gaussian planes (better-behaved than ±1 for low dim counts)
+        self.planes = [
+            [
+                [rng.gauss(0.0, 1.0) for _ in range(dim)]
+                for _ in range(planes_per_table)
+            ]
+            for _ in range(num_tables)
+        ]
+
+    def _table_bucket(self, vec: Column, table: int) -> Column:
+        v = vec.cast("array<double>")
+        acc = F.lit(0)
+        for p, weights in enumerate(self.planes[table]):
+            lit_plane = F.array(*[F.lit(w) for w in weights])
+            dot = F.aggregate(
+                F.zip_with(v, lit_plane, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            acc = acc.bitwiseOR(
+                F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
+        return acc
+
+    def sketch(self, df: DataFrame) -> DataFrame:
+        """(id, __v, table, bucket) — one row per table per vector."""
+        buckets = F.array(
+            *[
+                self._table_bucket(F.col(self.vec_col), t)
+                for t in range(self.num_tables)
+            ]
+        )
+        return df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.vec_col).alias("__v"),
+            F.posexplode(buckets).alias("table", "bucket"),
+        )
+
+    def _probe(self, sketched: DataFrame) -> DataFrame:
+        """Expand query rows with single-bit-flip probe buckets per table."""
+        if not self.multi_probe:
+            return sketched
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(self.planes_per_table)
+            ],
+        )
+        return sketched.withColumn("bucket", F.explode(flips))
+
+    def topk(self, corpus: DataFrame, queries: DataFrame) -> DataFrame:
+        """(query_id, neighbor_id, cosine_sim, rank) — approximate top-k."""
+        c = self.sketch(corpus).withColumnsRenamed(
+            {"id": "neighbor_id", "__v": "__cv"}
+        )
+        q = self._probe(
+            self.sketch(queries).withColumnsRenamed(
+                {"id": "query_id", "__v": "__qv"}
+            )
+        )
+        cand = (
+            c.join(F.broadcast(q), on=["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", "__qv", "__cv")
+            .distinct()
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
+                SIM
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(SIM), F.asc("neighbor_id")
+        )
+        return scored.withColumn(RANK, F.row_number().over(w)).filter(
+            F.col(RANK) <= self.k
+        )

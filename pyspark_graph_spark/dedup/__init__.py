@@ -1,0 +1,6 @@
+from pyspark_graph_spark.dedup.exact import ExactDedup
+from pyspark_graph_spark.dedup.minhash import MinHashLSH
+from pyspark_graph_spark.dedup.ngram import NgramJaccardDedup
+from pyspark_graph_spark.dedup.simhash import SimHashDedup
+
+__all__ = ["ExactDedup", "MinHashLSH", "NgramJaccardDedup", "SimHashDedup"]

@@ -1,0 +1,138 @@
+"""MinHash + LSH banding near-duplicate detection.
+
+Pipeline (all built-in expressions; signatures are computed **row-locally**
+with higher-order functions — zero shuffles until the band join):
+
+1. shingle: distinct word n-grams per doc (``word_shingles``)
+2. sign: signature[i] = min over shingles of ``xxhash64(shingle, seed_i)``
+   — a ``transform`` over seeds nesting a ``transform`` + ``array_min``
+   over shingles; O(num_hashes × shingles) JVM ops per row, no explode
+3. band: the signature is sliced into ``bands`` bands of ``rows_per_band``;
+   each band hashes to a bucket key
+4. candidates: docs sharing any band bucket (self-equi-join on the bucket
+   key — the only shuffle in the pipeline)
+5. verify: exact Jaccard over the docs' distinct-shingle arrays
+   (``array_intersect``/``array_union``, row-local) filtered by ``threshold``
+
+With b bands of r rows, the candidate probability for a pair with Jaccard s
+is 1-(1-s^r)^b (the classic S-curve); the default 16×4 targets s ≈ 0.5.
+
+Scale: the band join shuffles (bucket, doc) pairs — sublinear in corpus
+pairs; hot buckets (boilerplate docs) are AQE-skew-splittable and the
+verify step caps the damage. This is the 100 TB path; the exact
+``NgramJaccardDedup`` is its small-scale oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.functions.text import word_shingles
+
+JACCARD = "jaccard"
+
+
+class MinHashLSH:
+    def __init__(
+        self,
+        n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 16,
+        threshold: float = 0.5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError("num_hashes must be divisible by bands")
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+        self.threshold = threshold
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def signatures(self, docs: DataFrame) -> DataFrame:
+        """(id, shingles, signature array<long>) — row-local, no shuffle."""
+        sh = word_shingles(F.col(self.text_col), self.n)
+        seeds = F.sequence(F.lit(0), F.lit(self.num_hashes - 1))
+        sig = F.transform(
+            seeds,
+            lambda s: F.array_min(
+                F.transform(F.col("shingles"), lambda x: F.xxhash64(x, s))
+            ),
+        )
+        return (
+            docs.select(
+                F.col(self.id_col).alias("id"), sh.alias("shingles")
+            )
+            .filter(F.size("shingles") > 0)
+            .withColumn("signature", sig)
+        )
+
+    def band_buckets(self, signed: DataFrame) -> DataFrame:
+        """(id, band, bucket) — one row per band per doc."""
+        r = self.rows_per_band
+        return signed.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(self.bands - 1)),
+                    lambda b: F.xxhash64(
+                        b,
+                        F.concat_ws(
+                            ",",
+                            F.slice(F.col("signature"), b * r + 1, r).cast(
+                                "array<string>"
+                            ),
+                        ),
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+
+    def pairs(self, docs: DataFrame) -> DataFrame:
+        """(src, dst, jaccard) LSH candidates passing the exact-Jaccard
+        verification, canonical src < dst."""
+        signed = self.signatures(docs).localCheckpoint()
+        buckets = self.band_buckets(signed)
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.band") == F.col("b.band"),
+                    F.col("a.bucket") == F.col("b.bucket"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+            .distinct()
+        )
+        sh = signed.select("id", "shingles")
+        verified = (
+            cand.join(
+                sh.withColumnsRenamed({"id": "src", "shingles": "__sa"}), "src"
+            )
+            .join(
+                sh.withColumnsRenamed({"id": "dst", "shingles": "__sb"}), "dst"
+            )
+            .select(
+                "src",
+                "dst",
+                (
+                    F.size(F.array_intersect("__sa", "__sb"))
+                    / F.size(F.array_union("__sa", "__sb"))
+                ).alias(JACCARD),
+            )
+        )
+        return verified.filter(F.col(JACCARD) >= self.threshold)
+
+    def deduplicate(self, docs: DataFrame) -> DataFrame:
+        """Drop the higher-id doc of every near-duplicate pair."""
+        drop = self.pairs(docs).select(
+            F.col("dst").alias(self.id_col)
+        ).distinct()
+        return docs.join(drop, on=self.id_col, how="anti")

@@ -1,0 +1,119 @@
+"""SimHash near-duplicate detection (Charikar fingerprints).
+
+A 64-bit fingerprint per document: each token hashes to 64 bits; per bit
+position the fingerprint takes the sign of Σ(±1) across tokens. Hamming
+distance between fingerprints approximates token-multiset dissimilarity.
+
+Everything up to the fingerprint is **row-local** built-in expressions
+(``aggregate`` over the token array folding a 64-counter array). Candidate
+pairs use the pigeonhole block trick: fingerprints within Hamming distance
+``max_hamming`` must agree on at least one of ``max_hamming + 1`` equal-width
+bit blocks, so a self-equi-join on (block_idx, block_value) finds all of
+them; a ``bit_count(xor)`` filter verifies exactly.
+
+Scale: one shuffle for the block join; block keys are 16-bit values so
+buckets stay shallow unless the corpus is pathologically uniform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.functions.text import tokens
+
+SIMHASH = "simhash"
+HAMMING = "hamming"
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the whitespace tokens of ``text``.
+
+    Bit positions are unrolled with literal shift counts (Spark's
+    shiftright takes a Python int, not a Column), so the per-token inner
+    array is a fixed 64-element expression — still fully JVM-side.
+    """
+    th = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    bitsum = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, bit: a + bit * 2 - 1,
+        ),
+    )
+    # bit weights; the sign bit's weight is long-min (1<<63 overflows signed)
+    weights = [1 << i for i in range(63)] + [-(1 << 63)]
+    packed = F.zip_with(
+        bitsum,
+        F.array(*[F.lit(w).cast("long") for w in weights]),
+        lambda c, w: F.when(c > 0, w).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        packed, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v)
+    )
+
+
+class SimHashDedup:
+    def __init__(
+        self,
+        max_hamming: int = 3,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ):
+        self.max_hamming = max_hamming
+        self.id_col = id_col
+        self.text_col = text_col
+        self.blocks = max_hamming + 1
+
+    def fingerprints(self, docs: DataFrame) -> DataFrame:
+        return docs.select(
+            F.col(self.id_col).alias("id"),
+            simhash64(F.col(self.text_col)).alias(SIMHASH),
+        )
+
+    def pairs(self, docs: DataFrame) -> DataFrame:
+        """(src, dst, hamming) for pairs within max_hamming, src < dst."""
+        fp = self.fingerprints(docs).localCheckpoint()
+        width = 64 // self.blocks
+        blocked = fp.select(
+            "id",
+            SIMHASH,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(
+                            F.col(SIMHASH), b * width
+                        ).bitwiseAND(F.lit((1 << width) - 1))
+                        for b in range(self.blocks)
+                    ]
+                )
+            ).alias("block", "block_val"),
+        )
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        return (
+            a.join(
+                b,
+                on=[
+                    F.col("a.block") == F.col("b.block"),
+                    F.col("a.block_val") == F.col("b.block_val"),
+                    F.col("a.id") < F.col("b.id"),
+                ],
+            )
+            .select(
+                F.col("a.id").alias("src"),
+                F.col("b.id").alias("dst"),
+                F.bit_count(
+                    F.col(f"a.{SIMHASH}").bitwiseXOR(F.col(f"b.{SIMHASH}"))
+                ).alias(HAMMING),
+            )
+            .distinct()
+            .filter(F.col(HAMMING) <= self.max_hamming)
+        )

@@ -1,0 +1,115 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure built-in Column expressions (JVM-side, whole-stage-codegen
+friendly) — no UDFs anywhere. Each function is deliberately expressible in
+ANSI SQL so the DuckDB oracle can mirror it exactly; keep regexes to simple
+character classes for cross-engine semantics.
+
+These are the text primitives behind the dedup/ and quality-scoring queries
+(absent from the graph reference — engine extensions per SURVEY.md §2
+"planned extension operators").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language function-word lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "y", "de", "es"],
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def normalized_text(c: Column) -> Column:
+    """Lowercase, trim, collapse runs of whitespace to single spaces."""
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of the lowercased text, empties dropped."""
+    return F.filter(
+        F.split(F.lower(c), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c)).cast("long")
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) — the MinHash/Jaccard unit.
+
+    Docs with fewer than n tokens yield an empty array (guarded explicitly:
+    Spark's ``sequence(0, -1)`` would generate a *descending* sequence, not
+    an empty one).
+    """
+    t = tokens(c)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(t) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def content_fingerprint(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    md5 is available with identical semantics in Spark and DuckDB, so
+    fingerprints are directly oracle-comparable (unlike xxhash64).
+    """
+    return F.md5(normalized_text(c))
+
+
+def punct_ratio(c: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty strings)."""
+    total = F.length(c)
+    punct = total - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    return F.when(total > 0, punct / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or ENGLISH_STOPWORDS)])
+    t = tokens(c)
+    hits = F.size(F.filter(t, lambda tok: F.array_contains(sw, tok)))
+    return F.when(F.size(t) > 0, hits / F.size(t)).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Crude [0,1] quality heuristic: rewards mid-length docs and a sane
+    stopword presence, penalizes heavy punctuation. Deterministic,
+    SQL-mirrorable; a placeholder for model-based scoring at the same
+    pipeline position."""
+    n = token_count(c)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    penalty = punct_ratio(c)
+    score = (length_term + sw_term) / 2.0 - penalty
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+
+
+def language_guess(c: Column) -> Column:
+    """Heuristic language id: highest stopword-hit count wins; ties resolve
+    in fixed language order (en, de, fr, es); no hits -> 'und' (undetermined).
+
+    A real pipeline swaps this for a model; the pipeline position (cheap
+    columnar scoring before expensive downstream steps) is the point.
+    """
+    t = tokens(c)
+    result = F.lit("und")
+    best = F.lit(0)
+    # iterate in reverse so earlier languages win ties via > comparison
+    for lang in reversed(list(LANG_STOPWORDS)):
+        sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(t, lambda tok: F.array_contains(sw, tok)))
+        result = F.when(hits >= best, F.lit(lang)).otherwise(result)
+        best = F.greatest(hits, best)
+    return F.when(best > 0, result).otherwise(F.lit("und"))

@@ -1,0 +1,21 @@
+from pyspark_graph_spark.streaming.events import (
+    extract_props,
+    sessionize,
+    session_stats,
+    tumbling_window_agg,
+)
+from pyspark_graph_spark.streaming.structured import (
+    read_events_stream,
+    streaming_session_stats,
+    streaming_tumbling_counts,
+)
+
+__all__ = [
+    "extract_props",
+    "read_events_stream",
+    "session_stats",
+    "sessionize",
+    "streaming_session_stats",
+    "streaming_tumbling_counts",
+    "tumbling_window_agg",
+]

@@ -1,0 +1,83 @@
+"""Structured Streaming variants of the event operators.
+
+Same logical semantics as ``streaming/events.py`` executed incrementally:
+``readStream`` over a parquet directory, watermarked event-time windows,
+``session_window`` for gap-based sessions. These are the operators you point
+at a real stream (Kafka/files) in production; tests drive them with
+``trigger(availableNow=True)`` into a memory sink, which replays the same
+parquet the batch path reads.
+
+Watermarks bound state: late events beyond the watermark are dropped and
+closed windows/sessions are emitted and evicted — this is what makes the
+operators runnable on an unbounded 100 TB/day stream with finite executor
+state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Stream the events table as if its parquet files were arriving."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    width_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type (streaming DF in,
+    streaming DF out; also valid on batch frames)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{width_seconds} seconds").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("start_us"),
+            F.unix_micros(F.col("win.end")).alias("end_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Gap-based sessions via ``session_window`` with bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
