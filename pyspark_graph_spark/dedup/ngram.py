@@ -59,7 +59,9 @@ class NgramJaccardDedup:
 
     def pairs(self, docs: DataFrame) -> DataFrame:
         """(src, dst, jaccard) for pairs with jaccard >= threshold, src < dst."""
-        index = self.shingle_index(docs)
+        # the index feeds three branches (both join sides + sizes);
+        # checkpoint so shingling runs once, not three times
+        index = self.shingle_index(docs).localCheckpoint()
         sizes = index.groupBy("id").agg(F.count(F.lit(1)).alias("__n"))
         a = index.alias("a")
         b = index.alias("b")

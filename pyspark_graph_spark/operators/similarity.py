@@ -33,6 +33,35 @@ from pyspark_graph_spark.constants import ADJ, DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
 
 
+def _pair_common_counts_allpairs(g: Graph) -> DataFrame:
+    """Dense-graph path: all vertex pairs scored row-locally with
+    ``array_intersect`` over the (sorted) adjacency arrays.
+
+    Measured tradeoff (sf0.1 supplier graph, V=1000 near-complete): the
+    index path pushes Σ_w deg(w)² ≈ 1e9 rows through a codegen'd join in
+    ~36 s; this path's 500k ``array_intersect`` calls over ~1000-element
+    arrays took ~170 s — per-row hash-set construction loses to raw codegen
+    row throughput well before V² row counts win. So ``auto`` only picks
+    this path for very small V, where the broadcast no-shuffle plan wins
+    outright; it remains available explicitly for moderate-V sparse-ish
+    graphs with short adjacency arrays.
+    """
+    adj = g.adjacency.localCheckpoint()
+    a = adj.select(F.col(ID).alias(SRC), F.col(ADJ).alias("__aa"))
+    b = adj.select(F.col(ID).alias(DST), F.col(ADJ).alias("__ab"))
+    return (
+        a.join(F.broadcast(b), on=F.col(SRC) < F.col(DST))
+        .select(
+            SRC,
+            DST,
+            F.size(F.array_intersect("__aa", "__ab")).alias("common"),
+            F.size("__aa").alias("src_degree"),
+            F.size("__ab").alias("dst_degree"),
+        )
+        .filter(F.col("common") > 0)
+    )
+
+
 def _pair_common_counts(g: Graph, max_degree: int | None) -> DataFrame:
     """(src, dst, common, src_degree, dst_degree) for pairs sharing ≥1 neighbor."""
     adj = g.adjacency
@@ -65,18 +94,50 @@ def _pair_common_counts(g: Graph, max_degree: int | None) -> DataFrame:
     )
 
 
+_ALLPAIRS_MAX_VERTICES = 512  # V²/2 ≈ 130k row-local pairs
+
+
+def _choose_pairs(
+    g: Graph, max_degree: int | None, strategy: str
+) -> DataFrame:
+    """Pick the candidate-pair plan.
+
+    ``index``: inverted-index join (sparse graphs — output Σ deg² bounded).
+    ``allpairs``: broadcast self-join + array_intersect (dense small-V).
+    ``auto``: allpairs when the vertex count (one cheap count) is small.
+    """
+    if strategy == "auto":
+        strategy = (
+            "allpairs"
+            if max_degree is None
+            and g.vertices.count() <= _ALLPAIRS_MAX_VERTICES
+            else "index"
+        )
+    if strategy == "allpairs":
+        return _pair_common_counts_allpairs(g)
+    if strategy == "index":
+        return _pair_common_counts(g, max_degree)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
 class JaccardSimilarity:
     """|A∩B| / |A∪B| over neighbor sets, for pairs with ≥1 common neighbor.
 
     Result: (src, dst, jaccard double), src < dst.
     """
 
-    def __init__(self, min_similarity: float = 0.0, max_degree: int | None = None):
+    def __init__(
+        self,
+        min_similarity: float = 0.0,
+        max_degree: int | None = None,
+        strategy: str = "auto",
+    ):
         self.min_similarity = min_similarity
         self.max_degree = max_degree
+        self.strategy = strategy
 
     def run(self, g: Graph) -> DataFrame:
-        pairs = _pair_common_counts(g, self.max_degree)
+        pairs = _choose_pairs(g, self.max_degree, self.strategy)
         sim = (
             F.col("common")
             / (F.col("src_degree") + F.col("dst_degree") - F.col("common"))
@@ -93,12 +154,18 @@ class OverlapCoefficient:
     Result: (src, dst, overlap double), src < dst.
     """
 
-    def __init__(self, min_similarity: float = 0.0, max_degree: int | None = None):
+    def __init__(
+        self,
+        min_similarity: float = 0.0,
+        max_degree: int | None = None,
+        strategy: str = "auto",
+    ):
         self.min_similarity = min_similarity
         self.max_degree = max_degree
+        self.strategy = strategy
 
     def run(self, g: Graph) -> DataFrame:
-        pairs = _pair_common_counts(g, self.max_degree)
+        pairs = _choose_pairs(g, self.max_degree, self.strategy)
         sim = (
             F.col("common") / F.least("src_degree", "dst_degree")
         ).alias("overlap")
