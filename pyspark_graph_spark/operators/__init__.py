@@ -5,6 +5,7 @@ from pyspark_graph_spark.operators.connected_components import (
     ConnectedComponents,
 )
 from pyspark_graph_spark.operators.katz import KatzIndex
+from pyspark_graph_spark.operators.pagerank import PageRank
 from pyspark_graph_spark.operators.label_propagation import LabelPropagation
 from pyspark_graph_spark.operators.shortest_paths import ShortestPaths
 from pyspark_graph_spark.operators.pregel import Pregel
@@ -25,6 +26,7 @@ __all__ = [
     "LabelPropagation",
     "ShortestPaths",
     "OverlapCoefficient",
+    "PageRank",
     "Pregel",
     "TriangleCount",
     "WLKernel",

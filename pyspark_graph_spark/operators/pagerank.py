@@ -1,0 +1,93 @@
+"""PageRank — power iteration over the edge list (GraphX semantics).
+
+The reference lists PageRank as unsupported (README.md:24-38); this is an
+engine extension. Semantics follow GraphX's classic formulation:
+
+    pr_0(v) = 1.0
+    pr_{k+1}(v) = (1-α) + α · Σ_{(u,v)∈E} pr_k(u) / outdeg(u)
+
+(no dangling-mass redistribution — dangling vertices simply leak, as in
+GraphX's default; documented, and what the SQL oracle states). Undirected
+graphs contribute along both edge directions.
+
+Physical shape per iteration: ranks ⋈ edges on the source key, groupBy
+destination sum, left-join back to vertices (zero in-degree ⇒ baseline
+rank). Ranks and the degree table are checkpointed; iterations stop at
+``max_iterations`` or when the L1 delta drops below ``tolerance``.
+
+Scale: two shuffles per iteration on the vertex id; co-partitioning edges
+by src (bucketing) makes the contribution join local. The degree table is
+computed once. This is the textbook distributed PageRank — the operator to
+benchmark a cluster's iterative-join path with.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.constants import DST, ID, SRC
+from pyspark_graph_spark.graph import Graph
+
+PAGERANK = "pagerank"
+
+
+class PageRank:
+    def __init__(
+        self,
+        alpha: float = 0.85,
+        max_iterations: int = 10,
+        tolerance: float | None = None,
+    ):
+        self.alpha = alpha
+        self.max_iterations = max_iterations
+        self.tolerance = tolerance
+
+    def run(self, g: Graph) -> DataFrame:
+        """Returns ``(id, pagerank)`` for every vertex."""
+        edges = g.symmetric_edges.select(SRC, DST).localCheckpoint()
+        deg = (
+            edges.groupBy(SRC)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .localCheckpoint()
+        )
+        verts = g.vertices.select(ID).localCheckpoint()
+        ranks = verts.withColumn(PAGERANK, F.lit(1.0)).localCheckpoint()
+
+        for _ in range(self.max_iterations):
+            contribs = (
+                edges.join(deg, on=SRC)
+                .join(ranks, on=F.col(SRC) == F.col(ID))
+                .select(
+                    F.col(DST).alias(ID),
+                    (F.col(PAGERANK) / F.col("__deg")).alias("__c"),
+                )
+                .groupBy(ID)
+                .agg(F.sum("__c").alias("__sum"))
+            )
+            new_ranks = (
+                verts.join(contribs, on=ID, how="left")
+                .select(
+                    ID,
+                    (
+                        F.lit(1.0 - self.alpha)
+                        + F.lit(self.alpha) * F.coalesce("__sum", F.lit(0.0))
+                    ).alias(PAGERANK),
+                )
+                .localCheckpoint()
+            )
+            if self.tolerance is not None:
+                delta = (
+                    new_ranks.withColumnRenamed(PAGERANK, "__new")
+                    .join(ranks, on=ID)
+                    .agg(
+                        F.sum(F.abs(F.col("__new") - F.col(PAGERANK)))
+                    )
+                    .first()[0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < self.tolerance:
+                    break
+            else:
+                ranks = new_ranks
+        return ranks

@@ -27,9 +27,18 @@ WL_LABEL = "wl_label"
 
 class WLKernel:
     """k-round WL relabeling; ``run`` returns the graph hash string,
-    ``labels`` the per-vertex final labels."""
+    ``labels`` the per-vertex final labels.
 
-    def __init__(self, label_column: str | None = None, max_iterations: int = 3):
+    ``hashfunc`` is a pluggable ``Column -> Column`` hash (reference
+    wl_kernel.py:14 parity); default sha1."""
+
+    def __init__(
+        self,
+        hashfunc=None,
+        label_column: str | None = None,
+        max_iterations: int = 3,
+    ):
+        self.hashfunc = hashfunc or (lambda c: F.sha1(F.encode(c, "UTF-8")))
         self.label_column = label_column
         self.max_iterations = max_iterations
 
@@ -54,15 +63,13 @@ class WLKernel:
         )
         pregel = Pregel(
             initial_state=F.col(WL_LABEL),
-            agg_expr=F.sha1(
-                F.encode(
-                    F.array_join(F.array_sort(F.collect_list(MSG)), ","), "UTF-8"
-                )
+            agg_expr=self.hashfunc(
+                F.array_join(F.array_sort(F.collect_list(MSG)), ",")
             ),
             msg_to_dst=F.col(STATE),
             msg_to_src=F.col(STATE),
-            update_expr=F.sha1(
-                F.encode(F.concat_ws("|", F.col(STATE), F.col(MSG)), "UTF-8")
+            update_expr=self.hashfunc(
+                F.concat_ws("|", F.col(STATE), F.col(MSG))
             ),
             comparison=lambda old, new: F.lit(True),  # fixed round count
             max_iterations=self.max_iterations,
@@ -72,11 +79,8 @@ class WLKernel:
     def run(self, g: Graph) -> str:
         final = self.labels(g)
         row = final.agg(
-            F.sha1(
-                F.encode(
-                    F.array_join(F.array_sort(F.collect_list(WL_LABEL)), ","),
-                    "UTF-8",
-                )
+            self.hashfunc(
+                F.array_join(F.array_sort(F.collect_list(WL_LABEL)), ",")
             ).alias("graph_hash")
         ).first()
         return row["graph_hash"]

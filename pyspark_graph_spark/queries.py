@@ -818,3 +818,47 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_images(attach_fake_media(docs, "doc_id"))
+
+
+@query(
+    "pagerank",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM nation_sym GROUP BY src),
+verts AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+p0 AS (SELECT id, 1.0 AS pr FROM verts),
+p1 AS (
+    SELECT v.id, 0.15 + 0.85 * COALESCE(SUM(p0.pr / deg.d), 0) AS pr
+    FROM verts v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p0 ON p0.id = e.src
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id
+),
+p2 AS (
+    SELECT v.id, 0.15 + 0.85 * COALESCE(SUM(p1.pr / deg.d), 0) AS pr
+    FROM verts v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p1 ON p1.id = e.src
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id
+),
+p3 AS (
+    SELECT v.id, 0.15 + 0.85 * COALESCE(SUM(p2.pr / deg.d), 0) AS pr
+    FROM verts v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p2 ON p2.id = e.src
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id
+)
+SELECT id, ROUND(pr, 6) AS pagerank FROM p3
+""",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank on the (undirected) nation graph; the oracle
+    unrolls the same power iteration as chained CTEs."""
+    from pyspark_graph_spark.operators.pagerank import PageRank
+
+    g = nation_graph(spark, sf_dir)
+    out = PageRank(alpha=0.85, max_iterations=3).run(g)
+    return out.select(ID, F.round("pagerank", 6).alias("pagerank"))

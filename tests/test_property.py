@@ -1,0 +1,139 @@
+"""Property-based checks: Spark operators vs pure-Python oracles on random
+graphs. Complements the DuckDB gate with adversarial structure (self-loops,
+parallel edges, isolated vertices, disconnected blobs).
+
+Graphs are generated once per seed via ``random.Random`` (deterministic);
+kept small — correctness of *semantics*, not scale, is under test here.
+"""
+
+import random
+from collections import defaultdict, deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark import Graph
+from pyspark_graph_spark.operators import (
+    AlternatingConnectedComponents,
+    ConnectedComponents,
+    JaccardSimilarity,
+    PageRank,
+    ShortestPaths,
+    TriangleCount,
+)
+
+SEEDS = [1, 7, 23, 99]
+
+
+def random_graph(spark, seed, n=14, p=0.18):
+    rng = random.Random(seed)
+    edges = [
+        (a, b)
+        for a in range(n)
+        for b in range(n)
+        if a != b and rng.random() < p
+    ]
+    if not edges:
+        edges = [(0, 1)]
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    return Graph(v, e, indexed=True), n, edges
+
+
+def py_components(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    return {v: min(u for u in range(n) if find(u) == find(v)) for v in range(n)}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("algo", [ConnectedComponents, AlternatingConnectedComponents])
+def test_cc_matches_union_find(spark, seed, algo):
+    g, n, edges = random_graph(spark, seed)
+    expected = py_components(n, edges)
+    got = {r["id"]: r["component"] for r in algo(max_iterations=30).run(g).collect()}
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_shortest_paths_matches_python_bfs(spark, seed):
+    g, n, edges = random_graph(spark, seed)
+    landmark = 0
+    # python BFS on reversed edges = distance from each vertex TO landmark
+    radj = defaultdict(list)
+    for a, b in edges:
+        radj[b].append(a)
+    dist = {landmark: 0}
+    dq = deque([landmark])
+    while dq:
+        u = dq.popleft()
+        for w in radj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                dq.append(w)
+    got = {
+        r["id"]: r["distance"]
+        for r in ShortestPaths([landmark], max_iterations=20)
+        .run_exploded(g)
+        .collect()
+    }
+    assert got == dist
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_triangle_count_matches_enumeration(spark, seed):
+    g, n, edges = random_graph(spark, seed)
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    expected = sum(
+        1
+        for a in range(n)
+        for b in range(a + 1, n)
+        for c in range(b + 1, n)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= und
+    )
+    assert TriangleCount().run(g) == expected
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_jaccard_strategies_agree(spark, seed):
+    g, n, edges = random_graph(spark, seed, n=20, p=0.25)
+    index = sorted(
+        (r["src"], r["dst"], round(r["jaccard"], 9))
+        for r in JaccardSimilarity(strategy="index").run(g).collect()
+    )
+    allpairs = sorted(
+        (r["src"], r["dst"], round(r["jaccard"], 9))
+        for r in JaccardSimilarity(strategy="allpairs").run(g).collect()
+    )
+    assert index == allpairs
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_pagerank_matches_python_power_iteration(spark, seed):
+    g, n, edges = random_graph(spark, seed)
+    dedup = sorted(set(edges))
+    outdeg = defaultdict(int)
+    for a, b in dedup:
+        outdeg[a] += 1
+    pr = {v: 1.0 for v in range(n)}
+    for _ in range(4):
+        contrib = defaultdict(float)
+        for a, b in dedup:
+            contrib[b] += pr[a] / outdeg[a]
+        pr = {v: 0.15 + 0.85 * contrib[v] for v in range(n)}
+    got = {
+        r["id"]: r["pagerank"]
+        for r in PageRank(alpha=0.85, max_iterations=4).run(g).collect()
+    }
+    for v in range(n):
+        assert got[v] == pytest.approx(pr[v], rel=1e-9)
