@@ -39,6 +39,11 @@ class ConnectedComponents:
         self.max_iterations = max_iterations
 
     def run(self, g: Graph) -> DataFrame:
+        # slim the state to (id, state): vertex attributes would otherwise
+        # ride through every per-round shuffle
+        slim = Graph(
+            g.vertices.select(ID), g.edges, directed=g.directed, indexed=True
+        )
         pregel = Pregel(
             initial_state=F.col(ID),
             agg_expr=F.min(MSG),
@@ -47,7 +52,7 @@ class ConnectedComponents:
             update_expr=F.least(F.col(STATE), F.col(MSG)),
             max_iterations=self.max_iterations,
         )
-        return pregel.run(g).select(ID, F.col(STATE).alias(COMPONENT))
+        return pregel.run(slim).select(ID, F.col(STATE).alias(COMPONENT))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -41,6 +41,12 @@ class LabelPropagation:
         self.max_iterations = max_iterations
 
     def run(self, g: Graph) -> DataFrame:
+        # slim state: keep only id (+ the seed column if any) out of the
+        # per-round shuffles
+        keep = [ID] + ([self.label_column] if self.label_column else [])
+        slim = Graph(
+            g.vertices.select(*keep), g.edges, directed=g.directed, indexed=True
+        )
         initial = (
             F.col(self.label_column) if self.label_column else F.col(ID)
         )
@@ -51,4 +57,4 @@ class LabelPropagation:
             msg_to_src=F.col(STATE),  # community structure is undirected
             max_iterations=self.max_iterations,
         )
-        return pregel.run(g).select(ID, F.col(STATE).alias(LABEL))
+        return pregel.run(slim).select(ID, F.col(STATE).alias(LABEL))

@@ -79,6 +79,7 @@ class Pregel:
         update_expr: Column | None = None,
         comparison: Callable[[Column, Column], Column] = ne_null_safe,
         max_iterations: int = 10,
+        carry_columns: list[str] | None = None,
     ):
         if msg_to_dst is None and msg_to_src is None:
             raise ValueError("at least one of msg_to_dst/msg_to_src required")
@@ -89,6 +90,11 @@ class Pregel:
         self.update_expr = update_expr if update_expr is not None else F.col(MSG)
         self.comparison = comparison
         self.max_iterations = max_iterations
+        # vertex columns to keep in the iterated state besides id+state;
+        # None keeps all (reference behavior). Seed columns used only by
+        # initial_state should NOT ride through every per-round shuffle —
+        # pass carry_columns=[] to shed them after initialization.
+        self.carry_columns = carry_columns
 
     # -- messaging ----------------------------------------------------------
 
@@ -125,7 +131,10 @@ class Pregel:
     def run(self, g: Graph) -> DataFrame:
         """Returns the vertex table with a final ``state`` column."""
         edges = g.edges
-        state = g.vertices.withColumn(STATE, self.initial_state).localCheckpoint()
+        state = g.vertices.withColumn(STATE, self.initial_state)
+        if self.carry_columns is not None:
+            state = state.select(ID, *self.carry_columns, STATE)
+        state = state.localCheckpoint()
         changed = state  # every vertex is "changed" before round 1
 
         for _ in range(self.max_iterations):

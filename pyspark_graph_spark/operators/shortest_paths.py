@@ -106,6 +106,7 @@ class ShortestPaths:
             update_expr=_merge_maps(F.col(STATE), F.col(MSG)),
             comparison=_maps_differ,
             max_iterations=self.max_iterations,
+            carry_columns=[],  # shed the seed map after initialization
         )
         return pregel.run(seeded_graph).select(
             ID, F.col(STATE).alias(DISTANCES)

@@ -73,6 +73,7 @@ class WLKernel:
             ),
             comparison=lambda old, new: F.lit(True),  # fixed round count
             max_iterations=self.max_iterations,
+            carry_columns=[],  # seed label only feeds initial_state
         )
         return pregel.run(seeded_graph).select(ID, F.col(STATE).alias(WL_LABEL))
 

@@ -19,3 +19,7 @@ __all__ = [
     "streaming_tumbling_counts",
     "tumbling_window_agg",
 ]
+
+from pyspark_graph_spark.streaming.dedup import streaming_exact_dedup  # noqa: E402
+
+__all__.append("streaming_exact_dedup")

@@ -322,3 +322,30 @@ def test_frame_sample(spark):
     out = frame_sample(media_df(spark), every_n=1).collect()
     assert len(out) == 8  # n_frames=1 each
     assert all(r["frame_idx"] == 0 for r in out)
+
+
+def test_streaming_exact_dedup_batch_and_stream(spark, sf_dir, tmp_path):
+    from pyspark_graph_spark.streaming import streaming_exact_dedup
+
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "same text"),
+         (2, "2024-01-01 10:05:00", "same  TEXT "),
+         (3, "2024-01-01 10:06:00", "different")],
+        ["doc_id", "ts", "text"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert streaming_exact_dedup(batch).count() == 2
+
+    batch.write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(str(tmp_path / "docs"))
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.sql("SELECT COUNT(*) n FROM t_sdedup").first()["n"] == 2
