@@ -6,6 +6,7 @@ from pyspark_graph_spark.operators.connected_components import (
 )
 from pyspark_graph_spark.operators.katz import KatzIndex
 from pyspark_graph_spark.operators.pagerank import PageRank
+from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
 from pyspark_graph_spark.operators.label_propagation import LabelPropagation
 from pyspark_graph_spark.operators.shortest_paths import ShortestPaths
 from pyspark_graph_spark.operators.pregel import Pregel
@@ -28,6 +29,7 @@ __all__ = [
     "OverlapCoefficient",
     "PageRank",
     "Pregel",
+    "StronglyConnectedComponents",
     "TriangleCount",
     "WLKernel",
 ]

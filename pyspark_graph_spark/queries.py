@@ -862,3 +862,155 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = nation_graph(spark, sf_dir)
     out = PageRank(alpha=0.85, max_iterations=3).run(g)
     return out.select(ID, F.round("pagerank", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: TPC-H-style aggregates, rollup, decimal-exact sums
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary. Monetary sums run in DECIMAL so the
+    result is exact and order-independent (double summation would drift
+    ~1e-4 between engines at sf0.1 volumes); cast to double at the edge."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+SELECT n.n_name AS nation, s.s_name AS supplier_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n.n_name, s.s_name)
+""",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue ROLLUP (nation -> supplier -> grand total):
+    grouping-sets coverage with broadcast dimension joins."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .rollup(F.col("n_name").alias("nation"), F.col("s_name").alias("supplier_name"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "top_customers_per_nation",
+    oracle="""
+WITH rev AS (
+    SELECT c.c_nationkey, c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey, c.c_custkey, c.c_name
+)
+SELECT c_nationkey AS nationkey, c_custkey AS custkey, total, CAST(rnk AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY c_nationkey ORDER BY total DESC, c_custkey
+    ) AS rnk FROM rev
+)
+WHERE rnk <= 3
+""",
+)
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-3 customers by order value per nation (ranking window
+    over a decimal-exact aggregate, deterministic tie-break)."""
+    from pyspark.sql import Window
+
+    from pyspark_graph_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("total"), F.asc("c_custkey")
+    )
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_custkey").alias("custkey"),
+            "total",
+            "rank",
+        )
+    )
+
+
+@query(
+    "strongly_connected_components",
+    oracle=f"""
+WITH RECURSIVE {NATION_EDGES_CTE.strip()},
+verts AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+reach(a, b) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT reach.a, e.dst FROM reach JOIN nation_sym e ON e.src = reach.b
+)
+SELECT f.a AS id, MAX(f.b) AS component
+FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a
+GROUP BY f.a
+""",
+)
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC on the nation graph treated as a directed graph with edges both
+    ways (SCCs = the region cliques). Oracle: mutual-reachability closure;
+    component = max mutually-reachable vertex."""
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators import StronglyConnectedComponents
+
+    g = nation_graph(spark, sf_dir)
+    dg = Graph(
+        g.vertices.select(ID),
+        g.symmetric_edges.select("src", "dst"),
+        directed=True,
+        indexed=True,
+    )
+    return StronglyConnectedComponents().run(dg)

@@ -137,3 +137,74 @@ def test_pagerank_matches_python_power_iteration(spark, seed):
     }
     for v in range(n):
         assert got[v] == pytest.approx(pr[v], rel=1e-9)
+
+
+def py_tarjan(n, edges):
+    """Iterative Tarjan; returns {vertex: max vertex id in its SCC}."""
+    adj = defaultdict(list)
+    for a, b in set(edges):
+        if a != b:
+            adj[a].append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    sccs = []
+    counter = [0]
+
+    for start in range(n):
+        if start in index:
+            continue
+        work = [(start, iter(adj[start]))]
+        index[start] = low[start] = counter[0]
+        counter[0] += 1
+        stack.append(start)
+        on_stack.add(start)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                u = work[-1][0]
+                low[u] = min(low[u], low[v])
+    out = {}
+    for comp in sccs:
+        m = max(comp)
+        for v in comp:
+            out[v] = m
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_scc_matches_tarjan(spark, seed):
+    from pyspark_graph_spark.operators import StronglyConnectedComponents
+
+    g, n, edges = random_graph(spark, seed, n=12, p=0.22)
+    expected = py_tarjan(n, edges)
+    got = {
+        r["id"]: r["component"]
+        for r in StronglyConnectedComponents().run(g).collect()
+    }
+    assert got == expected
