@@ -29,8 +29,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm the JVM/session so q1 doesn't pay startup cost
+    # warm the JVM/session (codegen, parquet reader, shuffle machinery) so
+    # the first measured query doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    warm.join(warm.select("r_regionkey"), "r_regionkey").groupBy(
+        "r_name"
+    ).count().collect()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -45,7 +45,13 @@ class PageRank:
 
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, pagerank)`` for every vertex."""
-        edges = g.symmetric_edges.select(SRC, DST).localCheckpoint()
+        # pre-partition the static edge side on the join key: per-iteration
+        # joins then shuffle only the rank frame
+        edges = (
+            g.symmetric_edges.select(SRC, DST)
+            .repartition(F.col(SRC))
+            .localCheckpoint()
+        )
         deg = (
             edges.groupBy(SRC)
             .agg(F.count(F.lit(1)).alias("__deg"))

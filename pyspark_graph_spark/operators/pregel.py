@@ -98,20 +98,29 @@ class Pregel:
 
     # -- messaging ----------------------------------------------------------
 
-    def _messages(self, edges: DataFrame, senders: DataFrame) -> DataFrame:
+    def _messages(
+        self,
+        edges_by_src: DataFrame | None,
+        edges_by_dst: DataFrame | None,
+        senders: DataFrame,
+    ) -> DataFrame:
         """Build the (id, msg) frame for one superstep.
 
         ``senders`` is the changed-state frame (id, attrs..., state). Each
         directed edge whose sender endpoint changed emits the message
-        expression evaluated over edge ⋈ sender-state columns.
+        expression evaluated over edge ⋈ sender-state columns. The edge
+        frames arrive pre-partitioned on their join key (see ``run``), so
+        only the (smaller, changing) sender side shuffles per round.
         """
         msgs = []
         if self.msg_to_dst is not None:
+            edges = edges_by_src
             ctx = edges.join(senders, on=edges[SRC] == senders[ID])
             msgs.append(
                 ctx.select(edges[DST].alias(ID), self.msg_to_dst.alias(MSG))
             )
         if self.msg_to_src is not None:
+            edges = edges_by_dst
             ctx = edges.join(senders, on=edges[DST] == senders[ID])
             msgs.append(
                 ctx.select(edges[SRC].alias(ID), self.msg_to_src.alias(MSG))
@@ -130,7 +139,19 @@ class Pregel:
 
     def run(self, g: Graph) -> DataFrame:
         """Returns the vertex table with a final ``state`` column."""
-        edges = g.edges
+        # materialize the static edge side once per message direction,
+        # hash-partitioned on its join key: the per-superstep message join
+        # then shuffles only the sender state, not the (bigger) edge table
+        edges_by_src = (
+            g.edges.repartition(F.col(SRC)).localCheckpoint()
+            if self.msg_to_dst is not None
+            else None
+        )
+        edges_by_dst = (
+            g.edges.repartition(F.col(DST)).localCheckpoint()
+            if self.msg_to_src is not None
+            else None
+        )
         state = g.vertices.withColumn(STATE, self.initial_state)
         if self.carry_columns is not None:
             state = state.select(ID, *self.carry_columns, STATE)
@@ -138,7 +159,9 @@ class Pregel:
         changed = state  # every vertex is "changed" before round 1
 
         for _ in range(self.max_iterations):
-            agg = self._aggregate(self._messages(edges, changed))
+            agg = self._aggregate(
+                self._messages(edges_by_src, edges_by_dst, changed)
+            )
             updated = (
                 state.join(agg, on=ID, how="inner")
                 .withColumn(OLD_STATE, F.col(STATE))

@@ -63,10 +63,18 @@ def _pair_common_counts_allpairs(g: Graph) -> DataFrame:
 
 
 def _pair_common_counts(g: Graph, max_degree: int | None) -> DataFrame:
-    """(src, dst, common, src_degree, dst_degree) for pairs sharing ≥1 neighbor."""
-    adj = g.adjacency
-    deg = adj.select(ID, F.size(ADJ).alias("__deg"))
-    nbrs = adj.select(ID, F.explode(ADJ).alias("__nb"))
+    """(src, dst, common, src_degree, dst_degree) for pairs sharing ≥1 neighbor.
+
+    Neighbor pairs come straight from the (deduped) symmetric edge list —
+    building the adjacency arrays only to explode them again would add a
+    collect_set shuffle and an isolated-vertex branch for nothing.
+    """
+    nbrs = (
+        g.symmetric_edges.select(F.col(SRC).alias(ID), F.col(DST).alias("__nb"))
+        .distinct()
+        .localCheckpoint()  # feeds deg, both join sides
+    )
+    deg = nbrs.groupBy(ID).agg(F.count(F.lit(1)).alias("__deg"))
     if max_degree is not None:
         hubs = deg.filter(F.col("__deg") > max_degree).select(
             F.col(ID).alias("__nb")

@@ -52,6 +52,31 @@ def df_multiset(cols, rows):
     )
 
 
+def duck_type_to_spark(t: str) -> str:
+    """Normalize a DuckDB column type to Spark's simpleString vocabulary."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"array<{duck_type_to_spark(t[:-2])}>"
+    base = {
+        "BIGINT": "bigint",
+        "INTEGER": "int",
+        "SMALLINT": "smallint",
+        "TINYINT": "tinyint",
+        "HUGEINT": "decimal(38,0)",
+        "DOUBLE": "double",
+        "FLOAT": "float",
+        "REAL": "float",
+        "VARCHAR": "string",
+        "BOOLEAN": "boolean",
+        "TIMESTAMP": "timestamp",
+        "DATE": "date",
+        "BLOB": "binary",
+    }
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return base.get(t, t.lower())
+
+
 def main(names: list[str] | None = None) -> int:
     import __spark_entry__ as entrymod
     from pyspark_graph_spark.session import get_spark
@@ -86,12 +111,25 @@ def main(names: list[str] | None = None) -> int:
         t0 = time.time()
         cur = con.execute(oracles[name])
         ocols = [d[0] for d in cur.description]
-        orows = cur.fetchall()
+        orows = cur.fetchall()  # drain before reusing the connection cursor
+        otypes = {
+            r[0]: duck_type_to_spark(r[1])
+            for r in con.execute(
+                f"DESCRIBE {oracles[name]}"
+            ).fetchall()
+        }
         t_duck = time.time() - t0
 
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+            for c in scols:
+                if stypes[c] != otypes.get(c, stypes[c]):
+                    problems.append(
+                        f"dtype[{c}]: spark={stypes[c]} oracle={otypes[c]}"
+                    )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
