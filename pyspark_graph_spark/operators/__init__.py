@@ -6,15 +6,18 @@ from pyspark_graph_spark.operators.connected_components import (
 )
 from pyspark_graph_spark.operators.katz import KatzIndex
 from pyspark_graph_spark.operators.pagerank import PageRank
+from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
 from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
 from pyspark_graph_spark.operators.label_propagation import LabelPropagation
 from pyspark_graph_spark.operators.shortest_paths import ShortestPaths
 from pyspark_graph_spark.operators.pregel import Pregel
 from pyspark_graph_spark.operators.similarity import (
     JaccardSimilarity,
+    NeighborhoodContainment,
     OverlapCoefficient,
 )
 from pyspark_graph_spark.operators.triangle_count import TriangleCount
+from pyspark_graph_spark.operators.weighted_paths import WeightedShortestPaths
 from pyspark_graph_spark.operators.wl_kernel import WLKernel
 
 __all__ = [
@@ -25,11 +28,15 @@ __all__ = [
     "JaccardSimilarity",
     "KatzIndex",
     "LabelPropagation",
+    "NeighborhoodContainment",
     "ShortestPaths",
     "OverlapCoefficient",
     "PageRank",
     "Pregel",
     "StronglyConnectedComponents",
     "TriangleCount",
+    "WeightedShortestPaths",
+    "bipartite_project",
+    "graph_summary",
     "WLKernel",
 ]

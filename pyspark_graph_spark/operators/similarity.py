@@ -156,6 +156,41 @@ class JaccardSimilarity:
         return out
 
 
+class NeighborhoodContainment:
+    """|A∩B| / |A| — the asymmetric containment of src's neighborhood in
+    dst's. Emitted in **both directions** for every unordered pair with a
+    common neighbor (containment is direction-dependent). Useful for
+    sub/superset structure that symmetric Jaccard hides.
+
+    Result: (src, dst, containment double).
+    """
+
+    def __init__(
+        self,
+        min_similarity: float = 0.0,
+        max_degree: int | None = None,
+        strategy: str = "auto",
+    ):
+        self.min_similarity = min_similarity
+        self.max_degree = max_degree
+        self.strategy = strategy
+
+    def run(self, g: Graph) -> DataFrame:
+        pairs = _choose_pairs(g, self.max_degree, self.strategy)
+        fwd = pairs.select(
+            SRC, DST, (F.col("common") / F.col("src_degree")).alias("containment")
+        )
+        rev = pairs.select(
+            F.col(DST).alias(SRC),
+            F.col(SRC).alias(DST),
+            (F.col("common") / F.col("dst_degree")).alias("containment"),
+        )
+        out = fwd.unionByName(rev)
+        if self.min_similarity > 0.0:
+            out = out.filter(F.col("containment") >= self.min_similarity)
+        return out
+
+
 class OverlapCoefficient:
     """|A∩B| / min(|A|, |B|) over neighbor sets, pairs with ≥1 common neighbor.
 

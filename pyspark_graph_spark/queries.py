@@ -1014,3 +1014,116 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexed=True,
     )
     return StronglyConnectedComponents().run(dg)
+
+
+# ---------------------------------------------------------------------------
+# Graph utilities: summary, bipartite projection, containment, weighted SP
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_summary",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+deg AS (
+    SELECT s.s_suppkey AS id,
+           (SELECT COUNT(DISTINCT dst) FROM supplier_sym y WHERE y.src = s.s_suppkey) AS d
+    FROM supplier s
+)
+SELECT (SELECT COUNT(*) FROM supplier) AS n_vertices,
+       (SELECT COUNT(*) FROM supplier_edges) AS n_edges,
+       CAST(MAX(d) AS BIGINT) AS max_degree,
+       AVG(d) AS avg_degree
+FROM deg
+""",
+)
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row structural summary of the supplier co-occurrence graph."""
+    from pyspark_graph_spark.operators import graph_summary
+
+    return graph_summary(supplier_co_occurrence_graph(spark, sf_dir))
+
+
+@query(
+    "bipartite_projection",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()}
+SELECT a.dst AS src, b.dst AS dst, COUNT(*) AS weight
+FROM bipartite_edges a
+JOIN bipartite_edges b ON a.src = b.src AND a.dst < b.dst
+GROUP BY a.dst, b.dst
+""",
+)
+def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project the customer->supplier graph onto suppliers: pairs weighted
+    by the number of shared customers."""
+    from pyspark_graph_spark.operators import bipartite_project
+
+    g = customer_supplier_graph(spark, sf_dir)
+    return bipartite_project(g, onto="dst")
+
+
+@query(
+    "containment",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+deg AS (
+    SELECT src AS id, COUNT(DISTINCT dst) AS d FROM nation_sym GROUP BY src
+),
+common AS (
+    SELECT a.src AS src, b.src AS dst, COUNT(*) AS c
+    FROM nation_sym a
+    JOIN nation_sym b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT src, dst, c * 1.0 / da.d AS containment
+FROM common JOIN deg da ON src = da.id
+UNION ALL
+SELECT dst AS src, src AS dst, c * 1.0 / db.d AS containment
+FROM common JOIN deg db ON dst = db.id
+""",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric neighborhood containment on the nation graph."""
+    from pyspark_graph_spark.operators import NeighborhoodContainment
+
+    return NeighborhoodContainment().run(nation_graph(spark, sf_dir))
+
+
+@query(
+    "weighted_shortest_paths",
+    oracle=f"""
+WITH RECURSIVE {NATION_EDGES_CTE.strip()},
+wedges AS (
+    SELECT src, dst, CAST(dst - src AS DOUBLE) AS w FROM nation_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, CAST(dst - src AS DOUBLE) AS w
+    FROM nation_edges
+),
+walk(id, landmark, d, hops) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), 0
+    UNION
+    SELECT e.src, walk.landmark, walk.d + e.w, walk.hops + 1
+    FROM walk JOIN wedges e ON e.dst = walk.id
+    WHERE walk.hops < 6
+)
+SELECT id, landmark, MIN(d) AS distance
+FROM walk GROUP BY id, landmark
+""",
+)
+def q_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-plus distances to nation 0 with edge weight |dst - src| (same
+    expression stated on both sides); bounded at 6 hops in both engines."""
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators import WeightedShortestPaths
+
+    g = nation_graph(spark, sf_dir)
+    weighted = Graph(
+        g.vertices,
+        g.edges.withColumn(
+            "weight", (F.col("dst") - F.col("src")).cast("double")
+        ),
+        directed=False,
+        indexed=True,
+    )
+    return WeightedShortestPaths([0], max_iterations=6).run_exploded(weighted)
