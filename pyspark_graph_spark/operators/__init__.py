@@ -1,5 +1,6 @@
 from pyspark_graph_spark.operators.aggregate_messages import AggregateMessages
 from pyspark_graph_spark.operators.bfs import BreadthFirstSearch
+from pyspark_graph_spark.operators.clustering import LocalClusteringCoefficient
 from pyspark_graph_spark.operators.connected_components import (
     AlternatingConnectedComponents,
     ConnectedComponents,
@@ -28,6 +29,7 @@ __all__ = [
     "JaccardSimilarity",
     "KatzIndex",
     "LabelPropagation",
+    "LocalClusteringCoefficient",
     "NeighborhoodContainment",
     "ShortestPaths",
     "OverlapCoefficient",

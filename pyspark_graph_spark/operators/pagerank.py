@@ -38,10 +38,15 @@ class PageRank:
         alpha: float = 0.85,
         max_iterations: int = 10,
         tolerance: float | None = None,
+        sources: list[int] | None = None,
     ):
+        """``sources``: personalize — the (1-α) reset mass lands uniformly
+        on these vertex ids instead of everywhere (random walk with restart
+        to the source set). None = classic PageRank."""
         self.alpha = alpha
         self.max_iterations = max_iterations
         self.tolerance = tolerance
+        self.sources = sources
 
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, pagerank)`` for every vertex."""
@@ -58,7 +63,17 @@ class PageRank:
             .localCheckpoint()
         )
         verts = g.vertices.select(ID).localCheckpoint()
-        ranks = verts.withColumn(PAGERANK, F.lit(1.0)).localCheckpoint()
+        if self.sources is None:
+            reset = F.lit(1.0)
+        else:
+            src_set = F.array(*[F.lit(int(s)) for s in self.sources])
+            reset = F.when(
+                F.array_contains(src_set, F.col(ID)), F.lit(1.0)
+            ).otherwise(F.lit(0.0))
+        verts = verts.withColumn("__reset", reset).localCheckpoint()
+        ranks = verts.select(
+            ID, F.col("__reset").alias(PAGERANK)
+        ).localCheckpoint()
 
         for _ in range(self.max_iterations):
             contribs = (
@@ -76,7 +91,7 @@ class PageRank:
                 .select(
                     ID,
                     (
-                        F.lit(1.0 - self.alpha)
+                        F.lit(1.0 - self.alpha) * F.col("__reset")
                         + F.lit(self.alpha) * F.coalesce("__sum", F.lit(0.0))
                     ).alias(PAGERANK),
                 )

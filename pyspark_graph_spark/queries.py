@@ -1127,3 +1127,166 @@ def q_weighted_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexed=True,
     )
     return WeightedShortestPaths([0], max_iterations=6).run_exploded(weighted)
+
+
+@query(
+    "clustering_coefficient",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+tris AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM nation_edges e1
+    JOIN nation_edges e2 ON e1.dst = e2.src
+    JOIN nation_edges e3 ON e1.src = e3.src AND e2.dst = e3.dst
+),
+per_corner AS (
+    SELECT v AS id, COUNT(*) AS t FROM (
+        SELECT a AS v FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ) GROUP BY v
+),
+deg AS (
+    SELECT src AS id, COUNT(DISTINCT dst) AS d FROM nation_sym GROUP BY src
+)
+SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+       CASE WHEN COALESCE(deg.d, 0) >= 2
+            THEN 2.0 * COALESCE(pc.t, 0) / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS clustering
+FROM nation n
+LEFT JOIN deg ON n.n_nationkey = deg.id
+LEFT JOIN per_corner pc ON n.n_nationkey = pc.id
+""",
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient on the nation graph (each
+    region is a clique, so interior values are exactly 1.0)."""
+    from pyspark_graph_spark.operators import LocalClusteringCoefficient
+
+    return LocalClusteringCoefficient().run(nation_graph(spark, sf_dir))
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_TOKS_CTE.strip()},
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT src, dst FROM common
+    JOIN sizes sa ON src = sa.doc_id
+    JOIN sizes sb ON dst = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+),
+sym AS (
+    SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+members AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM members
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.id
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline composition: MinHash-LSH near-dup pairs ->
+    connected components -> cluster ids for every doc in a duplicate group.
+    The oracle recomputes clusters from the exact-Jaccard pair set (LSH
+    recall is 1 at this threshold, verified)."""
+    from pyspark_graph_spark.dedup import MinHashLSH
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators import AlternatingConnectedComponents
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = MinHashLSH(n=3, threshold=0.5).pairs(docs).localCheckpoint()
+    members = (
+        pairs.select(F.col("src").alias(ID))
+        .unionByName(pairs.select(F.col("dst").alias(ID)))
+        .distinct()
+    )
+    g = Graph(members, pairs.select("src", "dst"), directed=False, indexed=True)
+    return AlternatingConnectedComponents().run(g).withColumnRenamed(
+        "component", "cluster_id"
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type (Spark
+    `percentile` and DuckDB `quantile_cont` share the interpolation rule)."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+@query(
+    "personalized_pagerank",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM nation_sym GROUP BY src),
+verts AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CASE WHEN n_nationkey IN (0, 1) THEN 1.0 ELSE 0.0 END AS reset
+    FROM nation
+),
+p0 AS (SELECT id, reset AS pr FROM verts),
+p1 AS (
+    SELECT v.id, 0.15 * v.reset + 0.85 * COALESCE(SUM(p0.pr / deg.d), 0) AS pr
+    FROM verts v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p0 ON p0.id = e.src
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id, v.reset
+),
+p2 AS (
+    SELECT v.id, 0.15 * v.reset + 0.85 * COALESCE(SUM(p1.pr / deg.d), 0) AS pr
+    FROM verts v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p1 ON p1.id = e.src
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id, v.reset
+),
+p3 AS (
+    SELECT v.id, 0.15 * v.reset + 0.85 * COALESCE(SUM(p2.pr / deg.d), 0) AS pr
+    FROM verts v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p2 ON p2.id = e.src
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id, v.reset
+)
+SELECT id, ROUND(pr, 6) AS pagerank FROM p3
+""",
+)
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart to sources {nation 0, nation 1}: mass stays
+    inside their region (cross-region ranks are exactly 0)."""
+    from pyspark_graph_spark.operators import PageRank
+
+    g = nation_graph(spark, sf_dir)
+    out = PageRank(alpha=0.85, max_iterations=3, sources=[0, 1]).run(g)
+    return out.select(ID, F.round("pagerank", 6).alias("pagerank"))

@@ -88,3 +88,30 @@ def test_weighted_shortest_paths_directed_respects_direction(spark):
         for r in WeightedShortestPaths([2]).run_exploded(g).collect()
     }
     assert out == {(2, 2): 0.0, (1, 2): 1.0, (0, 2): 2.0}
+
+
+def test_local_clustering_coefficient(spark):
+    from pyspark_graph_spark.operators import LocalClusteringCoefficient
+
+    # triangle {0,1,2} + pendant 3 attached to 0
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (0, 3)], ["src", "dst"]
+    )
+    g = Graph(v, e, directed=False, indexed=True)
+    out = {r["id"]: r["clustering"] for r in LocalClusteringCoefficient().run(g).collect()}
+    assert out[1] == pytest.approx(1.0)  # both neighbors adjacent
+    assert out[0] == pytest.approx(1 / 3)  # 1 triangle of 3 possible pairs
+    assert out[3] == 0.0  # degree 1
+
+
+def test_personalized_pagerank_confines_mass(spark):
+    from pyspark_graph_spark.operators import PageRank
+
+    # two disconnected pairs
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 0), (2, 3), (3, 2)], ["src", "dst"])
+    g = Graph(v, e, indexed=True)
+    out = {r["id"]: r["pagerank"] for r in PageRank(sources=[0], max_iterations=5).run(g).collect()}
+    assert out[2] == 0.0 and out[3] == 0.0
+    assert out[0] > 0 and out[1] > 0
