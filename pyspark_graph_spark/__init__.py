@@ -39,6 +39,7 @@ from pyspark_graph_spark.constants import (
     STATE,
 )
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.motif import find
 from pyspark_graph_spark.util import (
     match_structure,
     multiple_join,
@@ -51,6 +52,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Graph",
+    "find",
     "match_structure",
     "multiple_join",
     "multiple_union",

@@ -216,6 +216,12 @@ class Graph:
             src_v, on=F.col(SRC) == F.col(f"{src_prefix}{ID}"), how="inner"
         ).join(dst_v, on=F.col(DST) == F.col(f"{dst_prefix}{ID}"), how="inner")
 
+    def find(self, pattern: str) -> DataFrame:
+        """GraphFrames-style motif search — see ``pyspark_graph_spark.motif``."""
+        from pyspark_graph_spark.motif import find
+
+        return find(self, pattern)
+
     def with_vertex_column(self, name: str, col: Column) -> "Graph":
         """Return a new Graph whose vertices carry an extra computed column
         (reference graph.py:124-133; ours is immutable rather than mutating)."""

@@ -1290,3 +1290,32 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = nation_graph(spark, sf_dir)
     out = PageRank(alpha=0.85, max_iterations=3, sources=[0, 1]).run(g)
     return out.select(ID, F.round("pagerank", 6).alias("pagerank"))
+
+
+@query(
+    "motif_find",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()}
+SELECT a.src AS c1, b.src AS c2, a.dst AS s
+FROM bipartite_edges a
+JOIN bipartite_edges b ON a.dst = b.dst AND a.src < b.src
+JOIN supplier sup
+  ON sup.s_suppkey * 2 + 1 = a.dst AND sup.s_nationkey = 0
+""",
+)
+def q_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphFrames-style motif string on the bipartite graph: customer
+    pairs sharing a nation-0 supplier, with struct-field filters."""
+    from pyspark_graph_spark.motif import find
+
+    g = customer_supplier_graph(spark, sf_dir)
+    out = find(g, "(c1)-[]->(s); (c2)-[]->(s)").filter(
+        (F.col("c1.id") < F.col("c2.id"))
+        & (F.col("s.kind") == "supplier")
+        & (F.col("s.nationkey") == 0)
+    )
+    return out.select(
+        F.col("c1.id").alias("c1"),
+        F.col("c2.id").alias("c2"),
+        F.col("s.id").alias("s"),
+    )
