@@ -208,3 +208,19 @@ def test_scc_matches_tarjan(spark, seed):
         for r in StronglyConnectedComponents().run(g).collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("density", [0.15, 0.75])
+def test_jaccard_complement_strategy_agrees(spark, seed, density):
+    """The complement-graph formula must be exact at ANY density."""
+    g, n, edges = random_graph(spark, seed, n=16, p=density)
+    index = sorted(
+        (r["src"], r["dst"], round(r["jaccard"], 9))
+        for r in JaccardSimilarity(strategy="index").run(g).collect()
+    )
+    comp = sorted(
+        (r["src"], r["dst"], round(r["jaccard"], 9))
+        for r in JaccardSimilarity(strategy="complement").run(g).collect()
+    )
+    assert comp == index
