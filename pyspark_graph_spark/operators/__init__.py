@@ -6,6 +6,7 @@ from pyspark_graph_spark.operators.connected_components import (
     ConnectedComponents,
 )
 from pyspark_graph_spark.operators.katz import KatzIndex
+from pyspark_graph_spark.operators.kcore import KCore, core_numbers
 from pyspark_graph_spark.operators.pagerank import PageRank
 from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
 from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
@@ -27,6 +28,7 @@ __all__ = [
     "BreadthFirstSearch",
     "ConnectedComponents",
     "JaccardSimilarity",
+    "KCore",
     "KatzIndex",
     "LabelPropagation",
     "LocalClusteringCoefficient",
@@ -39,6 +41,7 @@ __all__ = [
     "TriangleCount",
     "WeightedShortestPaths",
     "bipartite_project",
+    "core_numbers",
     "graph_summary",
     "WLKernel",
 ]

@@ -1319,3 +1319,70 @@ def q_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c2.id").alias("c2"),
         F.col("s.id").alias("s"),
     )
+
+
+@query("kcore")  # iterative peeling fixpoint: rows-only check
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the 5-core of the customer-supplier graph."""
+    from pyspark_graph_spark.operators import KCore
+
+    g = customer_supplier_graph(spark, sf_dir)
+    return KCore(5).run(g)
+
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+deg AS (
+    SELECT src AS id, COUNT(*) AS d FROM supplier_sym GROUP BY src
+),
+pairs AS (
+    SELECT da.d AS x, db.d AS y
+    FROM supplier_sym e
+    JOIN deg da ON e.src = da.id
+    JOIN deg db ON e.dst = db.id
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x*y) AS DOUBLE) AS sxy,
+           CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy
+    FROM pairs
+)
+SELECT CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+            THEN ROUND((n*sxy - sx*sy)
+                       / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+            ELSE NULL END AS assortativity
+FROM sums
+""",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of endpoint degrees over the symmetric edge
+    list — do high-degree suppliers co-occur with each other? Computed from
+    exact integer sums (ANSI `corr` raises on the zero-variance complete
+    graph at sf0.01; the manual form yields NULL there, identically in
+    both engines)."""
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    sym = g.symmetric_edges.select("src", "dst")
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    pairs = (
+        sym.join(deg.withColumnsRenamed({"src": "src", "d": "x"}), on="src")
+        .join(deg.withColumnsRenamed({"src": "dst", "d": "y"}), on="dst")
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.when(
+            vx * vy > 0, F.round(num / F.sqrt(vx * vy), 6)
+        ).otherwise(F.lit(None).cast("double")).alias("assortativity")
+    )

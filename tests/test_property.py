@@ -224,3 +224,51 @@ def test_jaccard_complement_strategy_agrees(spark, seed, density):
         for r in JaccardSimilarity(strategy="complement").run(g).collect()
     )
     assert comp == index
+
+
+def py_core_numbers(n, edges):
+    """Peeling core decomposition in python."""
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {v: 0 for v in range(n)}
+    alive = {v for v in range(n) if adj[v]}
+    k = 1
+    cur = {v: set(adj[v]) for v in adj}
+    while alive:
+        while True:
+            drop = {v for v in alive if len(cur[v] & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        if not alive:
+            break
+        for v in alive:
+            core[v] = k
+        k += 1
+    return core
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_core_numbers_match_python(spark, seed):
+    from pyspark_graph_spark.operators import core_numbers
+
+    g, n, edges = random_graph(spark, seed, n=14, p=0.25)
+    expected = py_core_numbers(n, edges)
+    got = {r["id"]: r["core"] for r in core_numbers(g).collect()}
+    assert got == expected
+
+
+def test_kcore_triangle_plus_tail(spark):
+    from pyspark_graph_spark.operators import KCore
+
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    g = Graph(v, e, indexed=True)
+    assert {r["id"] for r in KCore(2).run(g).collect()} == {0, 1, 2}
+    assert {r["id"] for r in KCore(1).run(g).collect()} == {0, 1, 2, 3, 4}
+    assert KCore(3).run(g).count() == 0
