@@ -1386,3 +1386,51 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             vx * vy > 0, F.round(num / F.sqrt(vx * vy), 6)
         ).otherwise(F.lit(None).cast("double")).alias("assortativity")
     )
+
+
+@query(
+    "closeness_centrality",
+    oracle=f"""
+WITH RECURSIVE {BIPARTITE_EDGES_CTE.strip()},
+bipartite_sym AS (
+    SELECT src, dst FROM bipartite_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM bipartite_edges
+),
+lm(id) AS (
+    SELECT CAST(3 AS BIGINT) UNION ALL SELECT 5 UNION ALL
+    SELECT 7 UNION ALL SELECT 9
+),
+walk(id, landmark, d) AS (
+    SELECT id, id, 0 FROM lm
+    UNION
+    SELECT e.src, walk.landmark, walk.d + 1
+    FROM walk JOIN bipartite_sym e ON e.dst = walk.id
+    WHERE walk.d < 12
+),
+dist AS (
+    SELECT id, landmark, MIN(d) AS d FROM walk GROUP BY id, landmark
+)
+SELECT id, COUNT(*) AS n_reached,
+       CASE WHEN SUM(d) > 0 THEN (COUNT(*) - 1) * 1.0 / SUM(d) ELSE 0.0 END
+         AS closeness
+FROM dist GROUP BY id
+""",
+)
+def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated closeness centrality: (reached-1)/Σd over hop
+    distances to 4 supplier landmarks — a pure composition over the
+    ShortestPaths operator (no new machinery)."""
+    from pyspark_graph_spark.operators import ShortestPaths
+
+    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    sp = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
+    return sp.groupBy(ID).agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.when(
+            F.sum("distance") > 0,
+            (F.count(F.lit(1)) - 1) / F.sum("distance"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
