@@ -1,4 +1,5 @@
 from pyspark_graph_spark.operators.aggregate_messages import AggregateMessages
+from pyspark_graph_spark.operators.betweenness import BetweennessCentrality
 from pyspark_graph_spark.operators.bfs import BreadthFirstSearch
 from pyspark_graph_spark.operators.clustering import LocalClusteringCoefficient
 from pyspark_graph_spark.operators.connected_components import (
@@ -25,6 +26,7 @@ from pyspark_graph_spark.operators.wl_kernel import WLKernel
 __all__ = [
     "AggregateMessages",
     "AlternatingConnectedComponents",
+    "BetweennessCentrality",
     "BreadthFirstSearch",
     "ConnectedComponents",
     "JaccardSimilarity",

@@ -1434,3 +1434,15 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("closeness"),
     )
+
+
+@query("betweenness")  # Brandes dependency accumulation: rows-only check
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled betweenness centrality on the undirected
+    customer-supplier graph (4 supplier sources). Exactness of the
+    two-sweep formulation is property-tested against python Brandes with
+    all-vertex sources (tests/test_property.py)."""
+    from pyspark_graph_spark.operators import BetweennessCentrality
+
+    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    return BetweennessCentrality([3, 5, 7, 9], max_depth=12).run(g)

@@ -272,3 +272,57 @@ def test_kcore_triangle_plus_tail(spark):
     assert {r["id"] for r in KCore(2).run(g).collect()} == {0, 1, 2}
     assert {r["id"] for r in KCore(1).run(g).collect()} == {0, 1, 2, 3, 4}
     assert KCore(3).run(g).count() == 0
+
+
+def py_brandes(n, edges, sources, symmetric=True):
+    """Reference Brandes dependency accumulation (unweighted)."""
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            if symmetric:
+                adj[b].add(a)
+    bc = {v: 0.0 for v in range(n)}
+    for s in sources:
+        # forward BFS with sigma
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = [s]
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0.0
+                    order.append(w)
+                    dq.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for u in adj[w]:
+                if u in dist and dist[u] == dist[w] - 1:
+                    delta[u] += (sigma[u] / sigma[w]) * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+@pytest.mark.parametrize("seed", SEEDS[:3])
+def test_betweenness_matches_brandes(spark, seed):
+    from pyspark_graph_spark.operators import BetweennessCentrality
+
+    g, n, edges = random_graph(spark, seed, n=12, p=0.22)
+    # undirected semantics for the python oracle too
+    gu = Graph(
+        g.vertices, g.edges, directed=False, indexed=True
+    )
+    sources = list(range(n))  # all sources -> exact Brandes
+    expected = py_brandes(n, edges, sources, symmetric=True)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in BetweennessCentrality(sources).run(gu).collect()
+    }
+    for v in range(n):
+        assert got[v] == pytest.approx(expected[v], rel=1e-9, abs=1e-9)
