@@ -8,6 +8,7 @@ from pyspark_graph_spark.operators.connected_components import (
 )
 from pyspark_graph_spark.operators.katz import KatzIndex
 from pyspark_graph_spark.operators.kcore import KCore, core_numbers
+from pyspark_graph_spark.operators.mis import MaximalIndependentSet
 from pyspark_graph_spark.operators.pagerank import PageRank
 from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
 from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
@@ -34,6 +35,7 @@ __all__ = [
     "KatzIndex",
     "LabelPropagation",
     "LocalClusteringCoefficient",
+    "MaximalIndependentSet",
     "NeighborhoodContainment",
     "ShortestPaths",
     "OverlapCoefficient",

@@ -1446,3 +1446,14 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = customer_supplier_graph(spark, sf_dir, directed=False)
     return BetweennessCentrality([3, 5, 7, 9], max_depth=12).run(g)
+
+
+@query("maximal_independent_set")  # Luby fixpoint: rows-only check
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby's MIS on the supplier co-occurrence graph (deterministic
+    hash priorities). Invariants (independence + maximality)
+    property-tested in tests/test_property.py."""
+    from pyspark_graph_spark.operators import MaximalIndependentSet
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    return MaximalIndependentSet().run(g)

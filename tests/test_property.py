@@ -326,3 +326,36 @@ def test_betweenness_matches_brandes(spark, seed):
     }
     for v in range(n):
         assert got[v] == pytest.approx(expected[v], rel=1e-9, abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_mis_invariants(spark, seed):
+    """The result must be independent (no adjacent members) and maximal
+    (every non-member has a member neighbor)."""
+    from pyspark_graph_spark.operators import MaximalIndependentSet
+
+    g, n, edges = random_graph(spark, seed, n=18, p=0.2)
+    members = {r["id"] for r in MaximalIndependentSet().run(g).collect()}
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    adj = defaultdict(set)
+    for e in und:
+        a, b = tuple(e)
+        adj[a].add(b)
+        adj[b].add(a)
+    # independent
+    assert not any(
+        frozenset((a, b)) in und for a in members for b in members if a != b
+    )
+    # maximal
+    for v in range(n):
+        if v not in members:
+            assert adj[v] & members, f"vertex {v} not dominated"
+
+
+def test_mis_deterministic(spark):
+    from pyspark_graph_spark.operators import MaximalIndependentSet
+
+    g, n, edges = random_graph(spark, 5, n=15, p=0.3)
+    a = sorted(r["id"] for r in MaximalIndependentSet().run(g).collect())
+    b = sorted(r["id"] for r in MaximalIndependentSet().run(g).collect())
+    assert a == b and len(a) > 0
