@@ -21,6 +21,7 @@ from pyspark_graph_spark.operators.similarity import (
     OverlapCoefficient,
 )
 from pyspark_graph_spark.operators.triangle_count import TriangleCount
+from pyspark_graph_spark.operators.walks import RandomWalks
 from pyspark_graph_spark.operators.weighted_paths import WeightedShortestPaths
 from pyspark_graph_spark.operators.wl_kernel import WLKernel
 
@@ -41,6 +42,7 @@ __all__ = [
     "OverlapCoefficient",
     "PageRank",
     "Pregel",
+    "RandomWalks",
     "StronglyConnectedComponents",
     "TriangleCount",
     "WeightedShortestPaths",

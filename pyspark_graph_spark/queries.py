@@ -1457,3 +1457,78 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = supplier_co_occurrence_graph(spark, sf_dir)
     return MaximalIndependentSet().run(g)
+
+
+@query(
+    "corpus_selection",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+quality AS (
+    SELECT d.doc_id FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+    WHERE len(t) >= 20
+),
+fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+    FROM documents
+),
+exact_kept AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp
+    ) WHERE rn = 1
+),
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+near_pairs AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id,
+             (SELECT n FROM sizes WHERE doc_id = a.doc_id),
+             (SELECT n FROM sizes WHERE doc_id = b.doc_id)
+    HAVING COUNT(*) * 1.0 /
+           ((SELECT n FROM sizes WHERE doc_id = a.doc_id)
+            + (SELECT n FROM sizes WHERE doc_id = b.doc_id) - COUNT(*)) >= 0.5
+),
+near_dropped AS (SELECT DISTINCT dst AS doc_id FROM near_pairs)
+SELECT q.doc_id FROM quality q
+JOIN exact_kept e ON q.doc_id = e.doc_id
+WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dropped)
+""",
+)
+def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star pipeline end-to-end: quality gate (>= 20 tokens) →
+    exact dedup (md5 fingerprint, keep lowest id) → near-dedup (MinHash-LSH
+    at jaccard 0.5, drop the higher id of each pair) → surviving doc ids.
+    Composes text functions + ExactDedup + MinHashLSH in one plan."""
+    from pyspark_graph_spark.dedup import ExactDedup, MinHashLSH
+    from pyspark_graph_spark.functions.text import token_count
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = docs.filter(token_count(F.col("text")) >= 20)
+    exact_kept = ExactDedup().deduplicate(docs).select("doc_id")
+    near_dropped = (
+        MinHashLSH(n=3, threshold=0.5)
+        .pairs(docs)
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.select("doc_id")
+        .join(exact_kept, on="doc_id", how="semi")
+        .join(near_dropped, on="doc_id", how="anti")
+    )
+
+
+@query("random_walks")  # hash-driven path selection: rows-only check
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic node2vec-style walk corpus over the undirected
+    customer-supplier graph (validity + determinism property-tested)."""
+    from pyspark_graph_spark.operators import RandomWalks
+
+    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    return RandomWalks(length=8, walks_per_vertex=1).run(g)

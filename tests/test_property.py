@@ -359,3 +359,31 @@ def test_mis_deterministic(spark):
     a = sorted(r["id"] for r in MaximalIndependentSet().run(g).collect())
     b = sorted(r["id"] for r in MaximalIndependentSet().run(g).collect())
     assert a == b and len(a) > 0
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_random_walks_valid_and_deterministic(spark, seed):
+    from pyspark_graph_spark.operators import RandomWalks
+
+    g, n, edges = random_graph(spark, seed, n=12, p=0.3)
+    eset = {(a, b) for a, b in edges if a != b}
+    rw = RandomWalks(length=6, walks_per_vertex=2)
+    a = sorted((r["walk_id"], tuple(r["path"])) for r in rw.run(g).collect())
+    b = sorted((r["walk_id"], tuple(r["path"])) for r in rw.run(g).collect())
+    assert a == b  # fully deterministic
+    assert len(a) == 2 * n
+    for _, path in a:
+        assert 1 <= len(path) <= 6
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in eset  # every hop is a real directed edge
+
+
+def test_random_walks_start_and_dead_ends(spark):
+    from pyspark_graph_spark.operators import RandomWalks
+
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])
+    g = Graph(v, e, indexed=True)
+    out = {r["start"]: list(r["path"]) for r in RandomWalks(length=5).run(g).collect()}
+    assert out[0] == [0, 1, 2]  # deterministic chain, ends at sink
+    assert out[2] == [2]  # dead end immediately
