@@ -221,11 +221,12 @@ JOIN supplier_edges e3 ON e1.src = e3.src AND e2.dst = e3.dst
 """,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangles in the supplier co-occurrence graph (single-row count)."""
+    """Triangles in the supplier co-occurrence graph (single-row count).
+    Uses run(): on this dense graph the auto strategy counts via the
+    complement inclusion-exclusion instead of the wedge join."""
     g = supplier_co_occurrence_graph(spark, sf_dir)
-    return TriangleCount().triangles(g).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    n = TriangleCount().run(g)
+    return spark.createDataFrame([(n,)], "n_triangles long")
 
 
 @query(

@@ -387,3 +387,12 @@ def test_random_walks_start_and_dead_ends(spark):
     out = {r["start"]: list(r["path"]) for r in RandomWalks(length=5).run(g).collect()}
     assert out[0] == [0, 1, 2]  # deterministic chain, ends at sink
     assert out[2] == [2]  # dead end immediately
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("density", [0.2, 0.8])
+def test_triangle_count_complement_strategy(spark, seed, density):
+    g, n, edges = random_graph(spark, seed, n=15, p=density)
+    motif = TriangleCount(strategy="motif").run(g)
+    comp = TriangleCount(strategy="complement").run(g)
+    assert comp == motif
