@@ -8,7 +8,7 @@ from pyspark_graph_spark.operators.connected_components import (
 )
 from pyspark_graph_spark.operators.katz import KatzIndex
 from pyspark_graph_spark.operators.kcore import KCore, core_numbers
-from pyspark_graph_spark.operators.mis import MaximalIndependentSet
+from pyspark_graph_spark.operators.mis import MaximalIndependentSet, greedy_coloring
 from pyspark_graph_spark.operators.pagerank import PageRank
 from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
 from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
@@ -48,6 +48,7 @@ __all__ = [
     "WeightedShortestPaths",
     "bipartite_project",
     "core_numbers",
+    "greedy_coloring",
     "graph_summary",
     "WLKernel",
 ]

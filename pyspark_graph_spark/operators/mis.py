@@ -86,3 +86,41 @@ class MaximalIndependentSet:
                 .localCheckpoint()
             )
         return chosen
+
+
+def greedy_coloring(g: Graph, max_colors: int = 64) -> DataFrame:
+    """(id, color) proper coloring: repeatedly take an MIS of the remaining
+    subgraph and give it the next color (Luby-MIS coloring — expected
+    O(log n) rounds per color, colors ≤ degeneracy-ish in practice).
+
+    Proper by construction: each color class is an independent set.
+    """
+    remaining_v = g.vertices.select(ID).localCheckpoint()
+    base = g.edges.select(SRC, DST)
+    remaining_e = (
+        base.unionByName(
+            base.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        )
+        .filter(F.col(SRC) != F.col(DST))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = remaining_v.sparkSession
+    result = spark.createDataFrame([], f"{ID} long, color int")
+    for color in range(max_colors):
+        if remaining_v.isEmpty():
+            return result
+        sub = Graph(remaining_v, remaining_e, directed=True, indexed=True)
+        mis = MaximalIndependentSet(seed=color).run(sub).localCheckpoint()
+        result = result.unionByName(
+            mis.withColumn("color", F.lit(color))
+        ).localCheckpoint()
+        remaining_v = remaining_v.join(mis, on=ID, how="anti").localCheckpoint()
+        remaining_e = (
+            remaining_e.join(
+                remaining_v.withColumnRenamed(ID, SRC), on=SRC, how="semi"
+            )
+            .join(remaining_v.withColumnRenamed(ID, DST), on=DST, how="semi")
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"graph not colored within {max_colors} colors")

@@ -1533,3 +1533,15 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = customer_supplier_graph(spark, sf_dir, directed=False)
     return RandomWalks(length=8, walks_per_vertex=1).run(g)
+
+
+@query("graph_coloring")  # MIS-peeling fixpoint: rows-only check
+def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper coloring of the nation graph via iterated Luby MIS
+    (each K5 region needs exactly 5 colors; properness property-tested).
+    Colors-needed scales with clique number — a complete graph is the
+    pathological case (one sequential MIS per color), so the dense
+    supplier graph is deliberately not the target here."""
+    from pyspark_graph_spark.operators import greedy_coloring
+
+    return greedy_coloring(nation_graph(spark, sf_dir), max_colors=16)

@@ -91,3 +91,24 @@ def test_symmetric_edges(spark):
     assert g.symmetric_edges.count() == 2 * g.edges.count()
     gd = two_components(spark, directed=True)
     assert gd.symmetric_edges.count() == gd.edges.count()
+
+
+def test_validate_index_passes_on_clean_graph(spark):
+    g = sample1(spark)
+    g.validate_index()  # no exception
+
+
+def test_validate_index_detects_collision(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyspark_graph_spark import Graph as _Graph
+
+    # forge a graph whose surrogate ids collide (indexed=True bypass)
+    v = spark.createDataFrame(
+        [("a", 1), ("b", 1)], ["old_id", "id"]
+    )
+    e = spark.createDataFrame([], "src long, dst long")
+    g = _Graph(v, e, indexed=True)
+    with _pytest.raises(ValueError):
+        g.validate_index()

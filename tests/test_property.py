@@ -396,3 +396,15 @@ def test_triangle_count_complement_strategy(spark, seed, density):
     motif = TriangleCount(strategy="motif").run(g)
     comp = TriangleCount(strategy="complement").run(g)
     assert comp == motif
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_greedy_coloring_proper(spark, seed):
+    from pyspark_graph_spark.operators import greedy_coloring
+
+    g, n, edges = random_graph(spark, seed, n=15, p=0.3)
+    colors = {r["id"]: r["color"] for r in greedy_coloring(g).collect()}
+    assert set(colors) == set(range(n))  # every vertex colored
+    for a, b in edges:
+        if a != b:
+            assert colors[a] != colors[b], f"edge ({a},{b}) monochromatic"
