@@ -38,10 +38,16 @@ def main() -> None:
     ).count().collect()
 
     timings: dict[str, float] = {}
+    errors: list[str] = []
     for name, fn in qs.items():
         t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
+        try:
+            df = fn(spark, SF_DIR)
+            n = df.count()
+        except Exception as e:  # one bad query must not lose the bench line
+            errors.append(name)
+            print(f"# {name}: ERROR {e}", file=sys.stderr)
+            continue
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
@@ -50,17 +56,16 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

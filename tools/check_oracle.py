@@ -99,9 +99,14 @@ def main(names: list[str] | None = None) -> int:
     failures = []
     for name in targets:
         t0 = time.time()
-        sdf = qs[name](spark, SF_DIR)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # keep checking the remaining queries
+            print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
+            failures.append((name, f"exception: {e}"))
+            continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name}: rows-only ({len(srows)} rows, spark {t_spark:.1f}s)")
