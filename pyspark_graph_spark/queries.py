@@ -1545,3 +1545,104 @@ def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators import greedy_coloring
 
     return greedy_coloring(nation_graph(spark, sf_dir), max_colors=16)
+
+
+@query(
+    "reciprocity",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()},
+supplier_links AS (
+    -- derive a directed graph with actual asymmetry: customer->supplier
+    -- orders vs supplier->customer "top customer" backlinks
+    SELECT src, dst FROM bipartite_edges
+),
+backlinks AS (
+    SELECT dst AS src, src AS dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY dst ORDER BY src) AS rn
+        FROM bipartite_edges
+    ) WHERE rn <= 3
+),
+alle AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM supplier_links
+        UNION ALL SELECT src, dst FROM backlinks
+    )
+)
+SELECT COUNT(*) AS n_edges,
+       CAST(SUM(CASE WHEN EXISTS (
+           SELECT 1 FROM alle r WHERE r.src = alle.dst AND r.dst = alle.src
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated
+FROM alle
+""",
+)
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity on a mixed directed graph (purchases + capped
+    backlinks): how many edges have their reverse present. Self-join on
+    swapped keys."""
+    from pyspark.sql import Window
+
+    from pyspark_graph_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    fwd = (
+        orders.join(li, on=orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("dst").orderBy("src")
+    back = (
+        fwd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    alle = fwd.unionByName(back).distinct().localCheckpoint()
+    rev = alle.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("__r", F.lit(1))
+    flagged = alle.join(rev, on=["src", "dst"], how="left")
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(F.col("__r").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reciprocated"),
+    )
+
+
+@query(
+    "two_hop_counts",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()},
+two_hop AS (
+    SELECT DISTINCT a.src AS id, b.src AS nb2
+    FROM bipartite_edges a
+    JOIN bipartite_edges b ON a.dst = b.dst AND a.src <> b.src
+)
+SELECT id, COUNT(*) AS n_two_hop
+FROM two_hop GROUP BY id
+""",
+)
+def q_two_hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer count of distinct 2-hop neighbors (co-purchasers) —
+    the friends-of-friends feature over the bipartite graph."""
+    g = customer_supplier_graph(spark, sf_dir)
+    e = g.edges
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.dst") == F.col("b.dst"),
+                F.col("a.src") != F.col("b.src"),
+            ],
+        )
+        .select(F.col("a.src").alias(ID), F.col("b.src").alias("__nb2"))
+        .distinct()
+        .groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("n_two_hop"))
+    )
