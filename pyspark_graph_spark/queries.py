@@ -1646,3 +1646,37 @@ def q_two_hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(ID)
         .agg(F.count(F.lit(1)).alias("n_two_hop"))
     )
+
+
+@query(
+    "lang_confusion",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+scored AS (
+    SELECT d.doc_id, d.lang,
+           len(list_filter(t, x -> list_contains(['the','a','of','and','to'], x))) AS h_en,
+           len(list_filter(t, x -> list_contains(['der','die','das','und','ist'], x))) AS h_de,
+           len(list_filter(t, x -> list_contains(['le','la','les','et','est'], x))) AS h_fr,
+           len(list_filter(t, x -> list_contains(['el','los','y','de','es'], x))) AS h_es
+    FROM documents d JOIN toks ON d.doc_id = toks.doc_id
+)
+SELECT lang,
+       CASE WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'und'
+            WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+            WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+            WHEN h_fr >= h_es THEN 'fr'
+            ELSE 'es' END AS lang_guess,
+       COUNT(*) AS n_docs
+FROM scored GROUP BY 1, 2
+""",
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-id confusion matrix: actual lang × heuristic guess with
+    counts — the quality readout for the cheap pre-filter."""
+    from pyspark_graph_spark.functions.text import language_guess
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "lang", language_guess(F.col("text")).alias("lang_guess")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
