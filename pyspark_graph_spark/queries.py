@@ -148,17 +148,24 @@ def q_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {NATION_EDGES_CTE.strip()},
 adj AS (
-    SELECT src AS id, list_sort(list(DISTINCT dst)) AS adjacent
+    SELECT src AS id,
+           array_to_string(list_sort(list(DISTINCT dst)), ',') AS adjacent
     FROM nation_sym GROUP BY src
 )
 SELECT CAST(n.n_nationkey AS BIGINT) AS id,
-       COALESCE(adj.adjacent, CAST([] AS BIGINT[])) AS adjacent
+       COALESCE(adj.adjacent, '') AS adjacent
 FROM nation n LEFT JOIN adj ON n.n_nationkey = adj.id
 """,
 )
 def q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency lists serialized to comma-joined strings: the driver's
+    pandas canonicalizer cannot factorize array columns, so both sides
+    emit scalar strings (sorted, deterministic)."""
     g = nation_graph(spark, sf_dir)
-    return g.adjacency.select(ID, F.col(ADJ).cast("array<long>").alias(ADJ))
+    return g.adjacency.select(
+        ID,
+        F.array_join(F.col(ADJ).cast("array<string>"), ",").alias(ADJ),
+    )
 
 
 @query(
@@ -414,13 +421,14 @@ def q_connected_components_pregel(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=f"""
 WITH {BIPARTITE_EDGES_CTE.strip()}
 SELECT CAST(2 AS BIGINT) AS start_id, e.dst AS end_id,
-       [CAST(2 AS BIGINT), e.dst] AS vertices
+       '2,' || CAST(e.dst AS VARCHAR) AS vertices
 FROM bipartite_edges e WHERE e.src = 2
 """,
 )
 def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BFS from customer #1 to any supplier (depth-1 paths with vertex
-    arrays; edge-id arrays projected out for oracle comparability)."""
+    """BFS from customer #1 to any supplier. Path vertex arrays are
+    serialized to comma-joined strings (the driver's pandas canonicalizer
+    cannot factorize array columns); edge-id arrays projected out."""
     from pyspark_graph_spark.operators import BreadthFirstSearch
 
     g = customer_supplier_graph(spark, sf_dir)
@@ -431,7 +439,9 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs.run(g).select(
         F.col("start").alias("start_id"),
         F.col("end").alias("end_id"),
-        "vertices",
+        F.array_join(F.col("vertices").cast("array<string>"), ",").alias(
+            "vertices"
+        ),
     )
 
 

@@ -126,6 +126,15 @@ def main(names: list[str] | None = None) -> int:
         t_duck = time.time() - t0
 
         problems = []
+        # The driver's canonicalizer pandas-sorts every column; list/dict
+        # values raise "unhashable type" there, so flag them here first.
+        for f in sdf.schema.fields:
+            if f.dataType.typeName() in ("array", "map", "struct"):
+                problems.append(
+                    f"driver-unsafe column {f.name!r}: "
+                    f"{f.dataType.simpleString()} cannot be pandas-sorted; "
+                    "serialize with array_join or explode to rows"
+                )
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
         else:
