@@ -43,13 +43,16 @@ def main() -> None:
         t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
-            n = df.count()
+            # noop sink materializes EVERY projected column; a bare count()
+            # would let Catalyst prune wide projections (md5 fingerprints,
+            # serialized adjacency) and under-measure those queries
+            df.write.format("noop").mode("overwrite").save()
         except Exception as e:  # one bad query must not lose the bench line
             errors.append(name)
             print(f"# {name}: ERROR {e}", file=sys.stderr)
             continue
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

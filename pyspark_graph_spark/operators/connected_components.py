@@ -12,9 +12,10 @@ Two implementations, as in the reference (connected_components.py:18-92):
   alternation of Kiveris et al., "Connected Components in MapReduce and
   Beyond" (SOCC'14). O(log n) rounds independent of diameter — this is the
   100 TB-scale implementation. Each round is two window aggregations +
-  dedup, checkpointed; convergence is a (sum, count) fixpoint probe on the
-  checkpointed edge list (labels only ever decrease, so an unchanged sum
-  implies a fixpoint).
+  dedup, checkpointed; convergence is a fingerprint probe on the
+  checkpointed edge list: ``bit_xor`` of per-row hashes plus a row count.
+  (A plain sum of 64-bit hash ids would overflow; XOR is the
+  overflow-free multiset fingerprint — do not "simplify" it back to sum.)
 
 Both return ``(id, component)`` where ``component`` is the minimum vertex id
 in the component; isolated vertices are their own component.

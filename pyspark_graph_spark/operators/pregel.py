@@ -158,6 +158,11 @@ class Pregel:
         state = state.localCheckpoint()
         changed = state  # every vertex is "changed" before round 1
 
+        # exposed after run(): False means the loop hit max_iterations with
+        # a non-empty changed frontier, i.e. the fixpoint was truncated.
+        # Callers whose correctness depends on full convergence (e.g. SCC
+        # floods) must check this.
+        self.converged = False
         for _ in range(self.max_iterations):
             agg = self._aggregate(
                 self._messages(edges_by_src, edges_by_dst, changed)
@@ -173,6 +178,7 @@ class Pregel:
                 .localCheckpoint()
             )
             if changed.isEmpty():
+                self.converged = True
                 break
             state = (
                 state.join(changed.select(ID), on=ID, how="anti")

@@ -55,7 +55,9 @@ class StronglyConnectedComponents:
             update_expr=F.greatest(F.col(STATE), F.col(MSG)),
             max_iterations=self.max_flood_iterations,
         )
-        return p.run(g).select(ID, F.col(STATE).alias("color"))
+        out = p.run(g).select(ID, F.col(STATE).alias("color"))
+        self._check_flood(p, "max-color")
+        return out
 
     def _backward_mark(
         self, colored: DataFrame, edges: DataFrame
@@ -80,11 +82,25 @@ class StronglyConnectedComponents:
             update_expr=F.greatest(F.col(STATE), F.col(MSG)),
             max_iterations=self.max_flood_iterations,
         )
-        return (
+        out = (
             p.run(g)
             .filter(F.col(STATE) == 1)
             .select(ID, "color")
         )
+        self._check_flood(p, "backward-mark")
+        return out
+
+    def _check_flood(self, p: Pregel, which: str) -> None:
+        """A truncated flood silently splits SCCs whose internal reachability
+        exceeds max_flood_iterations — the remainder gets a different label
+        in a later outer round, i.e. a WRONG final answer. Fail loudly."""
+        if not p.converged:
+            raise RuntimeError(
+                f"SCC {which} flood hit max_flood_iterations="
+                f"{self.max_flood_iterations} before converging; result "
+                "would be incorrect. Raise max_flood_iterations (needs to "
+                "cover the longest intra-SCC reachability chain)."
+            )
 
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, component)`` — component = max vertex id in the SCC."""

