@@ -26,14 +26,23 @@ SIMHASH = "simhash"
 HAMMING = "hamming"
 
 
-def simhash64(text: Column) -> Column:
+def simhash64(text: Column, token_hash=None) -> Column:
     """64-bit SimHash of the whitespace tokens of ``text``.
 
     Bit positions are unrolled with literal shift counts (Spark's
     shiftright takes a Python int, not a Column), so the per-token inner
     array is a fixed 64-element expression — still fully JVM-side.
+
+    ``token_hash`` (Column -> Column, default ``xxhash64``) supplies the
+    per-token 64-bit hash; pass ``functions.hashing.md5_hash60`` for a
+    fingerprint an external SQL engine can reproduce exactly (bits 60-63
+    are then always 0 — harmless: the per-bit vote sums go negative and
+    those fingerprint bits stay 0 on both sides).
     """
-    th = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    # note: F.xxhash64 itself can't be the HOF lambda (varargs signature
+    # rejected by transform's arity inspection) — wrap it
+    token_hash = token_hash or (lambda t: F.xxhash64(t))
+    th = F.transform(tokens(text), token_hash)
     bitsum = F.aggregate(
         th,
         F.array_repeat(F.lit(0), 64),
@@ -66,16 +75,18 @@ class SimHashDedup:
         max_hamming: int = 3,
         id_col: str = "doc_id",
         text_col: str = "text",
+        token_hash=None,
     ):
         self.max_hamming = max_hamming
         self.id_col = id_col
         self.text_col = text_col
+        self.token_hash = token_hash
         self.blocks = max_hamming + 1
 
     def fingerprints(self, docs: DataFrame) -> DataFrame:
         return docs.select(
             F.col(self.id_col).alias("id"),
-            simhash64(F.col(self.text_col)).alias(SIMHASH),
+            simhash64(F.col(self.text_col), self.token_hash).alias(SIMHASH),
         )
 
     def pairs(self, docs: DataFrame) -> DataFrame:

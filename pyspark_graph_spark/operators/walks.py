@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import ADJ, ID
+from pyspark_graph_spark.functions.hashing import md5_hash60_concat
 from pyspark_graph_spark.graph import Graph
 
 
@@ -32,12 +33,25 @@ class RandomWalks:
         length: int = 10,
         walks_per_vertex: int = 1,
         seed: int = 42,
+        hash_mode: str = "xxhash64",
     ):
         if length < 1:
             raise ValueError("length must be >= 1")
+        if hash_mode not in ("xxhash64", "md5"):
+            raise ValueError("hash_mode must be 'xxhash64' or 'md5'")
         self.length = length
         self.walks_per_vertex = walks_per_vertex
         self.seed = seed
+        # "md5" swaps the step-selection hash for the cross-engine
+        # md5-60-bit variant so an external SQL oracle can replay the
+        # exact same walks; xxhash64 stays the (faster) default.
+        self.hash_mode = hash_mode
+
+    def _h(self, *cols):
+        cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+        if self.hash_mode == "xxhash64":
+            return F.xxhash64(*cols)
+        return md5_hash60_concat(*cols)
 
     def run(self, g: Graph) -> DataFrame:
         """(walk_id, start, path array<long>) — one row per walk."""
@@ -48,7 +62,7 @@ class RandomWalks:
             F.sequence(F.lit(0), F.lit(self.walks_per_vertex - 1))
         ).alias("__w")
         active = starts.select(ID, idx).select(
-            F.xxhash64(ID, F.col("__w"), F.lit(self.seed)).alias("walk_id"),
+            self._h(ID, F.col("__w"), F.lit(self.seed)).alias("walk_id"),
             F.col(ID).alias("start"),
             F.col(ID).alias("__cur"),
             F.array(ID).alias("path"),
@@ -68,7 +82,7 @@ class RandomWalks:
             nxt = F.get(
                 F.col("__nbrs"),
                 F.pmod(
-                    F.xxhash64("walk_id", F.lit(step), F.lit(self.seed)),
+                    self._h("walk_id", F.lit(step), F.lit(self.seed)),
                     F.size("__nbrs"),
                 ).cast("int"),
             )

@@ -468,20 +468,101 @@ def q_aggregate_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return am.run(g)
 
 
-@query("label_propagation")  # iterative mode fixpoint: rows-only check
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled frontier label propagation mirroring Pregel semantics
+    exactly: round i's messages come only from vertices whose label CHANGED
+    in round i-1 (round 1: all); receivers adopt the deterministic mode
+    (highest count, ties -> smallest label); vertices with no messages keep
+    their label. MATERIALIZED per round (each CTE is referenced twice)."""
+    ctes = [
+        "l0 AS MATERIALIZED (SELECT CAST(s_suppkey AS BIGINT) AS id, "
+        "CAST(s_suppkey AS BIGINT) AS label FROM supplier)",
+        "ch0 AS MATERIALIZED (SELECT id, label FROM l0)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"m{i} AS (SELECT e.dst AS id, c.label "
+            f"FROM supplier_edges e JOIN ch{p} c ON e.src = c.id "
+            "UNION ALL "
+            f"SELECT e.src AS id, c.label "
+            f"FROM supplier_edges e JOIN ch{p} c ON e.dst = c.id)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT id, label FROM ("
+            "SELECT id, label, ROW_NUMBER() OVER "
+            "(PARTITION BY id ORDER BY n DESC, label ASC) AS rn "
+            f"FROM (SELECT id, label, COUNT(*) AS n FROM m{i} "
+            "GROUP BY id, label)) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS MATERIALIZED (SELECT l.id, "
+            "COALESCE(a.label, l.label) AS label "
+            f"FROM l{p} l LEFT JOIN a{i} a ON l.id = a.id)"
+        )
+        ctes.append(
+            f"ch{i} AS MATERIALIZED (SELECT l.id, l.label FROM l{i} l "
+            f"JOIN l{p} p ON l.id = p.id WHERE l.label <> p.label)"
+        )
+    return (
+        f"WITH {SUPPLIER_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, label FROM l{rounds}"
+    )
+
+
+@query("label_propagation", oracle=_lpa_sql(rounds=5))
 def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LPA, exact-oracled: the frontier semantics (changed
+    vertices message; mode with smallest-label ties; silent vertices keep
+    state) are unrolled round-for-round in SQL."""
     from pyspark_graph_spark.operators import LabelPropagation
 
     g = supplier_co_occurrence_graph(spark, sf_dir)
     return LabelPropagation(max_iterations=5).run(g)
 
 
-@query("wl_kernel")  # iterated hashing: rows-only check
+def _wl_sql(rounds: int) -> str:
+    """Unrolled WL relabeling with sha256 (the one 256-bit hash both Spark
+    and DuckDB expose with identical hex output). Seed label = undirected
+    distinct-neighbor degree as a string; per round each vertex's new label
+    is sha256(old || '|' || sha256(sorted neighbor labels joined by ','))."""
+    ctes = [
+        "w0 AS MATERIALIZED (SELECT CAST(n.n_nationkey AS BIGINT) AS id, "
+        "CAST(COALESCE(d.c, 0) AS VARCHAR) AS label "
+        "FROM nation n LEFT JOIN (SELECT src, COUNT(DISTINCT dst) AS c "
+        "FROM nation_sym GROUP BY src) d ON n.n_nationkey = d.src)"
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"w{i} AS MATERIALIZED (SELECT l.id, "
+            "CASE WHEN m.agg IS NULL THEN l.label "
+            "ELSE sha256(l.label || '|' || m.agg) END AS label "
+            f"FROM w{p} l LEFT JOIN ("
+            "SELECT e.src AS id, "
+            "sha256(array_to_string(list_sort(list(x.label)), ',')) AS agg "
+            f"FROM nation_sym e JOIN w{p} x ON e.dst = x.id "
+            "GROUP BY e.src) m ON l.id = m.id)"
+        )
+    return (
+        f"WITH {NATION_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + "\nSELECT sha256(array_to_string(list_sort(list(label)), ',')) "
+        f"AS graph_hash FROM w{rounds}"
+    )
+
+
+@query("wl_kernel", oracle=_wl_sql(rounds=3))
 def q_wl_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WL graph hash with sha256 as the pluggable hashfunc (cross-engine;
+    the operator's default stays sha1). The oracle replays all 3 relabeling
+    rounds and the final multiset hash in SQL — any divergence in sorting,
+    concatenation, or messaging breaks the single output value."""
     from pyspark_graph_spark.operators import WLKernel
 
     g = nation_graph(spark, sf_dir)
-    h = WLKernel().run(g)
+    h = WLKernel(hashfunc=lambda c: F.sha2(c, 256)).run(g)
     return spark.createDataFrame([(h,)], "graph_hash string")
 
 
@@ -623,13 +704,60 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MinHashLSH(n=3, num_hashes=64, bands=16, threshold=0.5).pairs(docs)
 
 
-@query("dedup_simhash")  # xxhash-based fingerprints: rows-only check
+def _simhash_sql() -> str:
+    """Full SimHash pipeline in SQL: per-token md5-60-bit hash, per-bit
+    ±1 vote sums, sign fingerprint, 4x16-bit pigeonhole blocks, block-join
+    candidates, exact bit_count(xor) verify. Bits 60-63 of the token hash
+    are structurally 0, so their vote sums are negative and those
+    fingerprint bits are 0 on both engines — the bit loop stops at 60."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql("tok")
+    return rf"""
+WITH {_TOKS_CTE.strip()},
+th AS MATERIALIZED (
+    SELECT doc_id, {h} AS h
+    FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)
+),
+bits AS MATERIALIZED (
+    SELECT doc_id, j,
+           CAST(SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS BIGINT) AS s
+    FROM th CROSS JOIN UNNEST(range(0, 60)) AS r(j)
+    GROUP BY doc_id, j
+),
+fp AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE 0 END) AS BIGINT) AS f
+    FROM bits GROUP BY doc_id
+),
+blocked AS MATERIALIZED (
+    SELECT doc_id, f, b, (f >> CAST(b * 16 AS INT)) & 65535 AS bv
+    FROM fp CROSS JOIN UNNEST([0, 1, 2, 3]) AS bb(b)
+)
+SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM blocked a
+JOIN blocked b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the cross-engine md5-60-bit token hash
+    (the operator's default stays xxhash64 — faster, same distribution).
+    The oracle recomputes fingerprints, blocking, and Hamming verify from
+    scratch in SQL, so every stage of the pipeline is value-checked."""
     from pyspark_graph_spark.dedup import SimHashDedup
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return SimHashDedup(max_hamming=3).pairs(docs)
+    return SimHashDedup(max_hamming=3, token_hash=md5_hash60).pairs(docs)
 
 
 @query(
@@ -1626,14 +1754,57 @@ def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("random_walks")  # hash-driven path selection: rows-only check
+def _walks_sql(length: int, seed: int) -> str:
+    """Replays the deterministic walks step-for-step: sorted distinct
+    adjacency, next vertex = nbrs[h60(walk_id, step, seed) % degree],
+    walks at neighborless vertices end early and keep their path."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    ctes = [
+        "bip_sym AS MATERIALIZED (SELECT src, dst FROM bipartite_edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM bipartite_edges)",
+        "adj AS MATERIALIZED (SELECT src AS id, "
+        "list_sort(list(DISTINCT dst)) AS nbrs FROM bip_sym GROUP BY src)",
+        "verts AS (SELECT CAST(c_custkey * 2 AS BIGINT) AS id FROM customer "
+        "UNION ALL SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) FROM supplier)",
+        "s1 AS MATERIALIZED (SELECT "
+        + md5_hash60_sql(f"CAST(id AS VARCHAR) || ',0,{seed}'")
+        + " AS walk_id, id AS start, id AS cur, "
+        "CAST(id AS VARCHAR) AS path FROM verts)",
+    ]
+    for t in range(1, length):
+        h = md5_hash60_sql(f"CAST(walk_id AS VARCHAR) || ',{t},{seed}'")
+        pick = f"nbrs[CAST({h} % len(nbrs) AS INT) + 1]"
+        ctes.append(
+            f"s{t+1} AS MATERIALIZED (SELECT walk_id, start, "
+            f"CASE WHEN nbrs IS NULL THEN NULL ELSE {pick} END AS cur, "
+            "CASE WHEN nbrs IS NULL THEN path "
+            f"ELSE path || ',' || CAST({pick} AS VARCHAR) END AS path "
+            f"FROM (SELECT p.walk_id, p.start, p.path, a.nbrs "
+            f"FROM s{t} p LEFT JOIN adj a ON p.cur = a.id))"
+        )
+    return (
+        f"WITH {BIPARTITE_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT walk_id, start, path FROM s{length}"
+    )
+
+
+@query("random_walks", oracle=_walks_sql(length=8, seed=42))
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic node2vec-style walk corpus over the undirected
-    customer-supplier graph (validity + determinism property-tested)."""
+    customer-supplier graph, in cross-engine md5 hash mode so the oracle
+    replays every step; paths serialized to comma-joined strings (the
+    checker cannot canonicalize arrays)."""
     from pyspark_graph_spark.operators import RandomWalks
 
     g = customer_supplier_graph(spark, sf_dir, directed=False)
-    return RandomWalks(length=8, walks_per_vertex=1).run(g)
+    out = RandomWalks(length=8, walks_per_vertex=1, hash_mode="md5").run(g)
+    return out.select(
+        "walk_id",
+        "start",
+        F.array_join(F.col("path").cast("array<string>"), ",").alias("path"),
+    )
 
 
 @query(
