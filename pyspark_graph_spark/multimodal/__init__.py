@@ -1,6 +1,7 @@
 from pyspark_graph_spark.multimodal.binary_ops import (
     MEDIA_SCHEMA,
     attach_fake_media,
+    attach_pgm_media,
     decode_images,
     frame_sample,
     image_stats,
@@ -10,6 +11,7 @@ from pyspark_graph_spark.multimodal.binary_ops import (
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
+    "attach_pgm_media",
     "decode_images",
     "frame_sample",
     "image_stats",

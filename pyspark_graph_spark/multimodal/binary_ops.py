@@ -1,11 +1,13 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested: schema contracts, Arrow-batched
-``mapInPandas`` operators, partition sizing notes. The codec step itself is
-STUBBED — image/audio libraries are not in this container — behind an
-import-guard: with a real decoder installed (``pillow``), ``decode_images``
-uses it; without one, the deterministic fake decoder synthesizes pixel
-arrays from the bytes so the pipeline shape is end-to-end executable.
+``mapInPandas`` operators, partition sizing notes. Real decoding is
+implemented in pure NumPy for the uncompressed formats (PNM ``P5``/``P6``
+and 24-bit BI_RGB ``BMP`` — header parse + payload reshape, no image
+library needed); compressed formats (png/jpeg/...) route to ``pillow`` when
+installed and raise a clear ``NotImplementedError`` otherwise (this
+container has no codec libraries). The deterministic ``fake`` format keeps
+the pipeline executable with arbitrary bytes.
 
 Design rules for 100 TB media processing encoded here:
 
@@ -21,6 +23,7 @@ Design rules for 100 TB media processing encoded here:
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import numpy as np
@@ -83,11 +86,146 @@ def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def attach_pgm_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL binary PGM (``P5``) images entirely JVM-side: header
+    ``P5\\n<w> <h>\\n255\\n`` followed by a ``w*h`` byte payload where byte
+    ``k`` is ``(id + k) % 256`` — built with ``sequence``/``transform``/
+    ``unhex`` so ingestion needs no Python, and the downstream decode is a
+    genuine header-parse + reshape of a standards-conforming stream whose
+    features an integer-only SQL oracle can recompute."""
+    i = F.col(id_col).cast("long")
+    w = (F.pmod(i, F.lit(48)) + 16).cast("int")
+    h = (F.pmod(i, F.lit(32)) + 16).cast("int")
+    header = F.encode(
+        F.concat(
+            F.lit("P5\n"),
+            w.cast("string"),
+            F.lit(" "),
+            h.cast("string"),
+            F.lit("\n255\n"),
+        ),
+        "UTF-8",
+    )
+    payload = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), (w * h).cast("long") - 1),
+                lambda k: F.lpad(F.hex(F.pmod(i + k, F.lit(256))), 2, "0"),
+            ),
+            "",
+        )
+    )
+    return df.select(
+        i.alias("media_id"),
+        F.concat(header, payload).alias("media"),
+        F.struct(
+            F.lit("pgm").alias("format"),
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(media: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic pseudo-pixels from the bytes (no codec needed)."""
     raw = np.frombuffer(media, dtype=np.uint8)
     reps = int(np.ceil(width * height / max(len(raw), 1)))
     return np.tile(raw, reps)[: width * height].reshape(height, width)
+
+
+_PNM_HEADER = re.compile(
+    rb"^(P[56])[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]"
+)
+
+
+def _decode_pnm(media: bytes) -> np.ndarray:
+    """Real decode of binary PNM (``P5`` graymap / ``P6`` pixmap): parse the
+    ASCII header for magic, width, height, maxval, then reshape the raw
+    payload. Dimensions come from the BYTES, not the metadata. Returns a
+    2-D int64 intensity array (P6 intensity = integer mean of R,G,B)."""
+    m = _PNM_HEADER.match(media)
+    if not m:
+        raise ValueError("not a binary PNM (P5/P6) stream")
+    magic, w, h, maxval = (
+        m.group(1),
+        int(m.group(2)),
+        int(m.group(3)),
+        int(m.group(4)),
+    )
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    payload = media[m.end() :]
+    if magic == b"P5":
+        if len(payload) < w * h:
+            raise ValueError("truncated P5 payload")
+        return (
+            np.frombuffer(payload[: w * h], dtype=np.uint8)
+            .reshape(h, w)
+            .astype(np.int64)
+        )
+    if len(payload) < w * h * 3:
+        raise ValueError("truncated P6 payload")
+    rgb = (
+        np.frombuffer(payload[: w * h * 3], dtype=np.uint8)
+        .reshape(h, w, 3)
+        .astype(np.int64)
+    )
+    return rgb.sum(axis=2) // 3
+
+
+def _decode_bmp(media: bytes) -> np.ndarray:
+    """Real decode of uncompressed 24-bit BI_RGB BMP: little-endian header
+    fields, bottom-up rows padded to 4-byte boundaries. Returns a 2-D
+    int64 intensity array (integer mean of R,G,B), top-down."""
+    if media[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    offset = int.from_bytes(media[10:14], "little")
+    w = int.from_bytes(media[18:22], "little", signed=True)
+    h = int.from_bytes(media[22:26], "little", signed=True)
+    bpp = int.from_bytes(media[28:30], "little")
+    compression = int.from_bytes(media[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    if len(media) < offset + stride * h:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(
+        media[offset : offset + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3]
+    bgr = rows.reshape(h, w, 3).astype(np.int64)
+    if bottom_up:
+        bgr = bgr[::-1]
+    return bgr.sum(axis=2) // 3
+
+
+def _decode_any(media: bytes, meta) -> np.ndarray:
+    """Sniff the container from the leading bytes; fall back to the fake
+    codec only when the metadata explicitly says so."""
+    head = bytes(media[:2])
+    if head in (b"P5", b"P6"):
+        return _decode_pnm(media)
+    if head == b"BM":
+        return _decode_bmp(media)
+    if meta["format"] == "fake":
+        return _fake_decode(media, meta["width"], meta["height"])
+    if _PIL_Image is not None:  # pragma: no cover - pillow not in container
+        import io
+
+        return (
+            np.asarray(_PIL_Image.open(io.BytesIO(media)).convert("L"))
+            .astype(np.int64)
+        )
+    raise NotImplementedError(
+        f"decoding format {meta['format']!r} requires an image codec "
+        "(pillow) which is not installed; built-in support covers "
+        "PNM (P5/P6), 24-bit BMP, and 'fake'"
+    )
 
 
 def decode_images(media_df: DataFrame) -> DataFrame:
@@ -102,21 +240,17 @@ def decode_images(media_df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                meta = row.meta
-                fmt, w, h = meta["format"], meta["width"], meta["height"]
-                if fmt == "fake":
-                    px = _fake_decode(bytes(row.media), w, h)
-                elif _PIL_Image is not None:
-                    raise NotImplementedError(
-                        "real codec path not exercised in this container"
-                    )
-                else:
-                    raise NotImplementedError(
-                        f"decoding format {fmt!r} requires an image codec "
-                        "(pillow) which is not installed"
-                    )
+                px = _decode_any(bytes(row.media), row.meta)
+                # integer mean (sum // size): exact, overflow-free, and
+                # reproducible by integer-only external oracles — float
+                # means can round across an integer boundary
                 out.append(
-                    (row.media_id, px.shape[1], px.shape[0], int(px.mean()))
+                    (
+                        row.media_id,
+                        px.shape[1],
+                        px.shape[0],
+                        int(px.sum()) // px.size,
+                    )
                 )
             yield pd.DataFrame(
                 out, columns=[f.name for f in _DECODED_FIELDS]
@@ -146,14 +280,7 @@ def resize_images(media_df: DataFrame, target: int = 16) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
-                meta = row.meta
-                if meta["format"] != "fake":
-                    raise NotImplementedError(
-                        "real codec path requires pillow (not installed)"
-                    )
-                px = _fake_decode(
-                    bytes(row.media), meta["width"], meta["height"]
-                )
+                px = _decode_any(bytes(row.media), row.meta)
                 ph = (px.shape[0] // target) * target
                 pw = (px.shape[1] // target) * target
                 small = (

@@ -984,6 +984,35 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_decode_pgm",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(doc_id % 48 + 16 AS INT) AS width,
+       CAST(doc_id % 32 + 16 AS INT) AS height,
+       CAST(list_sum(list_transform(
+                range(0, (doc_id % 48 + 16) * (doc_id % 32 + 16)),
+                k -> (doc_id + k) % 256))
+            // ((doc_id % 48 + 16) * (doc_id % 32 + 16)) AS BIGINT)
+         AS mean_intensity
+FROM documents
+""",
+)
+def q_multimodal_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: standards-conforming binary PGM (P5)
+    streams are synthesized JVM-side from doc ids, then the pure-NumPy
+    decoder parses each header and payload inside Arrow-batched
+    mapInPandas. Width/height come from the parsed bytes and the payload
+    is ``(id + k) % 256``, so the oracle recomputes every feature with
+    integer arithmetic — a wrong header parse, stride, or mean shows up as
+    a value mismatch."""
+    from pyspark_graph_spark.multimodal import attach_pgm_media, decode_images
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_pgm_media(docs, "doc_id"))
+
+
+@query(
     "pagerank",
     oracle=f"""
 WITH {NATION_EDGES_CTE.strip()},

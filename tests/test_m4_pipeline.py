@@ -324,6 +324,62 @@ def test_frame_sample(spark):
     assert all(r["frame_idx"] == 0 for r in out)
 
 
+def test_decode_pnm_real_bytes():
+    from pyspark_graph_spark.multimodal.binary_ops import _decode_pnm
+
+    p5 = b"P5\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    px = _decode_pnm(p5)
+    assert px.shape == (2, 3)
+    assert px.tolist() == [[10, 20, 30], [40, 50, 60]]
+
+    p6 = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+    px = _decode_pnm(p6)
+    assert px.shape == (1, 2)
+    assert px.tolist() == [[85, 85]]  # integer mean of RGB
+
+    with pytest.raises(ValueError):
+        _decode_pnm(b"JFIF not a pnm")
+    with pytest.raises(ValueError):
+        _decode_pnm(b"P5\n4 4\n255\n" + bytes(3))  # truncated
+
+
+def test_decode_bmp_real_bytes():
+    import struct
+
+    from pyspark_graph_spark.multimodal.binary_ops import _decode_bmp
+
+    w, h, stride = 2, 2, 8  # stride = 2*3 rounded up to 4 bytes
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + stride * h, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    # bottom-up storage: first stored row is the BOTTOM image row
+    bottom = bytes([0, 0, 0, 0, 0, 0, 0, 0])
+    top = bytes([255, 255, 255, 0, 0, 0, 0, 0])
+    px = _decode_bmp(header + bottom + top)
+    assert px.shape == (2, 2)
+    assert px.tolist() == [[255, 0], [0, 0]]  # top-left white, rest black
+
+    with pytest.raises(ValueError):
+        _decode_bmp(b"XX junk")
+
+
+def test_attach_pgm_media_decode_end_to_end(spark):
+    from pyspark_graph_spark.multimodal import attach_pgm_media
+
+    ids = [0, 1, 5]
+    base = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = {
+        r["media_id"]: r
+        for r in decode_images(attach_pgm_media(base, "doc_id")).collect()
+    }
+    for i in ids:
+        w, h = i % 48 + 16, i % 32 + 16
+        n = w * h
+        expect_mean = sum((i + k) % 256 for k in range(n)) // n
+        assert out[i]["width"] == w and out[i]["height"] == h
+        assert out[i]["mean_intensity"] == expect_mean
+
+
 def test_streaming_exact_dedup_batch_and_stream(spark, sf_dir, tmp_path):
     from pyspark_graph_spark.streaming import streaming_exact_dedup
 
