@@ -10,6 +10,12 @@ with the pattern language of GraphFrames' public ``find`` API:
   terms cannot name edges and cannot introduce new vertices
 - result: one struct column per named vertex/edge variable carrying the
   full vertex/edge row (filter on fields like ``F.col("a.id")``)
+- ``vertex_filters={"a": predicate}`` — per-variable vertex predicates
+  applied BEFORE the edge joins (semi-joins on the edge legs), not after
+  the full motif is enumerated. Selective vertex predicates filtered
+  post-``find`` otherwise sit above the wedge/path joins — Catalyst pushes
+  them into the vertex *scan* but does not reorder them below the motif's
+  self-joins, so the join still enumerates every candidate first.
 
 Everything compiles to joins/anti-joins over the edge and vertex tables —
 Catalyst reorders the join tree; no interpretation at runtime.
@@ -19,7 +25,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
@@ -46,10 +52,20 @@ def _parse(pattern: str):
     return terms
 
 
-def find(g: Graph, pattern: str) -> DataFrame:
+def find(
+    g: Graph,
+    pattern: str,
+    vertex_filters: dict[str, Column] | None = None,
+) -> DataFrame:
     """Match the motif ``pattern``; returns one struct column per named
-    variable."""
+    variable. ``vertex_filters`` maps vertex variable names to predicates
+    over the vertex columns, enforced *before* the motif joins."""
     terms = _parse(pattern)
+    vertex_filters = vertex_filters or {}
+    allowed = {
+        v: g.vertices.filter(pred).select(ID)
+        for v, pred in vertex_filters.items()
+    }
 
     edge_struct = F.struct(*[F.col(c) for c in g.edges.columns])
     anon = 0
@@ -81,7 +97,17 @@ def find(g: Graph, pattern: str) -> DataFrame:
                 raise ValueError(f"edge variable {edge_v!r} bound twice")
             edge_vars.append(edge_v)
             cols.append(edge_struct.alias(edge_v))
-        pos_frames.append(g.edges.select(cols))
+        frame = g.edges.select(cols)
+        # pushdown: shrink this edge leg to filtered endpoints before any
+        # motif join (the allowed set is usually small -> AQE broadcasts)
+        for v in (src_v, dst_v):
+            if v in allowed:
+                frame = frame.join(
+                    allowed[v].withColumnRenamed(ID, f"__v_{v}"),
+                    on=f"__v_{v}",
+                    how="semi",
+                )
+        pos_frames.append(frame)
         for v in (src_v, dst_v):
             if v not in vertex_vars:
                 vertex_vars.append(v)
@@ -108,15 +134,24 @@ def find(g: Graph, pattern: str) -> DataFrame:
             neg_df, on=[f"__v_{src_v}", f"__v_{dst_v}"], how="anti"
         )
 
+    unknown = set(vertex_filters) - {
+        v for v in vertex_vars if not v.startswith("__anon")
+    }
+    if unknown:
+        raise ValueError(
+            f"vertex_filters name unbound variables: {sorted(unknown)}"
+        )
+
     # attach full vertex rows as structs for named vertex variables
     vertex_struct = F.struct(*[F.col(c) for c in g.vertices.columns])
     out_cols = []
     for v in vertex_vars:
         if v.startswith("__anon"):
             continue
-        vs = g.vertices.select(
-            F.col(ID).alias(f"__v_{v}"), vertex_struct.alias(v)
-        )
+        base = g.vertices
+        if v in vertex_filters:
+            base = base.filter(vertex_filters[v])
+        vs = base.select(F.col(ID).alias(f"__v_{v}"), vertex_struct.alias(v))
         result = result.join(vs, on=f"__v_{v}")
         out_cols.append(v)
     out_cols.extend(edge_vars)

@@ -1497,15 +1497,22 @@ JOIN supplier sup
 )
 def q_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphFrames-style motif string on the bipartite graph: customer
-    pairs sharing a nation-0 supplier, with struct-field filters."""
+    pairs sharing a nation-0 supplier. The selective vertex predicate
+    rides in via vertex_filters so each edge leg is semi-joined down to
+    nation-0 suppliers BEFORE the wedge self-join enumerates pairs (a
+    post-find filter would sit above the join: Catalyst pushes it into
+    the vertex scan but not below the motif's self-join). Cross-variable
+    predicates (c1.id < c2.id) stay post-find by necessity."""
     from pyspark_graph_spark.motif import find
 
     g = customer_supplier_graph(spark, sf_dir)
-    out = find(g, "(c1)-[]->(s); (c2)-[]->(s)").filter(
-        (F.col("c1.id") < F.col("c2.id"))
-        & (F.col("s.kind") == "supplier")
-        & (F.col("s.nationkey") == 0)
-    )
+    out = find(
+        g,
+        "(c1)-[]->(s); (c2)-[]->(s)",
+        vertex_filters={
+            "s": (F.col("kind") == "supplier") & (F.col("nationkey") == 0)
+        },
+    ).filter(F.col("c1.id") < F.col("c2.id"))
     return out.select(
         F.col("c1.id").alias("c1"),
         F.col("c2.id").alias("c2"),

@@ -74,3 +74,25 @@ def test_parse_errors(spark):
         find(g, "(a)-[]->(b); !(a)-[]->(zz)")  # unbound var in negation
     with pytest.raises(ValueError):
         find(g, "(a)-[e]->(b); (b)-[e]->(c)")  # edge var bound twice
+
+
+def test_vertex_filters_pushdown_equivalence(spark):
+    g = labelled(spark)
+    pushed = find(
+        g,
+        "(a)-[]->(b); (c)-[]->(b)",
+        vertex_filters={"b": F.col("label") == "d"},
+    )
+    post = find(g, "(a)-[]->(b); (c)-[]->(b)").filter(
+        F.col("b.label") == "d"
+    )
+    key = lambda r: (r["a"]["id"], r["b"]["id"], r["c"]["id"])
+    assert sorted(map(key, pushed.collect())) == sorted(
+        map(key, post.collect())
+    )
+
+
+def test_vertex_filters_unknown_var(spark):
+    g = labelled(spark)
+    with pytest.raises(ValueError):
+        find(g, "(a)-[]->(b)", vertex_filters={"zz": F.col("label") == "d"})
