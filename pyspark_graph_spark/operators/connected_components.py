@@ -34,10 +34,16 @@ COMPONENT = "component"
 
 
 class ConnectedComponents:
-    """Weakly connected components via Pregel min-label propagation."""
+    """Weakly connected components via Pregel min-label propagation.
 
-    def __init__(self, max_iterations: int = 20):
+    ``salt_buckets`` passes through to Pregel's skew-salted message join
+    (use on power-law graphs where hub vertices dominate a partition)."""
+
+    def __init__(
+        self, max_iterations: int = 20, salt_buckets: int | None = None
+    ):
         self.max_iterations = max_iterations
+        self.salt_buckets = salt_buckets
 
     def run(self, g: Graph) -> DataFrame:
         # slim the state to (id, state): vertex attributes would otherwise
@@ -52,6 +58,7 @@ class ConnectedComponents:
             msg_to_src=F.col(STATE),  # always both ways: weak components
             update_expr=F.least(F.col(STATE), F.col(MSG)),
             max_iterations=self.max_iterations,
+            salt_buckets=self.salt_buckets,
         )
         return pregel.run(slim).select(ID, F.col(STATE).alias(COMPONENT))
 

@@ -68,6 +68,15 @@ class Pregel:
     max_iterations : int
     include_all_in_first_round : bool
         Seed the frontier with every vertex (reference behavior).
+    salt_buckets : int | None
+        Skew hardening for power-law graphs: a hub sender's edges all hash
+        to one partition of the per-superstep message join. With salting,
+        each edge carries a salt derived from its *other* endpoint and the
+        (small, changing) sender side explodes to every salt, so a hub's
+        edge rows spread across ``salt_buckets`` partitions. Messages are
+        unchanged (each edge still matches exactly one sender replica) —
+        property-tested. Cost: sender state replicated ``salt_buckets``×;
+        leave ``None`` unless the degree distribution is heavy-tailed.
     """
 
     def __init__(
@@ -80,6 +89,7 @@ class Pregel:
         comparison: Callable[[Column, Column], Column] = ne_null_safe,
         max_iterations: int = 10,
         carry_columns: list[str] | None = None,
+        salt_buckets: int | None = None,
     ):
         if msg_to_dst is None and msg_to_src is None:
             raise ValueError("at least one of msg_to_dst/msg_to_src required")
@@ -95,6 +105,9 @@ class Pregel:
         # initial_state should NOT ride through every per-round shuffle —
         # pass carry_columns=[] to shed them after initialization.
         self.carry_columns = carry_columns
+        if salt_buckets is not None and salt_buckets < 2:
+            raise ValueError("salt_buckets must be >= 2 (or None)")
+        self.salt_buckets = salt_buckets
 
     # -- messaging ----------------------------------------------------------
 
@@ -112,16 +125,33 @@ class Pregel:
         frames arrive pre-partitioned on their join key (see ``run``), so
         only the (smaller, changing) sender side shuffles per round.
         """
+        if self.salt_buckets:
+            senders = senders.withColumn(
+                "__ssalt",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(self.salt_buckets - 1))
+                ),
+            )
+
+        def join_on(edges, key):
+            cond = edges[key] == senders[ID]
+            if self.salt_buckets:
+                return edges.join(
+                    senders,
+                    on=[cond, edges["__salt"] == senders["__ssalt"]],
+                )
+            return edges.join(senders, on=cond)
+
         msgs = []
         if self.msg_to_dst is not None:
             edges = edges_by_src
-            ctx = edges.join(senders, on=edges[SRC] == senders[ID])
+            ctx = join_on(edges, SRC)
             msgs.append(
                 ctx.select(edges[DST].alias(ID), self.msg_to_dst.alias(MSG))
             )
         if self.msg_to_src is not None:
             edges = edges_by_dst
-            ctx = edges.join(senders, on=edges[DST] == senders[ID])
+            ctx = join_on(edges, DST)
             msgs.append(
                 ctx.select(edges[SRC].alias(ID), self.msg_to_src.alias(MSG))
             )
@@ -141,16 +171,28 @@ class Pregel:
         """Returns the vertex table with a final ``state`` column."""
         # materialize the static edge side once per message direction,
         # hash-partitioned on its join key: the per-superstep message join
-        # then shuffles only the sender state, not the (bigger) edge table
+        # then shuffles only the sender state, not the (bigger) edge table.
+        # With salting, the salt (derived from the OTHER endpoint, so a
+        # hub's edges spread) joins the partitioning key.
+        def prep(key, other):
+            e = g.edges
+            if self.salt_buckets:
+                e = e.withColumn(
+                    "__salt",
+                    F.pmod(
+                        F.xxhash64(F.col(other)), F.lit(self.salt_buckets)
+                    ),
+                )
+                return e.repartition(
+                    F.col(key), F.col("__salt")
+                ).localCheckpoint()
+            return e.repartition(F.col(key)).localCheckpoint()
+
         edges_by_src = (
-            g.edges.repartition(F.col(SRC)).localCheckpoint()
-            if self.msg_to_dst is not None
-            else None
+            prep(SRC, DST) if self.msg_to_dst is not None else None
         )
         edges_by_dst = (
-            g.edges.repartition(F.col(DST)).localCheckpoint()
-            if self.msg_to_src is not None
-            else None
+            prep(DST, SRC) if self.msg_to_src is not None else None
         )
         state = g.vertices.withColumn(STATE, self.initial_state)
         if self.carry_columns is not None:

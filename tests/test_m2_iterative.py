@@ -44,6 +44,38 @@ def test_pregel_requires_message_expr(spark):
         Pregel(initial_state=F.col(ID), agg_expr=F.min(MSG))
 
 
+def test_pregel_salted_matches_unsalted(spark):
+    """Skew salting must be a pure physical rewrite: identical messages,
+    identical fixpoint, on a hub-shaped graph (vertex 0 sends to all)."""
+    v = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    hub = [(0, i) for i in range(1, 12)] + [(5, 6), (7, 8)]
+    e = spark.createDataFrame(hub, "src long, dst long")
+    g = Graph(v, e, directed=False, indexed=True)
+
+    def run(salt):
+        p = Pregel(
+            initial_state=F.col(ID),
+            agg_expr=F.min(MSG),
+            msg_to_dst=F.col(STATE),
+            msg_to_src=F.col(STATE),
+            update_expr=F.least(F.col(STATE), F.col(MSG)),
+            salt_buckets=salt,
+        )
+        return {r[ID]: r[STATE] for r in p.run(g).collect()}
+
+    assert run(None) == run(4)
+
+
+def test_pregel_salt_buckets_validation(spark):
+    with pytest.raises(ValueError):
+        Pregel(
+            initial_state=F.col(ID),
+            agg_expr=F.min(MSG),
+            msg_to_dst=F.col(STATE),
+            salt_buckets=1,
+        )
+
+
 def test_pregel_max_iterations_caps_rounds(spark):
     # chain 0-1-2-3-4-5: min label needs 5 rounds; cap at 1 leaves partial
     v = spark.createDataFrame([(i,) for i in range(6)], ["id"])
