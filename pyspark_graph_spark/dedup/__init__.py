@@ -1,6 +1,13 @@
+from pyspark_graph_spark.dedup.embedding import EmbeddingDedup
 from pyspark_graph_spark.dedup.exact import ExactDedup
 from pyspark_graph_spark.dedup.minhash import MinHashLSH
 from pyspark_graph_spark.dedup.ngram import NgramJaccardDedup
 from pyspark_graph_spark.dedup.simhash import SimHashDedup
 
-__all__ = ["ExactDedup", "MinHashLSH", "NgramJaccardDedup", "SimHashDedup"]
+__all__ = [
+    "EmbeddingDedup",
+    "ExactDedup",
+    "MinHashLSH",
+    "NgramJaccardDedup",
+    "SimHashDedup",
+]

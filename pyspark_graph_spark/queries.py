@@ -745,6 +745,39 @@ WHERE bit_count(xor(a.f, b.f)) <= 3
 """
 
 
+@query(
+    "dedup_embedding",
+    oracle="""
+WITH n AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+)
+SELECT src, dst, cosine_sim FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+WHERE cosine_sim >= 0.4
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup), brute strategy —
+    the exact all-pairs oracle twin of the LSH scale path (whose candidate
+    recall is covered in tests; these synthetic uniform embeddings have no
+    planted near-dups, so the threshold sits in the distribution tail)."""
+    from pyspark_graph_spark.dedup import EmbeddingDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return EmbeddingDedup(threshold=0.4, strategy="brute").pairs(emb)
+
+
 @query("dedup_simhash", oracle=_simhash_sql())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with the cross-engine md5-60-bit token hash

@@ -324,6 +324,63 @@ def test_frame_sample(spark):
     assert all(r["frame_idx"] == 0 for r in out)
 
 
+def test_embedding_dedup_brute_finds_planted_pair(spark):
+    from pyspark_graph_spark.dedup import EmbeddingDedup
+
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    near = [x + rng.gauss(0, 0.01) for x in base]  # cosine ~ 1
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(2, 30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = EmbeddingDedup(threshold=0.95, strategy="brute").pairs(df).collect()
+    assert [(r["src"], r["dst"]) for r in out] == [(0, 1)]
+    assert out[0]["cosine_sim"] > 0.99
+
+
+def test_embedding_dedup_lsh_matches_brute(spark):
+    """The LSH path must emit a SUBSET of the brute pairs (exact verify ->
+    precision 1.0) and, at a high threshold where collisions are near
+    certain, the same set."""
+    from pyspark_graph_spark.dedup import EmbeddingDedup
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(20):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, [x + rng.gauss(0, 0.01) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {
+        (r["src"], r["dst"])
+        for r in EmbeddingDedup(threshold=0.95, strategy="brute")
+        .pairs(df)
+        .collect()
+    }
+    lsh = {
+        (r["src"], r["dst"])
+        for r in EmbeddingDedup(threshold=0.95, strategy="lsh", dim=16)
+        .pairs(df)
+        .collect()
+    }
+    assert lsh <= brute
+    assert lsh == brute  # near-identical vectors collide in every table
+
+
+def test_embedding_dedup_validation(spark):
+    from pyspark_graph_spark.dedup import EmbeddingDedup
+
+    with pytest.raises(ValueError):
+        EmbeddingDedup(strategy="nope")
+    with pytest.raises(ValueError):
+        EmbeddingDedup(strategy="lsh")  # dim required
+
+
 def test_decode_pnm_real_bytes():
     from pyspark_graph_spark.multimodal.binary_ops import _decode_pnm
 
