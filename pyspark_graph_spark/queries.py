@@ -1699,16 +1699,97 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("betweenness")  # Brandes dependency accumulation: rows-only check
+def _betweenness_sql(sources: list[int], max_depth: int) -> str:
+    """Unrolled batched Brandes: forward BFS levels carry (source, vertex,
+    sigma); the backward sweep accumulates delta(v) = Σ_w σv/σw·(1+δw)
+    over depth-(d+1) successors, level by level. Levels beyond the true
+    eccentricity are empty frames and contribute nothing, so a fixed
+    unroll equals the operator's dynamic loop."""
+    D = max_depth
+    src_rows = " UNION ALL ".join(
+        f"SELECT CAST({s} AS BIGINT) AS s" for s in sources
+    )
+    ctes = [
+        "bip_sym AS MATERIALIZED (SELECT src, dst FROM bipartite_edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM bipartite_edges)",
+        f"srcs AS ({src_rows})",
+        "f0 AS MATERIALIZED (SELECT s, s AS v, CAST(1.0 AS DOUBLE) AS sigma "
+        "FROM srcs)",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for d in range(1, D + 1):
+        p = d - 1
+        ctes.append(
+            f"f{d} AS MATERIALIZED (SELECT x.s, x.v, x.sigma FROM ("
+            f"SELECT f.s, e.dst AS v, SUM(f.sigma) AS sigma "
+            f"FROM f{p} f JOIN bip_sym e ON f.v = e.src "
+            "GROUP BY f.s, e.dst) x "
+            f"LEFT JOIN vis{p} vi ON x.s = vi.s AND x.v = vi.v "
+            "WHERE vi.v IS NULL)"
+        )
+        ctes.append(
+            f"vis{d} AS MATERIALIZED (SELECT s, v FROM vis{p} "
+            f"UNION ALL SELECT s, v FROM f{d})"
+        )
+    ctes.append(
+        f"dl{D} AS MATERIALIZED (SELECT s, v, CAST(0.0 AS DOUBLE) AS delta "
+        f"FROM f{D})"
+    )
+    for d in range(D - 1, -1, -1):
+        u = d + 1
+        ctes.append(
+            f"contrib{d} AS MATERIALIZED ("
+            "SELECT f.s, f.v, "
+            "SUM(f.sigma / up.sigma * (1.0 + up.delta)) AS delta "
+            f"FROM f{d} f JOIN bip_sym e ON f.v = e.src "
+            f"JOIN (SELECT fu.s, fu.v AS w, fu.sigma, dl.delta "
+            f"      FROM f{u} fu JOIN dl{u} dl "
+            "       ON fu.s = dl.s AND fu.v = dl.v) up "
+            "  ON up.s = f.s AND up.w = e.dst "
+            "GROUP BY f.s, f.v)"
+        )
+        ctes.append(
+            f"dl{d} AS MATERIALIZED (SELECT f.s, f.v, "
+            "COALESCE(c.delta, 0.0) AS delta "
+            f"FROM f{d} f LEFT JOIN contrib{d} c "
+            "ON f.s = c.s AND f.v = c.v)"
+        )
+    all_deltas = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM dl{d}" for d in range(D + 1)
+    )
+    ctes.append(f"alld AS MATERIALIZED ({all_deltas})")
+    ctes.append(
+        "scores AS (SELECT v, SUM(delta) AS b FROM alld "
+        "WHERE s <> v GROUP BY v)"
+    )
+    ctes.append(
+        "verts AS (SELECT CAST(c_custkey * 2 AS BIGINT) AS id FROM customer "
+        "UNION ALL SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) FROM supplier)"
+    )
+    return (
+        f"WITH {BIPARTITE_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + "\nSELECT verts.id, ROUND(COALESCE(scores.b, 0.0), 6) "
+        "AS betweenness "
+        "FROM verts LEFT JOIN scores ON verts.id = scores.v"
+    )
+
+
+@query("betweenness", oracle=_betweenness_sql([3, 5, 7, 9], max_depth=12))
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-sampled betweenness centrality on the undirected
-    customer-supplier graph (4 supplier sources). Exactness of the
-    two-sweep formulation is property-tested against python Brandes with
-    all-vertex sources (tests/test_property.py)."""
+    customer-supplier graph (4 supplier sources), exact-oracled: the SQL
+    replays both Brandes sweeps level by level. Values rounded to 6
+    decimals on both sides (delta accumulation order differs between
+    engines only at ~1e-12 relative). Also property-tested against python
+    Brandes with all-vertex sources (tests/test_property.py)."""
     from pyspark_graph_spark.operators import BetweennessCentrality
 
     g = customer_supplier_graph(spark, sf_dir, directed=False)
-    return BetweennessCentrality([3, 5, 7, 9], max_depth=12).run(g)
+    out = BetweennessCentrality([3, 5, 7, 9], max_depth=12).run(g)
+    return out.select(
+        ID, F.round("betweenness", 6).alias("betweenness")
+    )
 
 
 @query(
