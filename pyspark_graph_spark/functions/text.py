@@ -73,6 +73,96 @@ def content_fingerprint(c: Column) -> Column:
     return F.md5(normalized_text(c))
 
 
+# BPE-ish piece pattern: letter runs, single digits, single non-space
+# symbols — the common shape LLM tokenizers produce. Kept to the
+# Java-regex/RE2 common subset so the SQL oracle matches byte-for-byte.
+BPE_PIECE_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def subword_token_count(c: Column) -> Column:
+    """BPE-ish token count (the LLM-budget estimate, vs whitespace words):
+    letter runs cost ceil(len/4) tokens (~4 chars per merged subword),
+    digits and symbols one each. Pure built-in expressions."""
+    pieces = F.regexp_extract_all(
+        F.lower(c), F.lit(BPE_PIECE_PATTERN), F.lit(0)
+    )
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            p.rlike("^[a-z]"), F.ceil(F.length(p) / F.lit(4.0))
+        ).otherwise(F.lit(1)),
+    )
+
+
+def winnow_fingerprint(
+    c: Column, k: int = 8, max_chars: int = 512, stride: int = 2
+) -> Column:
+    """Rolling-hash document fingerprint: the minimum md5-60-bit hash over
+    ``k``-char windows of the normalized text (min-sampling as in
+    winnowing — robust to content reordering/insertion at the edges, and
+    exactly reproducible in SQL). Documents shorter than ``k`` hash their
+    whole text.
+
+    Cost control for the hot path: only the first ``max_chars`` chars are
+    fingerprinted (prefix fingerprinting, standard practice) and windows
+    start every ``stride`` positions — per-doc work is bounded by
+    ``max_chars/stride`` hashes regardless of document length. The
+    fingerprint is the lexicographic-min md5 hex string (identical
+    ordering in Spark and SQL; cheaper than folding hex to an integer
+    inside the per-window loop)."""
+    t = F.substring(normalized_text(c), 1, max_chars)
+    idx = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - F.lit(k - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    return F.array_min(
+        F.transform(idx, lambda i: F.md5(F.substring(t, i, F.lit(k))))
+    )
+
+
+def winnow_fingerprints(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_chars: int = 512,
+    stride: int = 2,
+):
+    """Frame-level ``winnow_fingerprint`` for the hot path: explode the
+    window positions to rows so the per-window md5 runs inside
+    whole-stage codegen, then min-aggregate per document (map-side
+    partial min, one skinny shuffle). ~3× the row-local HOF version,
+    which evaluates its lambda interpreted (same explode-vs-HOF trade as
+    the MinHash signatures — see dedup/minhash.py)."""
+    t = F.substring(normalized_text(F.col(text_col)), 1, max_chars)
+    idx = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - F.lit(k - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    # spread the rows first: a small documents table often arrives as ONE
+    # parquet split, which would serialize the ~max_chars/stride md5 calls
+    # per doc onto a single core. A FIXED partition count is load-bearing:
+    # repartition(col) leaves AQE free to coalesce these few KB of input
+    # back into one partition, re-serializing the expensive projection
+    # that follows
+    return (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(F.col(id_col), t.alias("__t"), F.explode(idx).alias("__i"))
+        .select(
+            id_col,
+            F.md5(F.substring(F.col("__t"), F.col("__i"), F.lit(k))).alias(
+                "__h"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.min("__h").alias("winnow_fp"))
+    )
+
+
 def punct_ratio(c: Column) -> Column:
     """Punctuation chars / total chars (0 for empty strings)."""
     total = F.length(c)

@@ -870,6 +870,48 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_tokenize_fingerprint",
+    oracle=r"""
+WITH norm AS (
+    SELECT doc_id,
+           substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                  1, 512) AS t,
+           regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]') AS p
+    FROM documents
+)
+SELECT doc_id,
+       CAST(COALESCE(list_sum(list_transform(p,
+            x -> CASE WHEN regexp_matches(x, '^[a-z]')
+                      THEN CAST(ceil(length(x) / 4.0) AS BIGINT)
+                      ELSE 1 END)), 0) AS BIGINT) AS n_subwords,
+       list_min(list_transform(
+           range(1, greatest(length(t) - 7, 1) + 1, 2),
+           i -> md5(substr(t, CAST(i AS INT), 8)))) AS winnow_fp
+FROM norm
+""",
+)
+def q_doc_tokenize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline text primitives: BPE-ish subword token counting (letter
+    runs cost ceil(len/4), digits/symbols one each) and the winnowing
+    rolling-hash fingerprint (min md5-60-bit hash over all 8-char windows
+    of the normalized text). Both recomputed verbatim by the SQL oracle."""
+    from pyspark_graph_spark.functions.text import (
+        subword_token_count,
+        winnow_fingerprints,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    # single-file parquet -> 1 split; spread before the per-char regex work
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    counts = docs.select(
+        "doc_id", subword_token_count(F.col("text")).alias("n_subwords")
+    )
+    return counts.join(winnow_fingerprints(docs), on="doc_id")
+
+
 @query("ann_topk_lsh", oracle=_ANN_BRUTE_SQL)
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-forest ANN, oracle-checked against the EXACT brute-force top-k:

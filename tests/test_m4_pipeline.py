@@ -462,3 +462,47 @@ def test_streaming_exact_dedup_batch_and_stream(spark, sf_dir, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.sql("SELECT COUNT(*) n FROM t_sdedup").first()["n"] == 2
+
+
+def test_subword_token_count(spark):
+    from pyspark_graph_spark.functions.text import subword_token_count
+
+    df = spark.createDataFrame(
+        [("Hello, world 42!",), ("",), ("internationalization",)], ["text"]
+    )
+    out = [
+        r["n"]
+        for r in df.select(subword_token_count(F.col("text")).alias("n"))
+        .collect()
+    ]
+    # "hello"(2) + ","(1) + "world"(2) + "4"(1) + "2"(1) + "!"(1) = 8
+    # ""            -> 0
+    # 20 letters    -> ceil(20/4) = 5
+    assert out == [8, 0, 5]
+
+
+def test_winnow_fingerprint_column_vs_frame(spark):
+    from pyspark_graph_spark.functions.text import (
+        winnow_fingerprint,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "tiny"),  # shorter than the window
+         (3, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    col_fp = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", winnow_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    frame_fp = {
+        r["doc_id"]: r["winnow_fp"]
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert col_fp == frame_fp  # explode formulation == HOF formulation
+    assert col_fp[1] == col_fp[3]  # identical docs -> identical fp
+    assert col_fp[1] != col_fp[2]
