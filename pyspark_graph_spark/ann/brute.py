@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark_graph_spark.functions.vectors import cosine_similarity
+from pyspark_graph_spark.functions.vectors import cosine_similarity_arrow
 
 SIM = "cosine_sim"
 RANK = "rank"
@@ -49,7 +49,7 @@ class BruteForceKNN:
                 "query_id",
                 "neighbor_id",
                 F.round(
-                    cosine_similarity(F.col("__qv"), F.col("__cv")), 6
+                    cosine_similarity_arrow(F.col("__qv"), F.col("__cv")), 6
                 ).alias(SIM),
             )
         )

@@ -24,7 +24,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark_graph_spark.functions.vectors import cosine_similarity
+from pyspark_graph_spark.functions.vectors import cosine_similarity_arrow
 
 SIM = "cosine_sim"
 RANK = "rank"
@@ -140,7 +140,7 @@ class RandomHyperplaneLSH:
         scored = cand.select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias(
+            F.round(cosine_similarity_arrow(F.col("__qv"), F.col("__cv")), 6).alias(
                 SIM
             ),
         )

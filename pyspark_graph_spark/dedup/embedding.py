@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.ann.lsh import RandomHyperplaneLSH
-from pyspark_graph_spark.functions.vectors import cosine_similarity
+from pyspark_graph_spark.functions.vectors import cosine_similarity_arrow
 
 SIM = "cosine_sim"
 
@@ -68,7 +68,7 @@ class EmbeddingDedup:
                 "src",
                 "dst",
                 F.round(
-                    cosine_similarity(F.col("__sv"), F.col("__dv")), 6
+                    cosine_similarity_arrow(F.col("__sv"), F.col("__dv")), 6
                 ).alias(SIM),
             )
             .filter(F.col(SIM) >= self.threshold)

