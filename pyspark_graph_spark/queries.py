@@ -2207,3 +2207,150 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(
         "lang", language_guess(F.col("text")).alias("lang_guess")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "tfidf_topk_terms",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, tf, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+           ) AS rk
+    FROM scored
+)
+SELECT doc_id, term, tf, ROUND(score, 6) AS tfidf
+FROM ranked WHERE rk <= 5
+""",
+)
+def q_tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 smooth-TF-IDF keyword terms per document (sklearn idf form:
+    ln((N+1)/(df+1)) + 1). One (doc,term) shuffle for tf, one skinny
+    shuffle for df, AQE-skew-safe tf⋈df join on term; ties broken by term
+    so the cut is deterministic in both engines."""
+    from pyspark_graph_spark.functions.tfidf import tfidf_topk
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5)
+
+
+#: fixed bag-of-terms query for the BM25 gate — common enough to hit many
+#: docs, mixed document frequencies so idf actually differentiates
+_BM25_QUERY_TERMS = ["data", "model", "training", "quality", "language"]
+
+
+@query(
+    "bm25_search",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks
+    WHERE term IN ('data', 'model', 'training', 'quality', 'language')
+    GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+doclen AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS DOUBLE) AS dl
+    FROM documents
+),
+stats AS (
+    SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+           (SELECT AVG(dl) FROM doclen) AS avgdl
+),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(
+             ln(1.0 + (s.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * doclen.dl / s.avgdl))
+           ) AS score
+    FROM tf
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN doclen ON tf.doc_id = doclen.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY ROUND(score, 6) DESC, doc_id
+LIMIT 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed bag-of-terms query
+    (k1=1.2, b=0.75). The term IN (...) predicate prunes the exploded
+    token stream before any join — the 100 TB story is posting-list
+    retrieval, not corpus-wide scoring; df/doclen sides broadcast."""
+    from pyspark_graph_spark.functions.tfidf import bm25_topk
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY_TERMS, k=10)
+
+
+#: corpus-mixing rates for the sampling gate: downsample dominant English,
+#: keep low-resource languages whole
+_MIX_RATES = {"en": 0.3, "zh": 1.0, "es": 0.8, "de": 0.8, "fr": 1.0}
+
+
+def _corpus_sample_oracle() -> str:
+    from pyspark_graph_spark.functions.sampling import stratified_sample_sql
+
+    pred = stratified_sample_sql(
+        _MIX_RATES, "lang", "doc_id", default_rate=0.5, salt="mix1"
+    )
+    return f"""
+WITH kept AS (SELECT doc_id, lang FROM documents WHERE {pred})
+SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM kept GROUP BY lang
+"""
+
+
+@query("corpus_sample", oracle=_corpus_sample_oracle())
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (data mixing): keep an
+    exact, reproducible per-language fraction via an md5-threshold on
+    doc_id — a pure map-side filter (zero shuffles before the readout
+    aggregate), stable under repartitioning/retries, recomputed row-for-row
+    by the SQL oracle. Emits per-language membership digests (count, min,
+    max, sum of kept ids) so the gate pins the exact selected SET, not
+    just its size."""
+    from pyspark_graph_spark.functions.sampling import stratified_sample
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, _MIX_RATES, "lang", "doc_id", default_rate=0.5, salt="mix1"
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_id"),
+    )
