@@ -1,8 +1,15 @@
+from pyspark_graph_spark.multimodal.audio_ops import (
+    attach_wav_media,
+    audio_stats,
+    decode_audio,
+)
 from pyspark_graph_spark.multimodal.binary_ops import (
     MEDIA_SCHEMA,
     attach_fake_media,
     attach_pgm_media,
+    attach_pgm_video,
     decode_images,
+    extract_frames,
     frame_sample,
     image_stats,
     resize_images,
@@ -12,7 +19,12 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
     "attach_pgm_media",
+    "attach_pgm_video",
+    "attach_wav_media",
+    "audio_stats",
+    "decode_audio",
     "decode_images",
+    "extract_frames",
     "frame_sample",
     "image_stats",
     "resize_images",

@@ -2354,3 +2354,83 @@ def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_id"),
         F.sum("doc_id").alias("sum_id"),
     )
+
+
+@query(
+    "multimodal_decode_wav",
+    oracle="""
+WITH feat AS (
+    SELECT doc_id,
+           (doc_id % 192) + 64 AS n,
+           list_transform(range(0, (doc_id % 192) + 64),
+                          k -> ((doc_id * 31 + k * 7) % 201) - 100) AS s
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(list_sum(list_transform(s, x -> abs(x))) // n AS BIGINT)
+         AS mean_abs,
+       CAST(COALESCE(list_sum(list_transform(range(0, n - 1),
+                k -> CASE WHEN sign(s[k + 1]) * sign(s[k + 2]) = -1
+                          THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS n_sign_changes
+FROM feat
+""",
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: standards-conforming PCM16 mono WAV
+    streams (44-byte RIFF header + little-endian payload) are synthesized
+    JVM-side from doc ids, then the pure-NumPy decoder walks the RIFF
+    chunks inside Arrow-batched mapInPandas. Sample k is
+    ``((id*31 + k*7) % 201) - 100``, so the oracle recomputes n_samples,
+    integer mean |amplitude| and strict zero-crossing count with integer
+    arithmetic — a wrong chunk walk, endianness, or two's-complement
+    decode mismatches values loudly."""
+    from pyspark_graph_spark.multimodal import attach_wav_media, decode_audio
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return decode_audio(attach_wav_media(docs, "doc_id"))
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+WITH vids AS (
+    SELECT doc_id,
+           (doc_id % 24) + 8 AS w,
+           (doc_id % 16) + 8 AS h,
+           (doc_id % 4) + 2 AS n_frames
+    FROM documents
+),
+sampled AS (
+    SELECT doc_id, w, h, unnest(range(0, n_frames, 2)) AS f
+    FROM vids
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, w * h),
+                k -> (doc_id + f * 7 + k) % 256)) // (w * h) AS BIGINT)
+         AS mean_intensity
+FROM sampled
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling WITH real decode: multi-frame
+    concatenated-P5 streams are synthesized JVM-side, then every 2nd frame
+    is located by walking successive headers and decoded to features in a
+    single Arrow mapInPandas pass (skipped frames never materialize).
+    Frame f pixel k is ``(id + 7f + k) % 256`` — the oracle recomputes
+    each sampled frame's integer mean intensity."""
+    from pyspark_graph_spark.multimodal import attach_pgm_video, extract_frames
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return extract_frames(attach_pgm_video(docs, "doc_id"), every_n=2)

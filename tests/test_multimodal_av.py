@@ -1,0 +1,156 @@
+"""Audio (WAV) and video (concatenated-P5) decode: parser correctness
+against hand-built Python streams, robustness to container variations the
+JVM generator never produces, and feature parity with NumPy oracles."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.multimodal import (
+    attach_pgm_video,
+    attach_wav_media,
+    audio_stats,
+    decode_audio,
+    extract_frames,
+)
+from pyspark_graph_spark.multimodal.audio_ops import _decode_wav
+from pyspark_graph_spark.multimodal.binary_ops import _decode_pnm
+
+
+def py_wav(samples, sample_rate=8000, extra_chunk=False):
+    """Reference WAV writer (struct-based, independent of the Spark one)."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    chunks = b""
+    if extra_chunk:  # LIST chunk before fmt — spec-legal, must be skipped
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += (
+        b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_wav_decoder_parses_reference_stream():
+    samples = [0, 5, -3, -3, 100, -100, 0, 7]
+    sr, got = _decode_wav(py_wav(samples, sample_rate=44100))
+    assert sr == 44100
+    assert got.tolist() == samples
+
+
+def test_wav_decoder_skips_extra_chunks():
+    samples = [-1, 2, -2]
+    _, got = _decode_wav(py_wav(samples, extra_chunk=True))
+    assert got.tolist() == samples
+
+
+def test_wav_decoder_rejects_garbage_and_nonpcm():
+    with pytest.raises(ValueError):
+        _decode_wav(b"OggS" + b"\x00" * 60)
+    bad = bytearray(py_wav([1, 2, 3]))
+    bad[20] = 3  # audio format = IEEE float
+    with pytest.raises(NotImplementedError):
+        _decode_wav(bytes(bad))
+
+
+def test_spark_generated_wav_is_standards_conforming(spark):
+    rows = (
+        decode_audio(
+            attach_wav_media(
+                spark.range(0, 20).withColumnRenamed("id", "doc_id"),
+                "doc_id",
+            )
+        )
+        .orderBy("media_id")
+        .collect()
+    )
+    assert len(rows) == 20
+    for r in rows:
+        i = r.media_id
+        n = i % 192 + 64
+        s = np.array([((i * 31 + k * 7) % 201) - 100 for k in range(n)])
+        assert r.n_samples == n
+        assert r.sample_rate == 8000
+        assert r.mean_abs == int(np.abs(s).sum()) // n
+        sign = np.sign(s)
+        assert r.n_sign_changes == int((sign[:-1] * sign[1:] == -1).sum())
+
+
+def test_spark_wav_bytes_decode_with_python_reference(spark):
+    # cross-check the JVM-side little-endian encoding byte-for-byte
+    row = (
+        attach_wav_media(
+            spark.createDataFrame([(7,)], ["doc_id"]), "doc_id"
+        )
+        .collect()[0]
+    )
+    sr, s = _decode_wav(bytes(row.media))
+    n = 7 % 192 + 64
+    expect = [((7 * 31 + k * 7) % 201) - 100 for k in range(n)]
+    assert sr == 8000
+    assert s.tolist() == expect
+    # and the whole stream must equal the struct-written reference
+    assert bytes(row.media) == py_wav(expect)
+
+
+def test_audio_stats_is_jvm_only(spark):
+    media = attach_wav_media(
+        spark.range(0, 5).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    plan = audio_stats(media)._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower()
+    rows = audio_stats(media).collect()
+    assert all(abs(r.duration_sec - r.n_bytes / 16000) < 0.01 for r in rows)
+
+
+def test_video_frame_extraction_samples_and_decodes(spark):
+    out = (
+        extract_frames(
+            attach_pgm_video(
+                spark.range(0, 12).withColumnRenamed("id", "doc_id"),
+                "doc_id",
+            ),
+            every_n=2,
+        )
+        .orderBy("media_id", "frame_idx")
+        .collect()
+    )
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    for i, frames in by_media.items():
+        n_frames = i % 4 + 2
+        w, h = i % 24 + 8, i % 16 + 8
+        assert [f.frame_idx for f in frames] == list(range(0, n_frames, 2))
+        for f in frames:
+            px = np.array(
+                [(i + f.frame_idx * 7 + k) % 256 for k in range(w * h)]
+            )
+            assert (f.width, f.height) == (w, h)
+            assert f.mean_intensity == int(px.sum()) // (w * h)
+
+
+def test_video_every_n_one_decodes_all_frames(spark):
+    out = extract_frames(
+        attach_pgm_video(
+            spark.createDataFrame([(3,)], ["doc_id"]), "doc_id"
+        ),
+        every_n=1,
+    ).collect()
+    assert len(out) == 3 % 4 + 2
+
+
+def test_video_stream_is_concatenated_standard_p5(spark):
+    media = bytes(
+        attach_pgm_video(
+            spark.createDataFrame([(5,)], ["doc_id"]), "doc_id"
+        ).collect()[0].media
+    )
+    # first frame must decode with the plain single-image P5 decoder
+    px = _decode_pnm(media)
+    assert px.shape == (5 % 16 + 8, 5 % 24 + 8)
+    assert px[0, 0] == 5  # pixel 0 of frame 0 is id % 256
