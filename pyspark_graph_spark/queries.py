@@ -2434,3 +2434,87 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return extract_frames(attach_pgm_video(docs, "doc_id"), every_n=2)
+
+
+@query(
+    "running_ema",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id,
+           list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       ROUND(list_reduce(vs,
+             (acc, x) -> CAST(0.1 AS DOUBLE) * x
+                       + CAST(0.9 AS DOUBLE) * acc), 6) AS ema
+FROM ordered
+""",
+)
+def q_running_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running EMA (alpha=0.1) over events in (ts, event_id)
+    order — the order-dependent recursive aggregate that needs custom
+    state. Gate runs the applyInPandas batch twin of the
+    applyInPandasWithState streaming operator (Spark forbids grouped
+    state on batch frames); the oracle replays the identical IEEE fold
+    with DuckDB list_reduce, so a wrong sort key, fold order, or alpha
+    placement mismatches values."""
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming import running_ema_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return running_ema_batch(events).select(
+        "user_id", "n_events", F.round("ema", 6).alias("ema")
+    )
+
+
+@query(
+    "harmonic_centrality",
+    oracle=f"""
+WITH RECURSIVE {BIPARTITE_EDGES_CTE.strip()},
+bipartite_sym AS (
+    SELECT src, dst FROM bipartite_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM bipartite_edges
+),
+lm(id) AS (
+    SELECT CAST(3 AS BIGINT) UNION ALL SELECT 5 UNION ALL
+    SELECT 7 UNION ALL SELECT 9
+),
+walk(id, landmark, d) AS (
+    SELECT id, id, 0 FROM lm
+    UNION
+    SELECT e.src, walk.landmark, walk.d + 1
+    FROM walk JOIN bipartite_sym e ON e.dst = walk.id
+    WHERE walk.d < 12
+),
+dist AS (
+    SELECT id, landmark, MIN(d) AS d FROM walk GROUP BY id, landmark
+)
+SELECT id, COUNT(*) AS n_reached,
+       ROUND(SUM(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END), 6) AS harmonic
+FROM dist GROUP BY id
+""",
+)
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic centrality: Σ 1/d over hop distances
+    to 4 supplier landmarks (d=0 self terms contribute 0). Harmonic
+    handles disconnected graphs gracefully where closeness degenerates —
+    unreached landmarks simply drop out of the sum. Pure composition over
+    the ShortestPaths map-state Pregel; same scale shape as closeness."""
+    from pyspark_graph_spark.operators import ShortestPaths
+
+    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    sp = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
+    return sp.groupBy(ID).agg(
+        F.count(F.lit(1)).alias("n_reached"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("distance") > 0, F.lit(1.0) / F.col("distance")
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("harmonic"),
+    )

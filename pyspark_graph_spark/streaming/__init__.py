@@ -21,5 +21,9 @@ __all__ = [
 ]
 
 from pyspark_graph_spark.streaming.dedup import streaming_exact_dedup  # noqa: E402
+from pyspark_graph_spark.streaming.stateful import (  # noqa: E402
+    running_ema_batch,
+    running_ema_stream,
+)
 
-__all__.append("streaming_exact_dedup")
+__all__ += ["streaming_exact_dedup", "running_ema_batch", "running_ema_stream"]
