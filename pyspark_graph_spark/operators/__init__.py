@@ -1,4 +1,5 @@
 from pyspark_graph_spark.operators.aggregate_messages import AggregateMessages
+from pyspark_graph_spark.operators.spectral import HITS, EigenvectorCentrality
 from pyspark_graph_spark.operators.betweenness import BetweennessCentrality
 from pyspark_graph_spark.operators.bfs import BreadthFirstSearch
 from pyspark_graph_spark.operators.clustering import LocalClusteringCoefficient
@@ -40,6 +41,8 @@ __all__ = [
     "NeighborhoodContainment",
     "ShortestPaths",
     "OverlapCoefficient",
+    "EigenvectorCentrality",
+    "HITS",
     "PageRank",
     "Pregel",
     "RandomWalks",

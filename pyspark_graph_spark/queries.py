@@ -2518,3 +2518,99 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("harmonic"),
     )
+
+
+def _eigenvector_sql(rounds: int) -> str:
+    """Unrolled power iteration with per-round L2 normalization: x_{k+1} =
+    A·x_k / ||A·x_k||; identical arithmetic to EigenvectorCentrality."""
+    ctes = [
+        "verts AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation)",
+        "x0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS x FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT v.id, COALESCE(SUM(x{p}.x), 0.0) AS s "
+            "FROM verts v LEFT JOIN nation_sym e ON e.dst = v.id "
+            f"LEFT JOIN x{p} ON x{p}.id = e.src GROUP BY v.id)"
+        )
+        ctes.append(
+            f"n{r} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nrm FROM s{r})"
+        )
+        ctes.append(
+            f"x{r} AS MATERIALIZED (SELECT id, CASE WHEN nrm > 0 THEN s / nrm "
+            f"ELSE 0.0 END AS x FROM s{r}, n{r})"
+        )
+    return (
+        "WITH " + NATION_EDGES_CTE.strip().lstrip("\n") + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, ROUND(x, 6) AS eigenvector FROM x{rounds}"
+    )
+
+
+@query("eigenvector_centrality", oracle=_eigenvector_sql(5))
+def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality on the undirected nation graph: 5 rounds of
+    x <- A·x with per-round L2 normalization (broadcast 1-row norm join);
+    the oracle unrolls the identical iteration in SQL."""
+    from pyspark_graph_spark.operators import EigenvectorCentrality
+
+    g = nation_graph(spark, sf_dir)
+    out = EigenvectorCentrality(iterations=5).run(g)
+    return out.select(ID, F.round("eigenvector", 6).alias("eigenvector"))
+
+
+def _hits_sql(rounds: int) -> str:
+    """Unrolled HITS on the bipartite customer->supplier graph: authority
+    pulls from hubs along edges, hubs pull back, each L2-normalized."""
+    ctes = [
+        "verts AS (SELECT c_custkey * 2 AS id FROM customer "
+        "UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier)",
+        "h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"as{r} AS MATERIALIZED (SELECT v.id, COALESCE(SUM(h{p}.h), 0.0) AS s "
+            "FROM verts v LEFT JOIN bipartite_edges e ON e.dst = v.id "
+            f"LEFT JOIN h{p} ON h{p}.id = e.src GROUP BY v.id)"
+        )
+        ctes.append(f"an{r} AS MATERIALIZED (SELECT sqrt(SUM(s*s)) AS nrm FROM as{r})")
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT id, CASE WHEN nrm > 0 THEN s / nrm "
+            f"ELSE 0.0 END AS a FROM as{r}, an{r})"
+        )
+        ctes.append(
+            f"hs{r} AS MATERIALIZED (SELECT v.id, COALESCE(SUM(a{r}.a), 0.0) AS s "
+            "FROM verts v LEFT JOIN bipartite_edges e ON e.src = v.id "
+            f"LEFT JOIN a{r} ON a{r}.id = e.dst GROUP BY v.id)"
+        )
+        ctes.append(f"hn{r} AS MATERIALIZED (SELECT sqrt(SUM(s*s)) AS nrm FROM hs{r})")
+        ctes.append(
+            f"h{r} AS MATERIALIZED (SELECT id, CASE WHEN nrm > 0 THEN s / nrm "
+            f"ELSE 0.0 END AS h FROM hs{r}, hn{r})"
+        )
+    return (
+        "WITH " + BIPARTITE_EDGES_CTE.strip().lstrip("\n") + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT h{rounds}.id, ROUND(h{rounds}.h, 6) AS hub, "
+        f"ROUND(a{rounds}.a, 6) AS authority "
+        f"FROM h{rounds} JOIN a{rounds} ON h{rounds}.id = a{rounds}.id"
+    )
+
+
+@query("hits", oracle=_hits_sql(4))
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the directed bipartite customer->supplier
+    graph (customers can only be hubs, suppliers only authorities — the
+    cleanest read of the two scores). 4 rounds, L2-normalized per round;
+    unrolled-CTE oracle replays the exact arithmetic."""
+    from pyspark_graph_spark.operators import HITS
+
+    g = customer_supplier_graph(spark, sf_dir, directed=True)
+    out = HITS(iterations=4).run(g)
+    return out.select(
+        ID,
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
