@@ -208,3 +208,55 @@ def language_guess(c: Column) -> Column:
         result = F.when(hits >= best, F.lit(lang)).otherwise(result)
         best = F.greatest(hits, best)
     return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def all_word_shingles(c: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (``word_shingles`` dedups) — the unit
+    for repetition metrics, where duplicates are the signal."""
+    t = tokens(c)
+    grams = t
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(t, j + 1, F.size(t)),
+            lambda acc, nxt: F.concat(acc, F.lit(" "), nxt),
+        )
+    return F.filter(grams, lambda g: g.isNotNull())
+
+
+def dup_ngram_fraction(c: Column, n: int = 2) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier one:
+    ``1 - distinct/total`` (0 for docs shorter than n tokens). The
+    Gopher-style repetition signal — high values mean boilerplate/spam."""
+    grams = all_word_shingles(c, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(
+        total > 0, (total - distinct) / total
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns kept to the Java-regex/RE2 common subset so the SQL oracle
+# matches byte-for-byte; these are deliberately the standard simple shapes
+# (emails, NANP-style phones, dotted-quad IPs) — a production pipeline
+# swaps in a vetted detector at the same pipeline position.
+PII_EMAIL_PATTERN = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_PATTERN = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+PII_IP_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) match counts."""
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL_PATTERN)),
+        F.regexp_count(c, F.lit(PII_PHONE_PATTERN)),
+        F.regexp_count(c, F.lit(PII_IP_PATTERN)),
+    )
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace emails/phones/IPs with fixed tokens (order matters: emails
+    first so their digit runs can't half-match the phone pattern)."""
+    out = F.regexp_replace(c, PII_EMAIL_PATTERN, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_PATTERN, "<PHONE>")
+    return F.regexp_replace(out, PII_IP_PATTERN, "<IP>")

@@ -2614,3 +2614,106 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hub", 6).alias("hub"),
         F.round("authority", 6).alias("authority"),
     )
+
+
+@query(
+    "decontamination",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+bench AS (
+    SELECT doc_id AS bench_id, gram FROM shingles WHERE doc_id < 5
+),
+bench_sizes AS (
+    SELECT bench_id, COUNT(*) AS bench_n FROM bench GROUP BY bench_id
+),
+hits AS (
+    SELECT s.doc_id, b.bench_id, COUNT(*) AS n_overlap
+    FROM shingles s JOIN bench b ON s.gram = b.gram
+    GROUP BY s.doc_id, b.bench_id
+)
+SELECT h.doc_id, h.bench_id, h.n_overlap,
+       ROUND(h.n_overlap * 1.0 / bs.bench_n, 6) AS overlap_frac
+FROM hits h JOIN bench_sizes bs ON h.bench_id = bs.bench_id
+WHERE ROUND(h.n_overlap * 1.0 / bs.bench_n, 6) >= 0.04
+""",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram collisions between every
+    training doc and a 5-doc 'benchmark' set (docs 0-4 standing in for a
+    held-out eval), emitting pairs leaking >= 4% of a benchmark's grams
+    (threshold picked so the synthetic corpus's real cross-doc template
+    sharing lands above the cut, not only the 5 self-pairs).
+    Benchmark grams broadcast; the corpus side is explode->filter->one
+    aggregate — never two exploded corpora joined."""
+    from pyspark_graph_spark.functions.decontam import benchmark_overlap
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return benchmark_overlap(docs, bench, n=3, min_frac=0.04)
+
+
+@query(
+    "repetition_pii",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+bigrams AS (
+    SELECT doc_id,
+           CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS total,
+           CASE WHEN len(t) >= 2 THEN
+             len(list_distinct(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i+1])))
+           ELSE 0 END AS n_distinct
+    FROM toks
+)
+SELECT d.doc_id,
+       ROUND(CASE WHEN b.total > 0
+                  THEN (b.total - b.n_distinct) * 1.0 / b.total
+                  ELSE 0.0 END, 6) AS dup_bigram_frac,
+       CAST(len(regexp_extract_all(d.text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}')) AS INT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(d.text,
+            '\b[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}\b')) AS INT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(d.text,
+            '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b')) AS INT)
+         AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(d.text,
+            '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{{2,}}', '<EMAIL>', 'g'),
+            '\b[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}\b', '<PHONE>', 'g'),
+            '\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', '<IP>', 'g'))
+         AS redacted_fp
+FROM documents d JOIN bigrams b ON d.doc_id = b.doc_id
+""",
+)
+def q_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality + compliance column pass in one scan: Gopher-style duplicate
+    bigram fraction (boilerplate/spam signal), PII match counts, and the
+    md5 of the PII-redacted text (so the oracle verifies the actual
+    redaction output, not just counts). All built-in expressions."""
+    from pyspark_graph_spark.functions.text import (
+        dup_ngram_fraction,
+        pii_counts,
+        redact_pii,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails, n_phones, n_ips = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(dup_ngram_fraction(F.col("text"), 2), 6).alias(
+            "dup_bigram_frac"
+        ),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_fp"),
+    )
