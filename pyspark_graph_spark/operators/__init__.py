@@ -1,4 +1,5 @@
 from pyspark_graph_spark.operators.aggregate_messages import AggregateMessages
+from pyspark_graph_spark.operators.ktruss import KTruss
 from pyspark_graph_spark.operators.spectral import HITS, EigenvectorCentrality
 from pyspark_graph_spark.operators.betweenness import BetweennessCentrality
 from pyspark_graph_spark.operators.bfs import BreadthFirstSearch
@@ -34,6 +35,7 @@ __all__ = [
     "ConnectedComponents",
     "JaccardSimilarity",
     "KCore",
+    "KTruss",
     "KatzIndex",
     "LabelPropagation",
     "LocalClusteringCoefficient",

@@ -2717,3 +2717,159 @@ def q_repetition_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ips.alias("n_ips"),
         F.md5(redact_pii(F.col("text"))).alias("redacted_fp"),
     )
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Bounded-unrolled truss peel: round i recomputes per-edge triangle
+    support on round i-1's canonical edge set and keeps edges with
+    support >= k-2. Convergence depth <= rounds is proven by the gate
+    match itself (an unconverged oracle keeps extra edges). MATERIALIZED
+    is load-bearing (3^rounds re-expansion otherwise)."""
+    ctes = [
+        "p0 AS MATERIALIZED (SELECT src, dst FROM nation_edges)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"t{i} AS MATERIALIZED ("
+            f"SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+            f"FROM p{p} e1 JOIN p{p} e2 ON e1.dst = e2.src "
+            f"JOIN p{p} e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+        )
+        ctes.append(
+            f"sup{i} AS MATERIALIZED ("
+            f"SELECT src, dst, COUNT(*) AS s FROM ("
+            f"SELECT a AS src, b AS dst FROM t{i} "
+            f"UNION ALL SELECT b AS src, c AS dst FROM t{i} "
+            f"UNION ALL SELECT a AS src, c AS dst FROM t{i}"
+            f") u GROUP BY src, dst)"
+        )
+        ctes.append(
+            f"p{i} AS MATERIALIZED ("
+            f"SELECT e.src, e.dst FROM p{p} e "
+            f"JOIN sup{i} s ON e.src = s.src AND e.dst = s.dst "
+            f"WHERE s.s >= {k - 2})"
+        )
+    return (
+        f"WITH {NATION_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT src, dst FROM p{rounds}"
+    )
+
+
+@query("ktruss", oracle=_ktruss_sql(k=4, rounds=4))
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges of the 4-truss of the nation graph (every surviving edge
+    closes >= 2 triangles among surviving edges). The operator peels to a
+    true fixpoint and RAISES on truncation; the oracle unrolls 4 peel
+    rounds — the match proves the fixpoint depth."""
+    from pyspark_graph_spark.operators import KTruss
+
+    g = nation_graph(spark, sf_dir)
+    return KTruss(4).run(g)
+
+
+@query(
+    "adamic_adar",
+    oracle="""
+WITH bulk AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_quantity >= 48
+),
+deg AS (SELECT dst, COUNT(*) AS d FROM bulk GROUP BY dst),
+pairs AS (
+    SELECT a.src AS u, b.src AS v, a.dst AS shared
+    FROM bulk a JOIN bulk b ON a.dst = b.dst AND a.src < b.src
+)
+SELECT u, v, COUNT(*) AS n_common,
+       ROUND(SUM(1.0 / ln(deg.d)), 6) AS adamic_adar
+FROM pairs JOIN deg ON pairs.shared = deg.dst
+GROUP BY u, v
+""",
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the bulk-order bipartite graph: Adamic-Adar
+    affinity between customer pairs, Σ 1/ln(deg(s)) over shared suppliers
+    (rarely-shared suppliers weigh more). Same selective-predicate scale
+    story as two_hop_counts: the quantity filter pushes into the parquet
+    scan and keeps the pair expansion off the Θ(V²) regime; shared
+    suppliers always have deg >= 2, so ln never hits zero."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    e = (
+        orders.join(li, on=orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        on=[F.col("a.dst") == F.col("b.dst"), F.col("a.src") < F.col("b.src")],
+    ).select(
+        F.col("a.src").alias("u"),
+        F.col("b.src").alias("v"),
+        F.col("a.dst").alias("shared"),
+    )
+    return (
+        pairs.join(deg, on=F.col("shared") == F.col("dst"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.round(F.sum(F.lit(1.0) / F.log("d")), 6).alias("adamic_adar"),
+        )
+    )
+
+
+@query(
+    "eccentricity",
+    oracle=f"""
+WITH RECURSIVE {BIPARTITE_EDGES_CTE.strip()},
+bipartite_sym AS (
+    SELECT src, dst FROM bipartite_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM bipartite_edges
+),
+lm(id) AS (
+    SELECT CAST(3 AS BIGINT) UNION ALL SELECT 5 UNION ALL
+    SELECT 7 UNION ALL SELECT 9
+),
+walk(id, landmark, d) AS (
+    SELECT id, id, 0 FROM lm
+    UNION
+    SELECT e.src, walk.landmark, walk.d + 1
+    FROM walk JOIN bipartite_sym e ON e.dst = walk.id
+    WHERE walk.d < 12
+),
+dist AS (
+    SELECT id, landmark, MIN(d) AS d FROM walk GROUP BY id, landmark
+)
+SELECT id, MAX(d) AS ecc_lb, COUNT(*) AS n_reached
+FROM dist GROUP BY id
+""",
+)
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark eccentricity lower bound per vertex (max hop distance to
+    the 4 landmarks; max over all rows bounds the diameter from below) —
+    the standard sampled-BFS diameter estimate, composed over the same
+    ShortestPaths run the closeness/harmonic queries use."""
+    from pyspark_graph_spark.operators import ShortestPaths
+
+    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    sp = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
+    return sp.groupBy(ID).agg(
+        F.max("distance").alias("ecc_lb"),
+        F.count(F.lit(1)).alias("n_reached"),
+    )
