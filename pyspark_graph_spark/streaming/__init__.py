@@ -25,5 +25,15 @@ from pyspark_graph_spark.streaming.stateful import (  # noqa: E402
     running_ema_batch,
     running_ema_stream,
 )
+from pyspark_graph_spark.streaming.upsert import (  # noqa: E402
+    merge_upsert_batch,
+    streaming_upsert,
+)
 
-__all__ += ["streaming_exact_dedup", "running_ema_batch", "running_ema_stream"]
+__all__ += [
+    "streaming_exact_dedup",
+    "running_ema_batch",
+    "running_ema_stream",
+    "merge_upsert_batch",
+    "streaming_upsert",
+]
