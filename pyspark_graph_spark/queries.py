@@ -2873,3 +2873,140 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("distance").alias("ecc_lb"),
         F.count(F.lit(1)).alias("n_reached"),
     )
+
+
+@query(
+    "pmi_pairs",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+    FROM documents
+),
+pairs AS (
+    SELECT least(t[i], t[i+1]) AS w1, greatest(t[i], t[i+1]) AS w2
+    FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS g(i)
+),
+pc AS (
+    SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+    HAVING COUNT(*) >= 5
+),
+uni AS (
+    SELECT u.w, COUNT(*) AS c
+    FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY u.w
+),
+tot AS (
+    SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM pairs) AS n_pairs,
+           (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n_uni
+)
+SELECT pc.w1, pc.w2, pc.n_pair,
+       ROUND(ln((pc.n_pair / t.n_pairs)
+              / ((u1.c / t.n_uni) * (u2.c / t.n_uni))), 6) AS pmi
+FROM pc
+JOIN uni u1 ON pc.w1 = u1.w
+JOIN uni u2 ON pc.w2 = u2.w
+CROSS JOIN tot t
+""",
+)
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: PMI over adjacent-token pairs (canonical string
+    order) seen >= 5 times — the count-based-embedding signal. Two
+    explode->aggregate shuffles with map-side partials; the vocabulary
+    side broadcasts into the scoring joins; min_count prunes before any
+    join."""
+    from pyspark_graph_spark.functions.cooccurrence import pmi_pairs
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_pairs(docs, min_count=5)
+
+
+@query(
+    "char_entropy",
+    oracle=r"""
+WITH chars AS (
+    SELECT doc_id, unnest(list_filter(string_split(lower(text), ''),
+                                      ch -> ch <> '')) AS ch
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+per_doc AS (
+    SELECT doc_id, SUM(c) AS n_chars, SUM(c * ln(c)) AS clogc
+    FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chars, 0) AS BIGINT) AS n_chars,
+       ROUND(COALESCE(ln(p.n_chars) - p.clogc / p.n_chars, 0.0), 6)
+         AS entropy
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (nats) — the cheap
+    gibberish/boilerplate quality signal, computed as codegen aggregates
+    (ln n - Σ c·ln c / n) over an exploded (doc, char) stream."""
+    from pyspark_graph_spark.functions.cooccurrence import doc_char_entropy
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_char_entropy(docs)
+
+
+@query(
+    "integrity_audit",
+    oracle="""
+SELECT
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    AS orphan_lineitems,
+  (SELECT COUNT(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    AS orphan_orders,
+  (SELECT COUNT(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    AS unknown_suppliers,
+  (SELECT COUNT(*) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    AS unknown_nations
+""",
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    per FK edge in ONE row (anti-joins against broadcast dimension key
+    sets — at 100 TB each audit is a broadcast anti-join over the fact
+    scan, no shuffles). The data-quality gate you run before trusting any
+    downstream join."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(fact, key, dim, dim_key):
+        return (
+            fact.select(F.col(key))
+            .join(
+                F.broadcast(dim.select(F.col(dim_key).alias(key)).distinct()),
+                key,
+                "left_anti",
+            )
+            .select(F.count(F.lit(1)).alias("n"))
+        )
+
+    a = orphans(li, "l_orderkey", orders, "o_orderkey").select(
+        F.col("n").alias("orphan_lineitems")
+    )
+    b = orphans(orders, "o_custkey", cust, "c_custkey").select(
+        F.col("n").alias("orphan_orders")
+    )
+    c = orphans(li, "l_suppkey", supp, "s_suppkey").select(
+        F.col("n").alias("unknown_suppliers")
+    )
+    d = orphans(cust, "c_nationkey", nation, "n_nationkey").select(
+        F.col("n").alias("unknown_nations")
+    )
+    return a.crossJoin(b).crossJoin(c).crossJoin(d)
