@@ -1,0 +1,125 @@
+"""Sequence packing and document chunking for LLM training pipelines.
+
+Not in the reference (a graph library); these are the two operations that
+turn a deduplicated document corpus into fixed-length training sequences:
+
+``concat_chunk_pack`` implements the standard concat-then-chunk packing:
+documents are laid end-to-end in a deterministic order and the token stream
+is cut into ``ctx``-sized sequences; each document reports the chunk span it
+occupies. The cumulative offset is a prefix sum — computed with a window
+partitioned by ``group_col`` (pack group, e.g. ``source``), so no global
+single-task sort exists in the plan: each pack group is an independent
+partition, which is also the semantics you want (shards are packed
+per-source so a source can be re-packed without touching others). At 100 TB
+the group key bounds both shuffle skew and window state; a corpus with one
+giant group should pre-split it (e.g. hash the doc id into k subgroups).
+
+``chunk_documents`` explodes each document into overlapping character
+windows (size/stride) via ``sequence`` + ``explode`` + ``substring`` — all
+whole-stage-codegen expressions, no Python. Embarrassingly parallel: no
+shuffle at all; the plan is scan → generate → project.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.functions.text import token_count
+
+
+def concat_chunk_pack(
+    docs: DataFrame,
+    ctx: int,
+    group_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per pack group: order docs by ``order_col``, concatenate their token
+    streams, and cut into ``ctx``-token training sequences.
+
+    Returns one row per doc: (order_col, group_col, n_tokens, start_off,
+    first_chunk, last_chunk, n_chunks) where offsets index the group's
+    concatenated token stream and chunk ids are ``floor(offset / ctx)``.
+    Zero-token docs occupy no chunk and report first/last/n_chunks of the
+    empty span (first > last, n_chunks 0).
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = docs.select(
+        order_col,
+        group_col,
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    cum = toks.withColumn("end_off", F.sum("n_tokens").over(w))
+    out = cum.select(
+        order_col,
+        group_col,
+        "n_tokens",
+        (F.col("end_off") - F.col("n_tokens")).alias("start_off"),
+        F.floor((F.col("end_off") - F.col("n_tokens")) / ctx).alias("first_chunk"),
+        F.floor((F.col("end_off") - 1) / ctx).alias("last_chunk"),
+    )
+    return out.withColumn(
+        "n_chunks",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("last_chunk") - F.col("first_chunk") + 1,
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "first_chunk",
+        F.when(F.col("n_tokens") > 0, F.col("first_chunk")),
+    ).withColumn(
+        "last_chunk",
+        F.when(F.col("n_tokens") > 0, F.col("last_chunk")),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int,
+    stride: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Explode each document into overlapping character windows: starts at
+    0, stride, 2*stride, ..., stopping at the first window that reaches the
+    document end (K = max(ceil((len-size)/stride), 0)), so no chunk is a
+    pure suffix of its predecessor. Emits (id_col, chunk_id, chunk_start,
+    chunk_len, chunk_md5). Empty documents yield no chunks."""
+    last_start = (
+        F.greatest(
+            F.ceil((F.length(text_col) - F.lit(size)) / float(stride)),
+            F.lit(0),
+        ).cast("long")
+        * stride
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"), last_start, F.lit(stride).cast("long")
+    )
+    chunked = (
+        docs.filter(F.length(text_col) > 0)
+        .select(
+            id_col,
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.col(text_col)
+            .substr(F.col("chunk_start") + 1, F.lit(size))
+            .alias("__chunk"),
+        )
+    )
+    return chunked.select(
+        id_col,
+        "chunk_id",
+        "chunk_start",
+        F.length("__chunk").cast("long").alias("chunk_len"),
+        F.md5(F.col("__chunk")).alias("chunk_md5"),
+    )

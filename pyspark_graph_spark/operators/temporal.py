@@ -1,0 +1,145 @@
+"""Temporal joins: as-of (nearest prior event) and point-in-interval range join.
+
+Neither exists in the reference (aktungmak/pyspark-graph has no temporal
+operators); both are standard time-series/feature-pipeline primitives and are
+implemented Spark-first:
+
+``as_of_join`` uses the union-and-fill formulation rather than a join: tag the
+two streams, union them, and per key let every left row pick up the most
+recent right payload with ``last(..., ignorenulls=True)`` over an ordered
+window. One shuffle on the key, no join explosion, no per-row range probing —
+at 100 TB this is a single hash-partition by key + per-partition sort,
+which is exactly the minimum work the semantics allow. A naive
+``left.join(right, key).filter(r.ts <= l.ts)`` would materialize
+O(|matches|²) pairs per key before the argmax; this never builds pairs.
+
+``range_join_points_intervals`` joins points to intervals WITHOUT an equi
+key by time-binning: an interval [s, e) is exploded to every bin of width
+``bin_seconds`` it overlaps; a point belongs to exactly one bin, so the
+equi-join on bin meets each (point, interval) candidate pair exactly once
+(no post-join dedup) and the exact containment predicate filters bin-mates
+that don't truly overlap. Shuffle is on the bin key — bounded fan-out of
+ceil(len/bin)+1 copies per interval — instead of the cartesian product a
+pure theta-join would cost. Bin width should be on the order of the typical
+interval length (wider: more false bin-mates filtered late; narrower: more
+interval copies shuffled).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` within the same key group (backward as-of,
+    inclusive ties), or nulls if none (left-outer semantics).
+
+    ``tolerance`` is a Spark interval literal body (e.g. ``"2 HOURS"``);
+    matches older than ``left_ts - tolerance`` are nulled out.
+
+    Right rows are first deduplicated to one per (key, right_ts) —
+    deterministically, keeping the row with the greatest payload tuple in
+    column order — so the result is reproducible when the right stream has
+    timestamp collisions.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = [c for c in right.columns if c not in {*keys, right_ts}]
+    out_cols = [right_prefix + right_ts] + [right_prefix + c for c in payload]
+
+    w_dedup = Window.partitionBy(*keys, right_ts).orderBy(
+        *[F.col(c).desc() for c in payload] or [F.lit(1)]
+    )
+    r_uniq = (
+        right.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    r_tag = r_uniq.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias(right_prefix + right_ts),
+        *[F.col(c).alias(right_prefix + c) for c in payload],
+    )
+    l_tag = left.select(
+        "*",
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+    )
+    # right rows sort before left rows at equal timestamps (side 0 < 1), so
+    # an exactly-simultaneous right row IS visible to the left row: ties are
+    # inclusive, matching ASOF-join convention.
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias("__f_" + c)
+            for c in out_cols
+        ],
+    )
+    out = filled.filter(F.col("__side") == 1)
+    for c in out_cols:
+        out = out.withColumn(c, F.col("__f_" + c))
+    out = out.drop("__t", "__side", *["__f_" + c for c in out_cols])
+
+    if tolerance is not None:
+        in_tol = F.col(right_prefix + right_ts) >= F.col(left_ts) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        for c in out_cols:
+            out = out.withColumn(c, F.when(in_tol, F.col(c)))
+    return out
+
+
+def range_join_points_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Join point rows to every interval row with
+    ``start_col <= point_ts < end_col`` — no equi key required.
+
+    Both sides keep all their columns (names must not collide). Each
+    (point, interval) pair is emitted exactly once: the pair can only meet
+    in the point's single bin.
+    """
+    b = int(bin_seconds)
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_ts).cast("long") / b).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / b).cast("long"),
+                F.floor(F.col(end_col).cast("long") / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "__bin")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col))
+            & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("__bin")
+    )

@@ -3010,3 +3010,258 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("unknown_nations")
     )
     return a.crossJoin(b).crossJoin(c).crossJoin(d)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins, sequence packing, k-means (round 2 batch 2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "as_of_join",
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    QUALIFY row_number() OVER (
+        PARTITION BY user_id, ts ORDER BY event_id DESC, value DESC) = 1
+),
+p AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.value,
+       CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.event_id END
+         AS click_event_id,
+       CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR THEN c.value END
+         AS click_value,
+       CASE WHEN c.ts >= p.ts - INTERVAL 2 HOUR
+            THEN ROUND(epoch(p.ts) - epoch(c.ts), 3) END AS gap_sec
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def q_as_of_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase picks up the user's most recent
+    click at-or-before it, within a 2 h tolerance. Union-and-fill plan (one
+    shuffle on user_id, no pair explosion) vs DuckDB's native ASOF JOIN as
+    the oracle — two independent engines, two independent as-of
+    implementations."""
+    from pyspark_graph_spark.operators.temporal import as_of_join
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = as_of_join(
+        purchases, clicks, on="user_id", tolerance="2 HOURS",
+        right_prefix="click_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("click_event_id"),
+        F.col("click_value"),
+        F.round(
+            F.col("ts").cast("double") - F.col("click_ts").cast("double"), 3
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "range_join",
+    oracle="""
+WITH hours AS (
+    SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n_err
+    FROM events WHERE event_type = 'error' GROUP BY 1
+),
+bursts AS (
+    SELECT h - INTERVAL 30 MINUTE AS w_start, h + INTERVAL 90 MINUTE AS w_end
+    FROM hours WHERE n_err >= (SELECT AVG(n_err) * 1.5 FROM hours)
+)
+SELECT b.w_start, e.event_type,
+       COUNT(*) AS n_events, ROUND(SUM(e.value), 3) AS sum_value
+FROM events e JOIN bursts b
+  ON e.ts >= b.w_start AND e.ts < b.w_end
+GROUP BY 1, 2
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval range join: error-burst context windows
+    (hours with >= 1.5x the mean error count, padded to [-30 min, +90 min))
+    joined to ALL events by time containment. Spark side uses the binned
+    range join (intervals exploded to 1 h bins, equi-join on bin, exact
+    containment filter) — the oracle is DuckDB's native inequality join."""
+    from pyspark_graph_spark.operators.temporal import (
+        range_join_points_intervals,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.filter(F.col("event_type") == "error").groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_err"))
+    thr = hours.agg((F.avg("n_err") * 1.5).alias("__thr"))
+    bursts = (
+        hours.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_err") >= F.col("__thr"))
+        .select(
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+        )
+    )
+    pts = ev.select("ts", "event_type", "value")
+    joined = range_join_points_intervals(
+        pts, bursts, "ts", "w_start", "w_end", bin_seconds=3600
+    )
+    return joined.groupBy("w_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+@query(
+    "sequence_pack",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+    FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       end_off - n_tokens AS start_off,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor((end_off - n_tokens) / 256.0) AS BIGINT) END
+         AS first_chunk,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor((end_off - 1) / 256.0) AS BIGINT) END
+         AS last_chunk,
+       CASE WHEN n_tokens > 0
+            THEN CAST(floor((end_off - 1) / 256.0)
+                    - floor((end_off - n_tokens) / 256.0) + 1 AS BIGINT)
+            ELSE 0 END AS n_chunks
+FROM cum
+""",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing (ctx=256 tokens) per source: each
+    doc reports its token span and the training-sequence ids it occupies.
+    The prefix sum is windowed per source — no global sort, no single-task
+    window."""
+    from pyspark_graph_spark.functions.packing import concat_chunk_pack
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return concat_chunk_pack(docs, ctx=256, group_col="source")
+
+
+@query(
+    "doc_chunks",
+    oracle="""
+WITH starts AS (
+    SELECT doc_id, text,
+           unnest(range(0,
+               CAST(greatest(ceil((length(text) - 400) / 300.0), 0)
+                    AS BIGINT) * 300 + 1,
+               300)) AS chunk_start
+    FROM documents WHERE length(text) > 0
+),
+subs AS (
+    SELECT doc_id, chunk_start,
+           substr(text, CAST(chunk_start + 1 AS INT), 400) AS sub
+    FROM starts
+)
+SELECT doc_id,
+       CAST(chunk_start // 300 AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       CAST(length(sub) AS BIGINT) AS chunk_len,
+       md5(sub) AS chunk_md5
+FROM subs
+""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (400-char windows, stride 300):
+    pure codegen explode, zero shuffles — the RAG/pretraining chunker."""
+    from pyspark_graph_spark.functions.packing import chunk_documents
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=400, stride=300)
+
+
+def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+    """Unrolled Lloyd's in ANSI SQL: assign/update blocks repeated
+    n_iter times over list-typed embeddings."""
+    sq = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (e.v[i]-c.centroid[i])*(e.v[i]-c.centroid[i])))"
+    )
+    parts = [
+        "WITH emb AS (",
+        "    SELECT vec_id, list_transform(embedding,",
+        "           x -> CAST(x AS DOUBLE)) AS v FROM embeddings",
+        "),",
+        "c0 AS (",
+        "    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)",
+        "             AS cluster, v AS centroid",
+        f"    FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k})",
+        ")",
+    ]
+    for it in range(n_iter):
+        parts += [
+            f", s{it} AS (",
+            f"    SELECT e.vec_id, e.v, c.cluster, {sq} AS sq",
+            f"    FROM emb e CROSS JOIN c{it} c",
+            ")",
+            f", a{it} AS (",
+            f"    SELECT * FROM s{it} QUALIFY row_number() OVER (",
+            "        PARTITION BY vec_id ORDER BY sq, cluster) = 1",
+            ")",
+        ]
+        if it < n_iter - 1:
+            parts += [
+                f", c{it + 1} AS (",
+                "    SELECT cluster, list(m ORDER BY dim) AS centroid FROM (",
+                "        SELECT a.cluster, d.dim, avg(a.v[d.dim]) AS m",
+                f"        FROM a{it} a CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS dim) d",
+                "        GROUP BY a.cluster, d.dim",
+                "    ) GROUP BY cluster",
+                ")",
+            ]
+    parts += [
+        "SELECT vec_id, cluster, ROUND(sq, 6) AS sq_dist",
+        f"FROM a{n_iter - 1}",
+    ]
+    return "\n".join(parts)
+
+
+@query("kmeans", oracle=_kmeans_oracle(k=8, n_iter=3, dim=64))
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 3 rounds, deterministic lowest-id init) over
+    the embedding corpus. Assignment is a broadcast join against the k-row
+    centroid table + min_by argmin; the centroid update posexplodes to
+    (cluster, dim) and relies on map-side partial aggregation, so shuffle
+    volume is O(partitions * k * d) regardless of corpus size. Oracle:
+    the identical three rounds unrolled in SQL."""
+    from pyspark_graph_spark.ann.kmeans import KMeans
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = KMeans(k=8, n_iter=3).fit(emb)
+    return out.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round(F.col("sq_dist"), 6).alias("sq_dist"),
+    )
