@@ -39,15 +39,35 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as raw nanos and rebuild a microsecond
-        # timestamp (integer division — the synthetic nanos are whole µs,
-        # and DuckDB's reader truncates identically)
+        # events.ts is parquet TIMESTAMP(NANOS). Spark versions that cannot
+        # read nanos natively need spark.sql.legacy.parquet.nanosAsLong and a
+        # manual rebuild to a microsecond timestamp; newer Spark reads nanos
+        # directly as TIMESTAMP_NTZ truncated to micros (exactly DuckDB's
+        # behavior). Handle both by inspecting the resolved type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(ts_type, TimestampNTZType):
+            # rebuild an epoch-based TIMESTAMP from the naive value without
+            # going through the session timezone (a plain NTZ->TIMESTAMP cast
+            # would shift by the session offset): microseconds since the NTZ
+            # epoch is pure arithmetic, timezone-independent in any session
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -24,11 +24,27 @@ def read_events_stream(
 ) -> DataFrame:
     """Stream the events table as if its parquet files were arriving."""
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(f"{sf_dir}/events.parquet")
     )
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(stream.schema["ts"].dataType, TimestampNTZType):
+        # same timezone-independent NTZ -> epoch TIMESTAMP rebuild as
+        # sources/tables.py load_table (readers that wrote ts as epoch-based
+        # TIMESTAMP, e.g. the batch-written test fixtures, pass through)
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    return stream
 
 
 def streaming_tumbling_counts(
