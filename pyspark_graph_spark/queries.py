@@ -3265,3 +3265,128 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("long").alias("cluster"),
         F.round(F.col("sq_dist"), 6).alias("sq_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: modularity + Louvain (operators/louvain.py)
+# ---------------------------------------------------------------------------
+
+_MODULARITY_ORACLE = f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+asg AS (
+    SELECT CAST(s_suppkey AS BIGINT) AS v, CAST(s_nationkey AS BIGINT) AS c
+    FROM supplier
+),
+deg AS (
+    SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM supplier_sym GROUP BY src
+),
+degc AS (
+    SELECT a.c, CAST(SUM(d.deg) AS BIGINT) AS deg_c
+    FROM deg d JOIN asg a ON d.v = a.v GROUP BY a.c
+),
+intra AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS sum_e
+    FROM supplier_edges e
+    JOIN asg x ON e.src = x.v
+    JOIN asg y ON e.dst = y.v
+    WHERE x.c = y.c
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM supplier_edges),
+d2 AS (SELECT CAST(SUM(deg_c * deg_c) AS BIGINT) AS sum_d2 FROM degc)
+SELECT CAST(4 * m.m * intra.sum_e - d2.sum_d2 AS DOUBLE)
+       / CAST(4 * m.m * m.m AS DOUBLE) AS modularity
+FROM m, intra, d2
+"""
+
+
+@query("modularity", oracle=_MODULARITY_ORACLE)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the supplier co-occurrence graph partitioned by
+    supplier nation. Computed as ONE exact integer fraction divided once at
+    the end (operators/louvain.py:modularity), so the double is the
+    correctly-rounded quotient of exact integers — bit-identical to the
+    DuckDB oracle. Fully lazy: three hash aggregates + a 1-row broadcast."""
+    from pyspark_graph_spark.operators.louvain import modularity
+    from pyspark_graph_spark.sources.tables import supplier_co_occurrence_graph
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    asg = g.vertices.select(ID, F.col("s_nationkey").alias("community"))
+    return modularity(g, asg)
+
+
+def _louvain_sql(rounds: int) -> str:
+    """Unrolled synchronous Louvain local moving, mirroring
+    operators/louvain.py round-for-round: per round, each vertex scores
+    every neighboring community (plus its own) with the exact-integer gain
+    2m*k - deg*(tot - [c = own]*deg), takes the best (ties: stay, then
+    smallest community), and only ids of the round's parity move."""
+    ctes = [
+        "deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) "
+        "AS deg FROM supplier_sym GROUP BY src)",
+        "m2 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m2 "
+        "FROM supplier_sym)",
+        "a0 AS MATERIALIZED (SELECT v, v AS c FROM deg)",
+    ]
+    for r in range(rounds):
+        n = r + 1
+        ctes.append(
+            f"tot{r} AS (SELECT a.c, SUM(d.deg) AS tot FROM a{r} a "
+            "JOIN deg d ON a.v = d.v GROUP BY a.c)"
+        )
+        ctes.append(
+            f"k{r} AS (SELECT s.src AS u, a.c AS nc, "
+            "CAST(COUNT(*) AS BIGINT) AS k "
+            f"FROM supplier_sym s JOIN a{r} a ON s.dst = a.v "
+            "GROUP BY s.src, a.c)"
+        )
+        ctes.append(
+            f"cand{r} AS (SELECT u, nc, MAX(k) AS k FROM ("
+            f"SELECT u, nc, k FROM k{r} "
+            "UNION ALL "
+            f"SELECT v AS u, c AS nc, CAST(0 AS BIGINT) AS k FROM a{r}"
+            ") GROUP BY u, nc)"
+        )
+        ctes.append(
+            f"sc{r} AS (SELECT cd.u, cd.nc, a.c AS own, "
+            "m2.m2 * cd.k - d.deg * (t.tot - CASE WHEN cd.nc = a.c "
+            "THEN d.deg ELSE 0 END) AS score "
+            f"FROM cand{r} cd "
+            f"JOIN a{r} a ON cd.u = a.v "
+            "JOIN deg d ON cd.u = d.v "
+            f"JOIN tot{r} t ON cd.nc = t.c "
+            "CROSS JOIN m2)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT u, nc, own, ROW_NUMBER() OVER "
+            "(PARTITION BY u ORDER BY score DESC, (nc = own) DESC, nc ASC) "
+            f"AS rn FROM sc{r})"
+        )
+        ctes.append(
+            f"a{n} AS MATERIALIZED (SELECT u AS v, "
+            f"CASE WHEN abs(u) % 2 = {r % 2} THEN nc ELSE own END AS c "
+            f"FROM b{r} WHERE rn = 1)"
+        )
+    return (
+        f"WITH {SUPPLIER_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT a.v AS id, l.label AS community
+FROM a{rounds} a
+JOIN (SELECT c, MIN(v) AS label FROM a{rounds} GROUP BY c) l ON a.c = l.c
+"""
+    )
+
+
+@query("louvain", oracle=_louvain_sql(rounds=3))
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain community detection (3 synchronous local-moving rounds,
+    id-parity damping, exact-integer gains) on the supplier co-occurrence
+    graph. Every round is three bounded-key hash shuffles — no all-pairs
+    work — and the deterministic tie-breaks make the full trajectory
+    reproducible, so the oracle unrolls the identical rounds in SQL."""
+    from pyspark_graph_spark.operators.louvain import Louvain
+    from pyspark_graph_spark.sources.tables import supplier_co_occurrence_graph
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    return Louvain(fixed_rounds=3).run(g)
