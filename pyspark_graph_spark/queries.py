@@ -3390,3 +3390,67 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = supplier_co_occurrence_graph(spark, sf_dir)
     return Louvain(fixed_rounds=3).run(g)
+
+
+# ---------------------------------------------------------------------------
+# GraphSAGE-style k-hop neighbor sampling (operators/neighbor_sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def _neighbor_sample_sql(fanouts: list[int], seed_max_custkey: int) -> str:
+    """Unrolled hop-by-hop sampling mirroring NeighborSampler exactly:
+    per hop, frontier-incident edges ranked by the cross-engine 60-bit md5
+    of (src, dst, salt, hop) and the per-src top-fanout kept."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    def rank(hop: int) -> str:
+        return md5_hash60_sql(
+            "CAST(e.src AS VARCHAR) || ',' || CAST(e.dst AS VARCHAR) "
+            f"|| ',' || '' || ',' || '{hop}'"
+        )
+
+    ctes = [
+        "sym AS (SELECT src, dst FROM bipartite_edges "
+        "UNION SELECT dst AS src, src AS dst FROM bipartite_edges)",
+        "f0 AS (SELECT DISTINCT CAST(c_custkey * 2 AS BIGINT) AS src "
+        f"FROM customer WHERE c_custkey <= {seed_max_custkey})",
+    ]
+    selects = []
+    for hop, fanout in enumerate(fanouts, start=1):
+        prev = f"f{hop - 1}"
+        ctes.append(
+            f"h{hop} AS MATERIALIZED (SELECT CAST({hop} AS INT) AS hop, "
+            "src, dst FROM ("
+            "SELECT e.src, e.dst, ROW_NUMBER() OVER "
+            f"(PARTITION BY e.src ORDER BY {rank(hop)}, e.dst) AS rn "
+            f"FROM sym e JOIN {prev} f ON e.src = f.src"
+            f") WHERE rn <= {fanout})"
+        )
+        ctes.append(
+            f"f{hop} AS (SELECT DISTINCT dst AS src FROM h{hop})"
+        )
+        selects.append(f"SELECT hop, src, dst FROM h{hop}")
+    return (
+        f"WITH {BIPARTITE_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@query("neighbor_sample", oracle=_neighbor_sample_sql([3, 2], 5))
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 2-hop GraphSAGE-style sample (fanouts 3 then 2) around the
+    first five customers of the bipartite customer-supplier graph,
+    traversed undirected. Per hop: one frontier-edge hash join + a per-src
+    top-k window — frontier growth is capped at fanout^hops regardless of
+    hub degrees. The md5 ranking makes the sample a pure function of the
+    data, so the oracle unrolls the identical hops."""
+    from pyspark_graph_spark.operators.neighbor_sampling import NeighborSampler
+    from pyspark_graph_spark.sources.tables import customer_supplier_graph
+
+    g = customer_supplier_graph(spark, sf_dir)
+    seeds = g.vertices.filter(
+        (F.col("kind") == "customer") & (F.col(ID) <= 10)
+    )
+    return NeighborSampler(fanouts=[3, 2], undirected=True).run(g, seeds)
