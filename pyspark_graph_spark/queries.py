@@ -3454,3 +3454,66 @@ def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("kind") == "customer") & (F.col(ID) <= 10)
     )
     return NeighborSampler(fanouts=[3, 2], undirected=True).run(g, seeds)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: admit a new batch against a standing corpus
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL_DEDUP_ORACLE = rf"""
+WITH {_TOKS_CTE.strip()},
+bfp AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id % 2 = 1
+),
+cfp AS (
+    SELECT DISTINCT
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id % 2 = 0
+),
+exact_hit AS (SELECT DISTINCT doc_id FROM bfp JOIN cfp USING (fp)),
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS bid, b.doc_id AS cid, COUNT(*) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh
+    WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    GROUP BY 1, 2
+),
+near_hit AS (
+    SELECT DISTINCT bid AS doc_id
+    FROM common
+    JOIN sizes sa ON bid = sa.doc_id
+    JOIN sizes sb ON cid = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT doc_id FROM exact_hit)
+  AND d.doc_id NOT IN (SELECT doc_id FROM near_hit)
+"""
+
+
+@query("incremental_dedup", oracle=_INCREMENTAL_DEDUP_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission filter: odd-id documents form the incoming batch, even-id
+    documents the standing corpus; a batch doc is admitted iff it is
+    neither an exact-fingerprint nor a verified MinHash near-duplicate
+    (shingle Jaccard >= 0.5) of any corpus doc. Only bucket collisions are
+    joined — never the batch x corpus product — and in production the
+    corpus side is a precomputed bucketed index so admitting a batch
+    shuffles only the batch. Oracle recomputes both passes exactly (the
+    exact-Jaccard twin of the LSH path)."""
+    from pyspark_graph_spark.dedup.incremental import IncrementalDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = IncrementalDedup(threshold=0.5).admitted(corpus, batch)
+    return out.select("doc_id", "lang", "source")
