@@ -3517,3 +3517,44 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     out = IncrementalDedup(threshold=0.5).admitted(corpus, batch)
     return out.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training shuffle / shard assignment (functions/shuffle.py)
+# ---------------------------------------------------------------------------
+
+
+def _training_shuffle_sql(n_shards: int, seed: str) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql(f"CAST(doc_id AS VARCHAR) || '|' || '{seed}'")
+    return f"""
+WITH h AS (
+    SELECT doc_id, lang, source, {h} AS hh FROM documents
+),
+s AS (
+    SELECT doc_id, lang, source, hh,
+           CAST(hh % {n_shards} AS INT) AS shard FROM h
+)
+SELECT doc_id, lang, source, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+            AS INT) AS pos
+FROM s
+"""
+
+
+@query("training_shuffle", oracle=_training_shuffle_sql(8, "epoch0"))
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-0 global shuffle of the document corpus into 8
+    shards: shard = content-hash mod shards (row-local, zero shuffle),
+    position = per-shard rank over the hash (one shuffle on the shard id).
+    Content-keyed, not rand(): identical layout on any cluster/partitioning
+    and recomputable by the oracle."""
+    from pyspark_graph_spark.functions.shuffle import assign_shards
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    out = assign_shards(docs, "doc_id", 8, seed="epoch0")
+    return out.select("doc_id", "lang", "source", "shard", F.col("pos").cast("int"))
