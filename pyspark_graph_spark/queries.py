@@ -3558,3 +3558,37 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = assign_shards(docs, "doc_id", 8, seed="epoch0")
     return out.select("doc_id", "lang", "source", "shard", F.col("pos").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Click->purchase attribution join (streaming/structured.py stream-stream)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "click_attribution",
+    oracle="""
+SELECT p.event_id, p.user_id, p.value,
+       c.event_id AS click_id, c.value AS click_value,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 120 MINUTES
+""",
+)
+def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (purchase, click-by-same-user-within-2h) pair — the batch twin
+    of the watermarked stream-stream join (identical plan minus state; the
+    streaming test pins batch/stream equivalence). The two-sided time bound
+    is what makes the streaming form's state finite."""
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming.structured import (
+        streaming_click_purchase_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return streaming_click_purchase_join(ev)

@@ -6,6 +6,7 @@ from pyspark_graph_spark.streaming.events import (
 )
 from pyspark_graph_spark.streaming.structured import (
     read_events_stream,
+    streaming_click_purchase_join,
     streaming_session_stats,
     streaming_tumbling_counts,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "session_stats",
     "sessionize",
+    "streaming_click_purchase_join",
     "streaming_session_stats",
     "streaming_tumbling_counts",
     "tumbling_window_agg",

@@ -97,3 +97,55 @@ def streaming_session_stats(
             "total_value",
         )
     )
+
+
+def streaming_click_purchase_join(
+    events: DataFrame,
+    tolerance_minutes: int = 120,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase picks up every click by the
+    same user in the preceding ``tolerance_minutes`` window.
+
+    Both sides are watermarked and the join condition bounds event time in
+    BOTH directions, which is what lets Structured Streaming evict state:
+    a buffered click older than (watermark + tolerance) can never match a
+    future purchase and is dropped, so state is O(rate x window), not
+    O(stream). Without the time bound the join would buffer both streams
+    forever — the canonical unbounded-state mistake.
+
+    Works identically on batch frames (the same plan without state), which
+    is how the equivalence test pins the semantics.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+            F.col("value").alias("click_value"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", watermark)
+    )
+    cond = (
+        (purchases["user_id"] == clicks["c_user"])
+        & (clicks["click_ts"] <= purchases["ts"])
+        & (
+            clicks["click_ts"]
+            >= purchases["ts"] - F.expr(f"INTERVAL {tolerance_minutes} MINUTES")
+        )
+    )
+    return purchases.join(clicks, on=cond, how="inner").select(
+        "event_id",
+        "user_id",
+        "value",
+        "click_id",
+        "click_value",
+        F.unix_micros("ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )

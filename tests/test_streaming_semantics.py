@@ -143,3 +143,107 @@ def test_streaming_tumbling_drops_late_events(spark, tmp_path):
     assert emitted[base + 20 * 60 * 1_000_000] == 1
     # [10:40,...) never closed -> not emitted in append mode
     assert base + 40 * 60 * 1_000_000 not in emitted
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    """availableNow stream-stream interval join == the batch twin."""
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming import (
+        read_events_stream,
+        streaming_click_purchase_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        tuple(r)
+        for r in streaming_click_purchase_join(ev).collect()
+    }
+
+    # the streaming parquet source needs a directory; stage one
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    stream = read_events_stream(spark, str(tmp_path))
+    q = (
+        streaming_click_purchase_join(stream)
+        .writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM t_ssj").collect()}
+    assert got == batch
+    assert len(got) > 0
+
+
+def test_stream_stream_join_state_is_bounded(spark, tmp_path):
+    """A click older than watermark + tolerance is evicted: a purchase
+    arriving in a later micro-batch no longer joins it, even though the
+    batch twin would."""
+    from pyspark_graph_spark.streaming import streaming_click_purchase_join
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = (
+        streaming_click_purchase_join(
+            stream, tolerance_minutes=60, watermark="10 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("t_ssj_bound")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        # batch 1: the click that will be evicted
+        _write_batch(
+            src / "b1.parquet",
+            [(1, _ts("2024-01-01 00:00:00"), 7, "click", 1.0)],
+            cols,
+        )
+        out.processAllAvailable()
+        # batch 2: far-future events on BOTH sides (the global watermark is
+        # the min across the two watermarked inputs — a side that has seen
+        # no data pins it at zero) advance the watermark to 08:50, far
+        # beyond click 1's survival horizon (00:00 + 60m tolerance)
+        _write_batch(
+            src / "b2.parquet",
+            [
+                (2, _ts("2024-01-01 09:00:00"), 8, "click", 1.0),
+                (5, _ts("2024-01-01 09:00:00"), 9, "purchase", 1.0),
+            ],
+            cols,
+        )
+        out.processAllAvailable()
+        # batch 3: watermark 08:50 is now in effect -> click 1 evicted at
+        # this batch's state cleanup (eviction lags the advance by one
+        # batch: a watermark computed at batch N's end applies from N+1)
+        _write_batch(
+            src / "b3.parquet",
+            [(4, _ts("2024-01-01 09:01:00"), 8, "click", 1.0)],
+            cols,
+        )
+        out.processAllAvailable()
+        # batch 4: purchase within tolerance of click 1 by event time,
+        # but click 1's state no longer exists
+        _write_batch(
+            src / "b4.parquet",
+            [(3, _ts("2024-01-01 00:30:00"), 7, "purchase", 5.0)],
+            cols,
+        )
+        out.processAllAvailable()
+        joined = spark.sql(
+            "SELECT * FROM t_ssj_bound WHERE event_id = 3"
+        ).collect()
+        assert joined == []
+    finally:
+        out.stop()
