@@ -89,3 +89,32 @@ def stratified_sample_sql(
         f"{hash_expr} < (CASE {cases} "
         f"ELSE {int(default_rate * _HASH_SPACE)} END)"
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    quota: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``quota`` rows per group, chosen deterministically.
+
+    Source quota enforcement ("at most N docs per domain"): rows are ranked
+    inside each group by the content hash (+ salt) and the top ``quota``
+    kept — a reproducible uniform draw, independent of partitioning, that
+    an external engine can recompute. One shuffle on the group column; the
+    per-group window keeps O(group size) state and AQE skew-splitting
+    handles a dominant group. Change ``salt`` to redraw.
+    """
+    if quota < 1:
+        raise ValueError("quota must be >= 1")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col).orderBy("__qh", key_col)
+    return (
+        df.withColumn("__qh", sample_hash(F.col(key_col), salt))
+        .withColumn("__qrn", F.row_number().over(win))
+        .filter(F.col("__qrn") <= quota)
+        .drop("__qh", "__qrn")
+    )

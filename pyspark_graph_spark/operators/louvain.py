@@ -233,6 +233,9 @@ class Louvain:
 
     def _local_moving(self, und: DataFrame) -> DataFrame:
         """Run rounds on one level; returns assignment (v, c)."""
+        # materialize the symmetric edge list once: it feeds the k-join of
+        # EVERY round, and leaving it lazy re-runs the upstream edge
+        # construction (e.g. the co-occurrence self-join) per round
         sym = (
             und.filter(F.col("a") != F.col("b"))
             .select(F.col("a").alias("u"), F.col("b").alias("n"), "w")
@@ -241,6 +244,7 @@ class Louvain:
                     F.col("b").alias("u"), F.col("a").alias("n"), "w"
                 )
             )
+            .localCheckpoint()
         )
         deg = _weighted_degrees(und).localCheckpoint()
         two_m = deg.agg(F.sum("deg").alias("m2"))

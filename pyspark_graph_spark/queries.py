@@ -3592,3 +3592,102 @@ def q_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return streaming_click_purchase_join(ev)
+
+
+# ---------------------------------------------------------------------------
+# Source quotas, unigram LM scoring, KMV sketch (functions/)
+# ---------------------------------------------------------------------------
+
+
+def _source_quota_sql(quota: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql("CAST(doc_id AS VARCHAR) || ''")
+    return f"""
+SELECT doc_id, source FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+    FROM documents
+) WHERE rn <= {quota}
+"""
+
+
+@query("source_quota", oracle=_source_quota_sql(20))
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota enforcement: at most 20 documents per source, drawn
+    deterministically by content-hash rank (reproducible on any cluster
+    or partitioning; redrawable by salt). One shuffle on source; AQE
+    skew-splits a dominant source."""
+    from pyspark_graph_spark.functions.sampling import quota_sample
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return quota_sample(docs, "source", "doc_id", quota=20)
+
+
+_UNIGRAM_ORACLE = rf"""
+WITH {_TOKS_CTE.strip()},
+tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+terms AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM terms)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(log2((cnt + 1) / (total + vocab))), 6) AS neg_log2_p
+FROM tok JOIN terms USING (token) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@query("unigram_scores", oracle=_UNIGRAM_ORACLE)
+def q_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scores: mean -log2 P(token) per document
+    under the corpus's own add-one-smoothed unigram model. Term table ~
+    vocabulary size (AQE broadcasts it); token stream never leaves the
+    executors."""
+    from pyspark_graph_spark.functions.lm import unigram_scores
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_scores(docs)
+
+
+def _kmv_sql(k: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql("CAST(token AS VARCHAR)")
+    return rf"""
+WITH {_TOKS_CTE.strip()},
+tok AS (SELECT DISTINCT source, token FROM (
+    SELECT d.source, unnest(t.t) AS token
+    FROM toks t JOIN documents d USING (doc_id))),
+hashed AS (SELECT DISTINCT source AS grp, {h} AS h FROM tok),
+topk AS (
+    SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn
+    FROM hashed
+),
+agg AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_hash
+    FROM topk WHERE rn <= {k} GROUP BY grp
+)
+SELECT grp AS source, n_kept, kth_hash,
+       ROUND(CASE WHEN n_kept < {k} THEN n_kept * 1.0
+                  ELSE ({k} - 1) * 1152921504606846976.0 / kth_hash
+             END, 3) AS estimate
+FROM agg
+"""
+
+
+@query("kmv_sketch", oracle=_kmv_sql(64))
+def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch: per source, estimate the distinct-token
+    cardinality from the 64 smallest content hashes. Deterministic (unlike
+    HLL) so the ESTIMATE itself is oracle-checked; sketches merge
+    associatively across shards/days without touching raw data."""
+    from pyspark_graph_spark.functions.sketch import kmv_distinct
+    from pyspark_graph_spark.functions.text import tokens as tok_fn
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "source", F.explode(tok_fn(F.col("text"))).alias("token")
+    )
+    return kmv_distinct(pairs, "source", "token", k=64)

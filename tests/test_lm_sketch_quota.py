@@ -1,0 +1,147 @@
+"""Unigram LM scoring, KMV sketch, and quota sampling."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.functions.lm import unigram_scores
+from pyspark_graph_spark.functions.sampling import quota_sample
+from pyspark_graph_spark.functions.sketch import kmv_distinct
+
+
+# ------------------------------------------------------------------ unigram
+
+
+def test_unigram_scores_match_python(spark):
+    docs = [
+        (1, "a a b"),
+        (2, "a c"),
+        (3, "zz zz zz"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.neg_log2_p) for r in unigram_scores(df).collect()}
+
+    counts = {"a": 3, "b": 1, "c": 1, "zz": 3}
+    total, vocab = 8, 4
+
+    def p(t):
+        return (counts[t] + 1) / (total + vocab)
+
+    for doc_id, text in docs:
+        toks = text.split()
+        expect = -sum(math.log2(p(t)) for t in toks) / len(toks)
+        n, score = got[doc_id]
+        assert n == len(toks)
+        assert score == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_unigram_rare_tokens_score_worse(spark):
+    rows = [(i, "common words repeated here") for i in range(20)]
+    rows.append((99, "xqzt vrwp unseen gibberish"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.neg_log2_p for r in unigram_scores(df).collect()}
+    assert got[99] > got[0]
+
+
+def test_unigram_empty_docs_omitted(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "   ")], ["doc_id", "text"])
+    assert {r.doc_id for r in unigram_scores(df).collect()} == {1}
+
+
+# -------------------------------------------------------------------- kmv
+
+
+def test_kmv_exact_below_capacity(spark):
+    df = spark.createDataFrame(
+        [("s", f"v{i}") for i in range(10)], ["grp", "val"]
+    )
+    row = kmv_distinct(df, "grp", "val", k=64).first()
+    assert row.n_kept == 10
+    assert row.estimate == 10.0
+
+
+def test_kmv_estimate_accuracy_above_capacity(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [("s", f"value-{i}") for i in range(n)], ["grp", "val"]
+    )
+    row = kmv_distinct(df, "grp", "val", k=256).first()
+    assert row.n_kept == 256
+    # KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 3 sigma
+    assert abs(row.estimate - n) / n < 0.2
+
+
+def test_kmv_duplicates_do_not_inflate(spark):
+    df = spark.createDataFrame(
+        [("s", f"v{i % 10}") for i in range(1000)], ["grp", "val"]
+    )
+    row = kmv_distinct(df, "grp", "val", k=64).first()
+    assert row.n_kept == 10 and row.estimate == 10.0
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    """k smallest of (A ∪ B) == k smallest of (k-smallest(A) ∪ k-smallest(B))."""
+    a = [("x", f"a{i}") for i in range(500)]
+    b = [("x", f"b{i}") for i in range(500)]
+    k = 64
+    union = kmv_distinct(
+        spark.createDataFrame(a + b, ["grp", "val"]), "grp", "val", k=k
+    ).first()
+    # merge: take each side's k-minimum hashes, union, re-take k minimum
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+
+    def k_min(rows):
+        df = spark.createDataFrame(rows, ["grp", "val"]).select(
+            md5_hash60(F.col("val")).alias("h")
+        ).distinct()
+        return [r.h for r in df.orderBy("h").limit(k).collect()]
+
+    merged = sorted(set(k_min(a)) | set(k_min(b)))[:k]
+    assert merged[-1] == union.kth_hash
+
+
+def test_kmv_invalid_k(spark):
+    df = spark.createDataFrame([("s", "v")], ["grp", "val"])
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "grp", "val", k=1)
+
+
+# ------------------------------------------------------------------- quota
+
+
+def test_quota_caps_each_group(spark):
+    rows = [(f"d{i}", "big") for i in range(50)] + [
+        (f"e{i}", "small") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = quota_sample(df, "source", "doc_id", quota=10)
+    counts = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert counts == {"big": 10, "small": 3}
+
+
+def test_quota_deterministic_and_partition_invariant(spark):
+    rows = [(f"d{i}", "s") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    a = sorted(r.doc_id for r in quota_sample(df, "source", "doc_id", 7).collect())
+    b = sorted(
+        r.doc_id
+        for r in quota_sample(df.repartition(17), "source", "doc_id", 7).collect()
+    )
+    assert a == b and len(a) == 7
+
+
+def test_quota_salt_redraws(spark):
+    rows = [(f"d{i}", "s") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    draws = {
+        tuple(sorted(r.doc_id for r in quota_sample(df, "source", "doc_id", 7, salt=s).collect()))
+        for s in ("", "x", "y")
+    }
+    assert len(draws) > 1
+
+
+def test_quota_invalid(spark):
+    df = spark.createDataFrame([("d", "s")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        quota_sample(df, "source", "doc_id", 0)
