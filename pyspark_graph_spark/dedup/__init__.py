@@ -1,5 +1,6 @@
 from pyspark_graph_spark.dedup.embedding import EmbeddingDedup
 from pyspark_graph_spark.dedup.exact import ExactDedup
+from pyspark_graph_spark.dedup.incremental import IncrementalDedup
 from pyspark_graph_spark.dedup.minhash import MinHashLSH
 from pyspark_graph_spark.dedup.ngram import NgramJaccardDedup
 from pyspark_graph_spark.dedup.simhash import SimHashDedup
@@ -7,6 +8,7 @@ from pyspark_graph_spark.dedup.simhash import SimHashDedup
 __all__ = [
     "EmbeddingDedup",
     "ExactDedup",
+    "IncrementalDedup",
     "MinHashLSH",
     "NgramJaccardDedup",
     "SimHashDedup",

@@ -26,6 +26,12 @@ from pyspark_graph_spark.operators.triangle_count import TriangleCount
 from pyspark_graph_spark.operators.walks import RandomWalks
 from pyspark_graph_spark.operators.weighted_paths import WeightedShortestPaths
 from pyspark_graph_spark.operators.wl_kernel import WLKernel
+from pyspark_graph_spark.operators.louvain import Louvain, modularity
+from pyspark_graph_spark.operators.neighbor_sampling import NeighborSampler
+from pyspark_graph_spark.operators.temporal import (
+    as_of_join,
+    range_join_points_intervals,
+)
 
 __all__ = [
     "AggregateMessages",
@@ -48,6 +54,11 @@ __all__ = [
     "PageRank",
     "Pregel",
     "RandomWalks",
+    "Louvain",
+    "modularity",
+    "NeighborSampler",
+    "as_of_join",
+    "range_join_points_intervals",
     "StronglyConnectedComponents",
     "TriangleCount",
     "WeightedShortestPaths",
