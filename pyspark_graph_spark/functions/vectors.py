@@ -69,3 +69,32 @@ def cosine_similarity_arrow(a: Column, b: Column) -> Column:
 
 
 _cosine_arrow_udf = None
+
+
+def max_abs(a: Column) -> Column:
+    """Largest absolute element (double)."""
+    return F.array_max(F.transform(_d(a), lambda x: F.abs(x)))
+
+
+def quantize_int8(a: Column) -> tuple[Column, Column]:
+    """Per-vector symmetric int8 scalar quantization.
+
+    Returns ``(codes, scale)``: ``codes[i] = round(127 * x[i] / max_abs)``
+    in [-127, 127] and ``scale = max_abs / 127`` (reconstruct as
+    ``codes[i] * scale``). Row-local with no trained bounds — zero
+    shuffles, storage drops 4x (float32 -> int8), and the worst-case
+    per-element error is scale/2. Zero vectors quantize to all-zero codes
+    with scale 0.
+    """
+    m = max_abs(a)
+    codes = F.when(
+        m > 0,
+        F.transform(_d(a), lambda x: F.round(F.lit(127.0) * x / m).cast("int")),
+    ).otherwise(F.transform(_d(a), lambda x: F.lit(0)))
+    scale = F.when(m > 0, m / F.lit(127.0)).otherwise(F.lit(0.0))
+    return codes, scale
+
+
+def dequantize_int8(codes: Column, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8` (lossy reconstruction)."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)

@@ -231,3 +231,45 @@ class Graph:
             directed=self.directed,
             indexed=True,
         )
+
+    def filter_edges(self, condition: Column) -> "Graph":
+        """Subgraph keeping every vertex and only edges matching
+        ``condition`` (GraphFrames ``filterEdges``; no reference analogue —
+        the reference has no subgraph operators). Pure narrow filter: zero
+        shuffles, and an attribute predicate pushes into the edge scan."""
+        return Graph(
+            self.vertices,
+            self.edges.filter(condition),
+            directed=self.directed,
+            indexed=True,
+        )
+
+    def filter_vertices(self, condition: Column) -> "Graph":
+        """Vertex-induced subgraph: vertices matching ``condition`` and the
+        edges with BOTH endpoints kept (GraphFrames ``filterVertices``).
+
+        Two semi-joins of the edge table against the surviving vertex ids —
+        at scale the id set is a projected single column, so AQE broadcasts
+        it when small; otherwise both joins shuffle on the edge endpoint
+        already used by neighboring stages."""
+        v = self.vertices.filter(condition)
+        ids = v.select(ID)
+        e = (
+            self.edges.join(ids.withColumnRenamed(ID, SRC), on=SRC, how="semi")
+            .join(ids.withColumnRenamed(ID, DST), on=DST, how="semi")
+            .select(*self.edges.columns)  # joins move keys first; restore order
+        )
+        return Graph(v, e, directed=self.directed, indexed=True)
+
+    def subgraph(
+        self,
+        vertex_condition: Column | None = None,
+        edge_condition: Column | None = None,
+    ) -> "Graph":
+        """Apply an edge predicate, then induce on a vertex predicate."""
+        g = self
+        if edge_condition is not None:
+            g = g.filter_edges(edge_condition)
+        if vertex_condition is not None:
+            g = g.filter_vertices(vertex_condition)
+        return g

@@ -3691,3 +3691,120 @@ def q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(tok_fn(F.col("text"))).alias("token")
     )
     return kmv_distinct(pairs, "source", "token", k=64)
+
+
+# ---------------------------------------------------------------------------
+# Subgraph induction + global transitivity (graph.py, triangle_count.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "induced_subgraph",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()},
+keep AS (
+    SELECT CAST(c_custkey * 2 AS BIGINT) AS id, c_nationkey AS nk FROM customer
+    UNION ALL
+    SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS id, s_nationkey AS nk FROM supplier
+),
+kept AS (SELECT id FROM keep WHERE nk < 12),
+induced AS (
+    SELECT e.src, e.dst FROM bipartite_edges e
+    JOIN kept a ON e.src = a.id
+    JOIN kept b ON e.dst = b.id
+)
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_degree
+FROM induced GROUP BY src
+""",
+)
+def q_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex-induced subgraph (GraphFrames filterVertices semantics):
+    restrict the bipartite graph to nations 0-11 and report the surviving
+    out-degrees. Induction is two semi-joins of the edge list against the
+    projected survivor-id column — AQE broadcasts it when small."""
+    from pyspark_graph_spark.sources.tables import customer_supplier_graph
+
+    g = customer_supplier_graph(spark, sf_dir)
+    sub = g.filter_vertices(F.col("nationkey") < 12)
+    return sub.out_degrees
+
+
+@query(
+    "transitivity",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS t
+    FROM supplier_edges e1
+    JOIN supplier_edges e2 ON e1.dst = e2.src
+    JOIN supplier_edges e3 ON e1.src = e3.src AND e2.dst = e3.dst
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM supplier_sym GROUP BY src),
+w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg)
+SELECT tri.t AS n_triangles, w.wedges,
+       CAST(3 * tri.t AS DOUBLE) / CAST(w.wedges AS DOUBLE) AS transitivity
+FROM tri, w
+""",
+)
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3T/W of the supplier graph: triangle
+    count via the density-adaptive operator (complement inclusion-exclusion
+    on this dense graph), wedges from the degree aggregate; one exact
+    integer division at the end (cross-engine deterministic)."""
+    from pyspark_graph_spark.sources.tables import supplier_co_occurrence_graph
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    t = TriangleCount().run(g)
+    wedges = (
+        g.degrees.agg(
+            F.sum(F.col(DEGREE) * (F.col(DEGREE) - 1) / 2).cast("long")
+        ).first()[0]
+    )
+    return spark.createDataFrame(
+        [(t, wedges, (3.0 * t) / wedges)],
+        "n_triangles long, wedges long, transitivity double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (functions/vectors.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+WITH m AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS ma
+    FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(CASE WHEN m.ma > 0 THEN m.ma / 127.0 ELSE 0.0 END, 9) AS scale,
+       CASE WHEN m.ma > 0 THEN
+           list_aggr(list_transform(embedding,
+               x -> CAST(CAST(round(127.0 * CAST(x AS DOUBLE) / m.ma)
+                              AS INT) AS VARCHAR)), 'string_agg', ',')
+       ELSE
+           list_aggr(list_transform(embedding, x -> '0'),
+                     'string_agg', ',')
+       END AS codes
+FROM embeddings e JOIN m USING (vec_id)
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding corpus:
+    4x storage reduction as a pure row-local expression (zero shuffles;
+    the plan is scan -> project). Codes serialized to a comma string for
+    the driver's canonicalizer; scale rounded to 9 decimals."""
+    from pyspark_graph_spark.functions.vectors import quantize_int8
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, scale = quantize_int8(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.array_join(codes.cast("array<string>"), ",").alias("codes"),
+    )

@@ -112,3 +112,60 @@ def test_validate_index_detects_collision(spark):
     g = _Graph(v, e, indexed=True)
     with _pytest.raises(ValueError):
         g.validate_index()
+
+
+# ---------------------------------------------------------- subgraph filters
+
+
+def _toy_graph(spark):
+    from pyspark_graph_spark.graph import Graph
+
+    v = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], ["id", "grp"]
+    )
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 5.0), (3, 4, 2.0), (1, 4, 9.0)],
+        ["src", "dst", "w"],
+    )
+    return Graph(v, e, directed=True, indexed=True)
+
+
+def test_filter_edges_keeps_all_vertices(spark):
+    from pyspark.sql import functions as F
+
+    g = _toy_graph(spark)
+    sub = g.filter_edges(F.col("w") < 3)
+    assert sub.vertices.count() == 4
+    assert {(r.src, r.dst) for r in sub.edges.collect()} == {(1, 2), (3, 4)}
+
+
+def test_filter_vertices_induces_edges(spark):
+    from pyspark.sql import functions as F
+
+    g = _toy_graph(spark)
+    sub = g.filter_vertices(F.col("grp") == "a")
+    assert {r.id for r in sub.vertices.collect()} == {1, 2}
+    # only 1->2 has both endpoints surviving
+    assert {(r.src, r.dst) for r in sub.edges.collect()} == {(1, 2)}
+
+
+def test_subgraph_composes_edge_then_vertex(spark):
+    from pyspark.sql import functions as F
+
+    g = _toy_graph(spark)
+    sub = g.subgraph(
+        vertex_condition=F.col("id") <= 3,
+        edge_condition=F.col("w") >= 2,
+    )
+    assert {r.id for r in sub.vertices.collect()} == {1, 2, 3}
+    assert {(r.src, r.dst) for r in sub.edges.collect()} == {(2, 3)}
+
+
+def test_subgraph_preserves_flags_and_columns(spark):
+    from pyspark.sql import functions as F
+
+    g = _toy_graph(spark)
+    sub = g.filter_vertices(F.col("grp") == "a")
+    assert sub.directed == g.directed
+    assert sub.edges.columns == g.edges.columns
+    assert sub.vertices.columns == g.vertices.columns

@@ -149,3 +149,85 @@ def test_stratified_sample_no_shuffle(spark):
         df, {"en": 0.5}, "stratum", "k"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure map-side filter
+
+
+# ------------------------------------------------------------ quantization
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_graph_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    codes, scale = quantize_int8(F.col("embedding"))
+    out = df.select(
+        "vec_id",
+        "embedding",
+        codes.alias("codes"),
+        scale.alias("scale"),
+        dequantize_int8(codes.alias("codes"), scale).alias("recon"),
+    ).collect()
+    for r in out:
+        assert all(-127 <= c <= 127 for c in r.codes)
+        half = r.scale / 2 + 1e-12
+        for x, y in zip(r.embedding, r.recon):
+            assert abs(x - y) <= half
+
+
+def test_quantize_int8_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_graph_spark.functions.vectors import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    codes, scale = quantize_int8(F.col("embedding"))
+    r = df.select(codes.alias("c"), scale.alias("s")).first()
+    assert r.c == [0, 0, 0] and r.s == 0.0
+
+
+def test_quantize_int8_preserves_ann_ranking(spark):
+    """Top-1 cosine neighbor is usually preserved under int8: check on a
+    well-separated synthetic set (exactness not required in general, but
+    this set is constructed to survive quantization)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspark_graph_spark.functions.vectors import (
+        cosine_similarity,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    base = np.eye(8)
+    vecs = [(i, [float(x) for x in base[i % 8] + 0.01 * i]) for i in range(24)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    codes, scale = quantize_int8(F.col("embedding"))
+    q = df.select("vec_id", dequantize_int8(codes, scale).alias("recon"),
+                  "embedding")
+    a = q.alias("a")
+    b = q.alias("b")
+    for col, name in (("embedding", "exact"), ("recon", "quant")):
+        pairs = (
+            a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("x"),
+                F.col("b.vec_id").alias("y"),
+                cosine_similarity(F.col(f"a.{col}"), F.col(f"b.{col}")).alias("sim"),
+            )
+        )
+        top = (
+            pairs.orderBy(F.desc("sim"), "x", "y").limit(1).first()
+        )
+        if name == "exact":
+            exact_top = (top.x, top.y)
+        else:
+            assert (top.x, top.y) == exact_top
