@@ -39,27 +39,40 @@ class PageRank:
         max_iterations: int = 10,
         tolerance: float | None = None,
         sources: list[int] | None = None,
+        weight_col: str | None = None,
     ):
         """``sources``: personalize — the (1-α) reset mass lands uniformly
         on these vertex ids instead of everywhere (random walk with restart
-        to the source set). None = classic PageRank."""
+        to the source set). None = classic PageRank.
+
+        ``weight_col``: edge-weighted variant — a vertex's rank splits over
+        its out-edges proportionally to the edge weight (transition
+        probability w / Σw) instead of uniformly. Same plan shape: the
+        degree table becomes a weight-sum table, everything else is
+        unchanged."""
         self.alpha = alpha
         self.max_iterations = max_iterations
         self.tolerance = tolerance
         self.sources = sources
+        self.weight_col = weight_col
 
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, pagerank)`` for every vertex."""
         # pre-partition the static edge side on the join key: per-iteration
         # joins then shuffle only the rank frame
+        w = (
+            F.col(self.weight_col).cast("double")
+            if self.weight_col
+            else F.lit(1.0)
+        )
         edges = (
-            g.symmetric_edges.select(SRC, DST)
+            g.symmetric_edges.select(SRC, DST, w.alias("__w"))
             .repartition(F.col(SRC))
             .localCheckpoint()
         )
         deg = (
             edges.groupBy(SRC)
-            .agg(F.count(F.lit(1)).alias("__deg"))
+            .agg(F.sum("__w").alias("__deg"))
             .localCheckpoint()
         )
         verts = g.vertices.select(ID).localCheckpoint()
@@ -81,7 +94,9 @@ class PageRank:
                 .join(ranks, on=F.col(SRC) == F.col(ID))
                 .select(
                     F.col(DST).alias(ID),
-                    (F.col(PAGERANK) / F.col("__deg")).alias("__c"),
+                    (F.col(PAGERANK) * F.col("__w") / F.col("__deg")).alias(
+                        "__c"
+                    ),
                 )
                 .groupBy(ID)
                 .agg(F.sum("__c").alias("__sum"))

@@ -17,8 +17,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark_graph_spark.constants import ADJ, DEGREE, ID, IN_DEGREE, OUT_DEGREE
+from pyspark_graph_spark.constants import (
+    ADJ,
+    DEGREE,
+    DST,
+    ID,
+    IN_DEGREE,
+    OUT_DEGREE,
+    SRC,
+)
 from pyspark_graph_spark.datalog import DatalogQuery, Edge, Vertex
+from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.operators.similarity import (
     JaccardSimilarity,
     OverlapCoefficient,
@@ -3808,3 +3817,75 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale, 9).alias("scale"),
         F.array_join(codes.cast("array<string>"), ",").alias("codes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the nation trade graph
+# ---------------------------------------------------------------------------
+
+_TRADE_CTE = """
+trade AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+           CAST(s.s_nationkey AS BIGINT) AS dst,
+           CAST(COUNT(*) AS DOUBLE) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+)
+"""
+
+_WPR_ITER = """
+p{n} AS (
+    SELECT v.id, 0.15 + 0.85 * COALESCE(SUM(p{p}.pr * e.w / deg.d), 0) AS pr
+    FROM verts v
+    LEFT JOIN trade e ON e.dst = v.id
+    LEFT JOIN p{p} ON p{p}.id = e.src
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id
+)"""
+
+
+@query(
+    "weighted_pagerank",
+    oracle=f"""
+WITH {_TRADE_CTE.strip()},
+deg AS (SELECT src AS id, SUM(w) AS d FROM trade GROUP BY src),
+verts AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+p0 AS (SELECT id, 1.0 AS pr FROM verts),
+{_WPR_ITER.format(n=1, p=0).strip()},
+{_WPR_ITER.format(n=2, p=1).strip()},
+{_WPR_ITER.format(n=3, p=2).strip()}
+SELECT id, ROUND(pr, 6) AS pagerank FROM p3
+""",
+)
+def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank on the directed nation trade graph (edge
+    weight = number of customer-nation -> supplier-nation lineitems): rank
+    splits over out-edges proportionally to trade volume. Same two-shuffle
+    iteration as unweighted PageRank — the degree table just becomes a
+    weight-sum table. Oracle unrolls the weighted power iteration."""
+    from pyspark_graph_spark.operators.pagerank import PageRank
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    trade = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias(SRC),
+            F.col("s_nationkey").alias(DST),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias(ID)
+    )
+    g = Graph(nations, trade, directed=True, indexed=True)
+    out = PageRank(alpha=0.85, max_iterations=3, weight_col="w").run(g)
+    return out.select(ID, F.round("pagerank", 6).alias("pagerank"))

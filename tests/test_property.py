@@ -139,6 +139,55 @@ def test_pagerank_matches_python_power_iteration(spark, seed):
         assert got[v] == pytest.approx(pr[v], rel=1e-9)
 
 
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_weighted_pagerank_matches_python(spark, seed):
+    """Edge-weighted variant vs an independent python power iteration;
+    uniform weights must also reproduce the unweighted ranks exactly."""
+    import random as _random
+
+    g, n, edges = random_graph(spark, seed)
+    dedup = sorted(set(edges))
+    rng = _random.Random(seed)
+    w = {e: float(rng.randint(1, 5)) for e in dedup}
+    from pyspark.sql import functions as F
+
+    we = spark.createDataFrame(
+        [(a, b, w[(a, b)]) for a, b in dedup], ["src", "dst", "w"]
+    )
+    from pyspark_graph_spark.graph import Graph
+
+    gw = Graph(g.vertices, we, directed=True, indexed=True)
+    wsum = defaultdict(float)
+    for a, b in dedup:
+        wsum[a] += w[(a, b)]
+    pr = {v: 1.0 for v in range(n)}
+    for _ in range(4):
+        contrib = defaultdict(float)
+        for a, b in dedup:
+            contrib[b] += pr[a] * w[(a, b)] / wsum[a]
+        pr = {v: 0.15 + 0.85 * contrib[v] for v in range(n)}
+    got = {
+        r["id"]: r["pagerank"]
+        for r in PageRank(alpha=0.85, max_iterations=4, weight_col="w")
+        .run(gw)
+        .collect()
+    }
+    for v in range(n):
+        assert got[v] == pytest.approx(pr[v], rel=1e-9)
+
+    uniform = we.withColumn("w", F.lit(1.0))
+    gu = Graph(g.vertices, uniform, directed=True, indexed=True)
+    a = sorted(
+        (r["id"], round(r["pagerank"], 12))
+        for r in PageRank(max_iterations=3, weight_col="w").run(gu).collect()
+    )
+    b = sorted(
+        (r["id"], round(r["pagerank"], 12))
+        for r in PageRank(max_iterations=3).run(gu).collect()
+    )
+    assert a == b
+
+
 def py_tarjan(n, edges):
     """Iterative Tarjan; returns {vertex: max vertex id in its SCC}."""
     adj = defaultdict(list)
