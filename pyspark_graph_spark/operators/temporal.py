@@ -143,3 +143,62 @@ def range_join_points_intervals(
         )
         .drop("__bin")
     )
+
+
+def graph_at(
+    edges: DataFrame,
+    start,
+    end,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Edges active in the half-open window [start, end) — the snapshot
+    view of a timestamped edge list. A pure filter: pushes into the scan
+    (and into partition pruning when the edge table is date-partitioned,
+    the standard layout for event-sourced graphs at scale)."""
+    c = F.col(ts_col)
+    return edges.filter((c >= F.lit(start)) & (c < F.lit(end)))
+
+
+def windowed_graph_metrics(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+    bucket: str = "year",
+) -> DataFrame:
+    """Graph-evolution metrics per time bucket over a timestamped edge
+    list: distinct undirected edges, active vertices, and density.
+
+    One shuffle keyed by (bucket, canonical pair) for the edge dedup, one
+    by (bucket, vertex) for the vertex count — both map-side combined.
+    ``bucket`` is any ``date_trunc`` unit. Density divides exact integers
+    once, so the double is cross-engine deterministic.
+    """
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    pairs = edges.select(
+        b,
+        F.least(src_col, dst_col).alias("a"),
+        F.greatest(src_col, dst_col).alias("b"),
+    ).distinct()
+    e_per = pairs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_edges"))
+    verts = (
+        pairs.select("bucket", F.col("a").alias("v"))
+        .unionByName(pairs.select("bucket", F.col("b").alias("v")))
+        .distinct()
+    )
+    v_per = verts.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        e_per.join(v_per, on="bucket")
+        .select(
+            "bucket",
+            "n_edges",
+            "n_vertices",
+            F.when(
+                F.col("n_vertices") > 1,
+                (2.0 * F.col("n_edges"))
+                / (F.col("n_vertices") * (F.col("n_vertices") - F.lit(1))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("density"),
+        )
+    )

@@ -3889,3 +3889,76 @@ def q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = Graph(nations, trade, directed=True, indexed=True)
     out = PageRank(alpha=0.85, max_iterations=3, weight_col="w").run(g)
     return out.select(ID, F.round("pagerank", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal graph evolution (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_evolution",
+    oracle="""
+WITH ts_edges AS (
+    SELECT DISTINCT date_trunc('year', o.o_orderdate) AS bucket,
+           LEAST(a.l_suppkey, b.l_suppkey) AS a,
+           GREATEST(a.l_suppkey, b.l_suppkey) AS b
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    JOIN orders o ON a.l_orderkey = o.o_orderkey
+),
+e AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM ts_edges GROUP BY bucket),
+v AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vertices FROM (
+        SELECT DISTINCT bucket, a AS v FROM ts_edges
+        UNION SELECT DISTINCT bucket, b FROM ts_edges
+      ) GROUP BY bucket)
+SELECT CAST(strftime(e.bucket, '%Y') AS INT) AS year, e.n_edges, v.n_vertices,
+       CASE WHEN v.n_vertices > 1 THEN
+            2.0 * e.n_edges / (v.n_vertices * (v.n_vertices - 1))
+       ELSE 0.0 END AS density
+FROM e JOIN v USING (bucket)
+""",
+)
+def q_graph_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-by-year evolution of the supplier co-occurrence graph: each
+    edge carries its order date; per year, distinct edges, active
+    suppliers, and density. Snapshot filtering is a pure scan-level
+    predicate (date-partition-prunable at scale); the metrics are two
+    map-side-combined aggregates and one exact integer division."""
+    from pyspark_graph_spark.operators.temporal import windowed_graph_metrics
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    ts_edges = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_suppkey") < F.col("b.l_suppkey"),
+            ],
+        )
+        .join(orders, F.col("a.l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+            F.col("o_orderdate").alias("ts"),
+        )
+    )
+    out = windowed_graph_metrics(ts_edges, bucket="year")
+    return out.select(
+        F.year("bucket").alias("year"),
+        "n_edges",
+        "n_vertices",
+        "density",
+    )

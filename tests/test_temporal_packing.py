@@ -244,3 +244,60 @@ class TestKMeans:
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         out = KMeans(k=8, n_iter=2).fit(emb)
         assert out.select("cluster").distinct().count() == 8
+
+
+# ------------------------------------------------------- temporal snapshots
+
+
+def test_graph_at_half_open_window(spark):
+    from datetime import datetime
+
+    from pyspark_graph_spark.operators.temporal import graph_at
+
+    e = spark.createDataFrame(
+        [
+            (1, 2, datetime(2024, 1, 1)),
+            (2, 3, datetime(2024, 2, 1)),
+            (3, 4, datetime(2024, 3, 1)),
+        ],
+        ["src", "dst", "ts"],
+    )
+    out = graph_at(e, datetime(2024, 1, 1), datetime(2024, 3, 1))
+    assert {(r.src, r.dst) for r in out.collect()} == {(1, 2), (2, 3)}
+
+
+def test_windowed_graph_metrics_counts_and_density(spark):
+    from datetime import datetime
+
+    from pyspark_graph_spark.operators.temporal import windowed_graph_metrics
+
+    e = spark.createDataFrame(
+        [
+            # 2023: triangle 1-2-3 (dense)
+            (1, 2, datetime(2023, 5, 1)),
+            (2, 3, datetime(2023, 6, 1)),
+            (3, 1, datetime(2023, 7, 1)),
+            (2, 1, datetime(2023, 8, 1)),  # reverse dup merges
+            # 2024: single edge
+            (5, 6, datetime(2024, 1, 15)),
+        ],
+        ["src", "dst", "ts"],
+    )
+    rows = {
+        r.bucket.year: (r.n_edges, r.n_vertices, r.density)
+        for r in windowed_graph_metrics(e, bucket="year").collect()
+    }
+    assert rows[2023] == (3, 3, 1.0)
+    assert rows[2024] == (1, 2, 1.0)
+
+
+def test_windowed_graph_metrics_isolated_bucket_density_zero(spark):
+    from datetime import datetime
+
+    from pyspark_graph_spark.operators.temporal import windowed_graph_metrics
+
+    e = spark.createDataFrame(
+        [(7, 7, datetime(2022, 1, 1))], ["src", "dst", "ts"]
+    )  # self-loop only: one vertex
+    r = windowed_graph_metrics(e, bucket="year").first()
+    assert r.n_vertices == 1 and r.density == 0.0
