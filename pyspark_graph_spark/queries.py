@@ -3962,3 +3962,64 @@ def q_graph_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vertices",
         "density",
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge learning (functions/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Unrolled BPE rounds: identical pair counting (freq-weighted), the
+    identical (count DESC, left, right) argmax, and the identical
+    single-replace greedy merge on the double-space symbol string."""
+    ctes = [
+        "wf AS MATERIALIZED (SELECT token AS word, COUNT(*) AS freq "
+        "FROM (SELECT unnest(t) AS token FROM toks) GROUP BY token)",
+        "s1 AS MATERIALIZED (SELECT '  ' || array_to_string("
+        "list_transform(range(1, len(word)+1), "
+        "i -> substr(word, CAST(i AS INT), 1)), '  ') || '  ' AS s, freq "
+        "FROM wf)",
+    ]
+    for step in range(1, n_merges + 1):
+        ctes.append(
+            f"p{step} AS (SELECT tk[CAST(i AS INT)] AS lft, "
+            "tk[CAST(i AS INT) + 1] AS rgt, SUM(freq) AS pair_count "
+            f"FROM (SELECT string_split(trim(s), '  ') AS tk, freq FROM s{step}) "
+            "CROSS JOIN UNNEST(range(1, len(tk))) AS g(i) "
+            "GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{step} AS MATERIALIZED (SELECT CAST({step} AS INT) AS step, "
+            "lft, rgt, CAST(pair_count AS BIGINT) AS pair_count "
+            f"FROM p{step} ORDER BY pair_count DESC, lft, rgt LIMIT 1)"
+        )
+        if step < n_merges:
+            ctes.append(
+                f"s{step + 1} AS MATERIALIZED (SELECT "
+                "replace(s, ' ' || b.lft || '  ' || b.rgt || ' ', "
+                "' ' || b.lft || b.rgt || ' ') AS s, freq "
+                f"FROM s{step} CROSS JOIN b{step} b)"
+            )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT step, lft AS left, rgt AS right, pair_count FROM b{s}"
+        for s in range(1, n_merges + 1)
+    )
+    return (
+        f"WITH {_TOKS_CTE.strip()},\n" + ",\n".join(ctes) + "\n" + selects
+    )
+
+
+@query("bpe_merges", oracle=_bpe_sql(6))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges learned on the document corpus. After one
+    corpus-wide word-count pass, every round runs on the vocabulary-sized
+    frequency table: one explode+sum (map-side combined), a 1-row argmax
+    broadcast, and a row-local greedy merge via literal string
+    replacement — a primitive both engines share byte-for-byte, so the
+    oracle replays the identical rounds."""
+    from pyspark_graph_spark.functions.bpe import learn_bpe_merges
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=6)
