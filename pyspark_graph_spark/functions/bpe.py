@@ -108,3 +108,40 @@ def learn_bpe_merges(
     for df in out_rows[1:]:
         out = out.unionByName(df)
     return out
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge list: ``(id, n_words, n_subwords)``.
+
+    ``merges`` is ordinary planning-time metadata (the learned tokenizer,
+    typically a few thousand pairs) compiled into a chain of literal
+    replacements — row-local whole-stage-codegen expressions, zero
+    shuffles before the final per-doc aggregate. Application order is the
+    learned order, same greedy left-to-right semantics as learning.
+    """
+    word = F.explode(tokens(F.col(text_col))).alias("word")
+    base = docs.select(F.col(id_col), word)
+    s = F.concat(
+        F.lit(SEP), F.array_join(F.split("word", ""), SEP), F.lit(SEP)
+    )
+    for left, right in merges:
+        s = F.replace(
+            s,
+            F.lit(f" {left}{SEP}{right} "),
+            F.lit(f" {left}{right} "),
+        )
+    return (
+        base.select(F.col(id_col), s.alias("s"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size(F.split(F.trim(F.col("s")), SEP))).alias(
+                "n_subwords"
+            ),
+        )
+    )

@@ -4023,3 +4023,130 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return learn_bpe_merges(docs, n_merges=6)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer application, mixture planning, skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+def _apply_bpe_sql(n_merges: int) -> str:
+    """Recompute the learned merges (same unrolled rounds as bpe_merges),
+    then replay them over every (doc, word) symbol string."""
+    learn = _bpe_sql(n_merges)
+    # reuse the CTE block of the learn oracle, drop its final SELECT
+    ctes = learn.split("\nSELECT step,")[0]
+    apply_ctes = [
+        "dw AS (SELECT doc_id, unnest(t) AS word FROM toks)",
+        "a0 AS (SELECT doc_id, '  ' || array_to_string("
+        "list_transform(range(1, len(word)+1), "
+        "i -> substr(word, CAST(i AS INT), 1)), '  ') || '  ' AS s FROM dw)",
+    ]
+    for step in range(1, n_merges + 1):
+        apply_ctes.append(
+            f"a{step} AS (SELECT doc_id, "
+            "replace(s, ' ' || b.lft || '  ' || b.rgt || ' ', "
+            "' ' || b.lft || b.rgt || ' ') AS s "
+            f"FROM a{step - 1} CROSS JOIN b{step} b)"
+        )
+    return (
+        ctes
+        + ",\n"
+        + ",\n".join(apply_ctes)
+        + f"""
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(string_split(trim(s), '  '))) AS BIGINT) AS n_subwords
+FROM a{n_merges}
+GROUP BY doc_id
+"""
+    )
+
+
+@query("bpe_tokenize", oracle=_apply_bpe_sql(6))
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the 6 learned BPE merges to the corpus and report per-doc
+    word and subword counts. The merge list is planning-time metadata (a
+    6-row collect of the learned tokenizer) compiled into a chain of
+    literal replacements — row-local codegen, zero shuffles before the
+    per-doc aggregate."""
+    from pyspark_graph_spark.functions.bpe import apply_bpe, learn_bpe_merges
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    learned = sorted(
+        ((r["step"], r["left"], r["right"])
+         for r in learn_bpe_merges(docs, n_merges=6).collect())
+    )
+    merges = [(l, r) for _, l, r in learned]
+    return apply_bpe(docs, merges)
+
+
+@query(
+    "mixture_plan",
+    oracle="""
+WITH inv AS (
+    SELECT lang AS grp, CAST(SUM(len(list_filter(
+        string_split_regex(lower(text), '\\s+'), t -> t <> ''))) AS BIGINT)
+        AS tokens
+    FROM documents GROUP BY lang
+),
+w AS (
+    SELECT grp, tokens,
+           CAST(CASE grp WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.2
+                    WHEN 'fr' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS weight
+    FROM inv
+)
+SELECT grp AS lang, tokens, weight,
+       CAST(ROUND(weight * 50000.0, 3) AS DOUBLE) AS target,
+       ROUND(LEAST(1.0, weight * 50000.0 / tokens), 9) AS rate,
+       ROUND(LEAST(weight * 50000.0, CAST(tokens AS DOUBLE)), 3)
+           AS achievable
+FROM w
+""",
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture planning: per-language token inventory -> deterministic
+    sampling rates for a 50k-token budget at 50/20/20 en/de/fr weights.
+    Arithmetic over a groups-sized table; rates feed stratified_sample
+    directly."""
+    from pyspark_graph_spark.functions.mixture import mixture_plan
+    from pyspark_graph_spark.functions.text import token_count
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.groupBy(F.col("lang").alias("lang")).agg(
+        F.sum(token_count(F.col("text"))).alias("tokens")
+    )
+    return mixture_plan(
+        inv,
+        {"en": 0.5, "de": 0.2, "fr": 0.2},
+        budget=50_000.0,
+        group_col="lang",
+        tokens_col="tokens",
+    )
+
+
+@query(
+    "skew_report",
+    oracle="""
+WITH counts AS (
+    SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT SUM(cnt) AS total FROM counts)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank,
+       key, cnt, CAST(cnt AS DOUBLE) / total AS share
+FROM counts, tot
+ORDER BY cnt DESC, key LIMIT 10
+""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key pre-flight: the 10 heaviest supplier keys in lineitem
+    with their share of the table — one map-side-combined aggregate plus
+    a TakeOrdered top-k, the measurement that decides salting/AQE
+    settings before a 100 TB join."""
+    from pyspark_graph_spark.functions.mixture import skew_report
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew_report(li, "l_suppkey", top=10)
