@@ -4150,3 +4150,102 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return skew_report(li, "l_suppkey", top=10)
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: sliding windows, funnels, retention (streaming/events.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sliding_windows",
+    oracle="""
+WITH ev AS (
+    SELECT epoch_us(ts) AS us, event_type, value FROM events
+),
+win AS (
+    SELECT unnest(range(
+               CAST(floor(us / 300000000) * 300 - 300 AS BIGINT),
+               CAST(floor(us / 300000000) * 300 + 1 AS BIGINT),
+               300)) AS window_start_s,
+           event_type, value
+    FROM ev
+)
+SELECT window_start_s, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS total_value
+FROM win GROUP BY 1, 2
+""",
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 10-minute windows sliding every 5: each event fans out
+    to exactly width/slide = 2 window starts (an explode of enumerated
+    starts, not a join), then one hash aggregate."""
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming.events import sliding_window_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_window_agg(ev, width_seconds=600, slide_seconds=300)
+
+
+@query(
+    "funnel",
+    oracle="""
+WITH base AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+l1 AS (SELECT u, MIN(ts) AS ts0 FROM base WHERE t = 'signup' GROUP BY u),
+l2 AS (
+    SELECT b.u, MIN(b.ts) AS ts1 FROM base b JOIN l1 ON b.u = l1.u
+    WHERE b.t = 'click' AND b.ts > l1.ts0 GROUP BY b.u
+),
+l3 AS (
+    SELECT b.u, MIN(b.ts) AS ts2 FROM base b JOIN l2 ON b.u = l2.u
+    WHERE b.t = 'purchase' AND b.ts > l2.ts1 GROUP BY b.u
+)
+SELECT 1 AS step, 'signup' AS event_type,
+       CAST((SELECT COUNT(*) FROM l1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT COUNT(*) FROM l2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM l3) AS BIGINT)
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup -> click -> purchase funnel: per step, users whose
+    earliest qualifying event follows their previous step's. k-1 hash
+    aggregates on the user key plus a lazy 1-row readout per level —
+    no window-over-session, no cross join, no driver-side counting."""
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming.events import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "click", "purchase"])
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH activity AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(floor(epoch_us(ts) / 604800000000) * 604800 AS BIGINT)
+               AS bucket_s
+    FROM events
+),
+cohort AS (SELECT u, MIN(bucket_s) AS cohort_s FROM activity GROUP BY u)
+SELECT c.cohort_s,
+       CAST((a.bucket_s - c.cohort_s) / 604800 AS INT) AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN cohort c ON a.u = c.u
+WHERE (a.bucket_s - c.cohort_s) / 604800 <= 8
+GROUP BY 1, 2
+""",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users bucketed by first-activity week,
+    counted in each later week they return (offsets 0-8). Two hash
+    aggregates and one user-key join — no row explosion beyond distinct
+    (user, week) pairs."""
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming.events import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev)
