@@ -4249,3 +4249,76 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout keys + R-MAT synthetic graphs
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from pyspark_graph_spark.functions.layout import zvalue_sql
+
+    z = zvalue_sql("l_orderkey % 1024", "l_suppkey % 1024", bits=10)
+    return f"""
+SELECT l_orderkey, l_suppkey, {z} AS zval
+FROM lineitem
+WHERE l_orderkey % 97 = 0
+"""
+
+
+@query("zorder_key", oracle=_zorder_oracle())
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values interleaving (orderkey, suppkey) bits — the sort
+    key that makes range predicates on EITHER column file-prunable from
+    one physical ordering. Pure integer expression tree in codegen; zero
+    shuffles."""
+    from pyspark_graph_spark.functions.layout import zvalue
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 97 == 0
+    )
+    return li.select(
+        "l_orderkey",
+        "l_suppkey",
+        zvalue(
+            F.col("l_orderkey") % 1024, F.col("l_suppkey") % 1024, bits=10
+        ).alias("zval"),
+    )
+
+
+def _rmat_oracle() -> str:
+    from pyspark_graph_spark.sources.generators import rmat_edges_sql
+
+    return f"""
+WITH edges AS ({rmat_edges_sql(scale=8, n_edges=4096)}),
+deg AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges
+    ) GROUP BY v
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY degree
+"""
+
+
+@query("rmat_graph", oracle=_rmat_oracle())
+def q_rmat_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of a hash-deterministic R-MAT graph (2^8 vertices,
+    4096 edges, a=0.57): synthetic power-law graphs generated from pure
+    expressions — same graph on any cluster or engine, zero storage, zero
+    shuffles to generate. The benchmarking workhorse for iterative
+    operators at arbitrary scale."""
+    from pyspark_graph_spark.sources.generators import rmat_edges
+
+    e = rmat_edges(spark, scale=8, n_edges=4096)
+    deg = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    )

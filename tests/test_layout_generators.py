@@ -1,0 +1,87 @@
+"""Z-order layout keys and R-MAT generation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.functions.layout import zorder_write, zvalue
+from pyspark_graph_spark.sources.generators import rmat_edges
+
+
+def test_zvalue_interleaves_bits(spark):
+    df = spark.createDataFrame([(0b101, 0b011)], ["a", "b"])
+    # a bits at odd positions: 1,0,1 -> 2^1 + 2^5; b bits even: 1,1,0 -> 2^0 + 2^2
+    expect = (1 << 1) + (1 << 5) + (1 << 0) + (1 << 2)
+    assert df.select(zvalue(F.col("a"), F.col("b"), 4).alias("z")).first().z == expect
+
+
+def test_zvalue_locality(spark):
+    """Rows close in both dims are close in z; verify the classic 4x4
+    Morton curve ordering prefix."""
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = sorted(
+        (r.z, r.x, r.y)
+        for r in df.select(
+            "x", "y", zvalue(F.col("x"), F.col("y"), 2).alias("z")
+        ).collect()
+    )
+    assert [(x, y) for _, x, y in out[:4]] == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_zvalue_invalid_bits(spark):
+    with pytest.raises(ValueError):
+        zvalue(F.lit(1), F.lit(1), 0)
+
+
+def test_zorder_write_tightens_file_stats(spark, tmp_path):
+    """Z-ordered files have tighter per-file min/max spans on both columns
+    than the unsorted layout."""
+    import itertools
+
+    rows = [(x, y) for x, y in itertools.product(range(64), repeat=2)]
+    df = spark.createDataFrame(rows, ["x", "y"]).repartition(8)
+    path = str(tmp_path / "z")
+    zorder_write(df, path, "x", "y", n_files=16, bits=6)
+    back = spark.read.parquet(path)
+    spans = (
+        back.groupBy(F.spark_partition_id())
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .agg(F.avg("sx").alias("ax"), F.avg("sy").alias("ay"))
+        .first()
+    )
+    # random layout would span ~63 on both; z-order must be far tighter
+    assert spans.ax < 40 and spans.ay < 40
+
+
+def test_rmat_deterministic_and_in_range(spark):
+    e1 = sorted(tuple(r) for r in rmat_edges(spark, scale=6, n_edges=500).collect())
+    e2 = sorted(tuple(r) for r in rmat_edges(spark, scale=6, n_edges=500).collect())
+    assert e1 == e2
+    assert len(e1) == 500
+    for s, d in e1:
+        assert 0 <= s < 64 and 0 <= d < 64
+
+
+def test_rmat_skews_toward_low_ids(spark):
+    """a=0.57 concentrates mass in the low-id quadrant: vertex 0's corner
+    must be denser than the high corner."""
+    e = rmat_edges(spark, scale=8, n_edges=4000).collect()
+    low = sum(1 for r in e if r.src < 64 and r.dst < 64)
+    high = sum(1 for r in e if r.src >= 192 and r.dst >= 192)
+    assert low > 4 * high
+
+
+def test_rmat_seed_changes_graph(spark):
+    a = sorted(tuple(r) for r in rmat_edges(spark, scale=6, n_edges=300, seed="s1").collect())
+    b = sorted(tuple(r) for r in rmat_edges(spark, scale=6, n_edges=300, seed="s2").collect())
+    assert a != b
+
+
+def test_rmat_invalid_params(spark):
+    with pytest.raises(ValueError):
+        rmat_edges(spark, scale=0)
+    with pytest.raises(ValueError):
+        rmat_edges(spark, scale=4, a=0.9, b=0.2, c=0.2)
