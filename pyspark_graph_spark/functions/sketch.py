@@ -69,3 +69,76 @@ def kmv_distinct(
             3,
         ).alias("estimate"),
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch: ``(row, bucket, cnt)`` — ``depth`` independent
+    md5-salted hash rows of ``width`` buckets.
+
+    Frequency twin of the KMV cardinality sketch, and like it fully
+    deterministic (salted content hashes, no RNG): the same data builds
+    the same sketch anywhere, sketches ADD cell-wise across shards/days,
+    and storage is a constant depth x width grid regardless of input
+    size. One shuffle: the (row, bucket) aggregate, map-side combined.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2, depth >= 1")
+    rows = []
+    for d in range(depth):
+        rows.append(
+            df.select(
+                F.lit(d).alias("row"),
+                F.pmod(
+                    md5_hash60(
+                        F.concat_ws(
+                            ",", F.lit(f"cms{d}"), F.col(value_col).cast("string")
+                        )
+                    ),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """(item, estimate) point-frequency estimates: min over the sketch
+    rows of the item's bucket count — never an underestimate, over by at
+    most the collision mass (eps ~ e/width of the total count, prob
+    1 - (1/2)^depth). Items join the depth x |items| probe keys against
+    the sketch grid."""
+    probes = None
+    for d in range(depth):
+        p = items.select(
+            F.col(item_col).alias("item"),
+            F.lit(d).alias("row"),
+            F.pmod(
+                md5_hash60(
+                    F.concat_ws(
+                        ",", F.lit(f"cms{d}"), F.col(item_col).cast("string")
+                    )
+                ),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    return (
+        probes.join(sketch, on=["row", "bucket"], how="left")
+        .na.fill({"cnt": 0})
+        .groupBy("item")
+        .agg(F.min("cnt").alias("estimate"))
+    )

@@ -4322,3 +4322,71 @@ def q_rmat_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_vertices")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation (functions/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def _cms_sql(width: int, depth: int, topn: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    def bucket(d: int, expr: str) -> str:
+        h = md5_hash60_sql(f"'cms{d}' || ',' || CAST({expr} AS VARCHAR)")
+        return f"(({h}) % {width})"
+
+    sketch_rows = "\nUNION ALL\n".join(
+        f"SELECT {d} AS row, {bucket(d, 'token')} AS bucket FROM tok"
+        for d in range(depth)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT item, {d} AS row, {bucket(d, 'item')} AS bucket FROM items"
+        for d in range(depth)
+    )
+    return rf"""
+WITH {_TOKS_CTE.strip()},
+tok AS (SELECT unnest(t) AS token FROM toks),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+items AS (
+    SELECT token AS item FROM exact ORDER BY cnt DESC, token LIMIT {topn}
+),
+grid AS (
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM ({sketch_rows})
+    GROUP BY row, bucket
+),
+probes AS ({probe_rows})
+SELECT p.item, CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS estimate,
+       CAST(MIN(e.cnt) AS BIGINT) AS exact
+FROM probes p
+LEFT JOIN grid g ON p.row = g.row AND p.bucket = g.bucket
+JOIN exact e ON e.token = p.item
+GROUP BY p.item
+"""
+
+
+@query("cms_frequencies", oracle=_cms_sql(width=256, depth=4, topn=5))
+def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream: the 5 most frequent
+    tokens probed against a 4x256 deterministic sketch grid, estimate vs
+    exact side by side. The sketch is constant-size, cell-wise mergeable
+    across shards, and never underestimates; one map-side-combined
+    aggregate builds it."""
+    from pyspark_graph_spark.functions.sketch import cms_estimate, cms_sketch
+    from pyspark_graph_spark.functions.text import tokens as tok_fn
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tok_fn(F.col("text"))).alias("token"))
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    items = (
+        exact.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(5)
+        .select(F.col("token").alias("item"), "cnt")
+        .localCheckpoint()
+    )
+    sk = cms_sketch(tok, "token", width=256, depth=4)
+    est = cms_estimate(sk, items, "item", width=256, depth=4)
+    return est.join(items, on="item").select(
+        "item", "estimate", F.col("cnt").alias("exact")
+    )

@@ -85,3 +85,34 @@ def test_rmat_invalid_params(spark):
         rmat_edges(spark, scale=0)
     with pytest.raises(ValueError):
         rmat_edges(spark, scale=4, a=0.9, b=0.2, c=0.2)
+
+
+def test_cc_on_rmat_matches_union_find(spark):
+    """Integration: a generated power-law graph feeds the O(log n) CC
+    operator; verify against python union-find."""
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators import AlternatingConnectedComponents
+
+    e = rmat_edges(spark, scale=7, n_edges=600)
+    edges = [(r.src, r.dst) for r in e.collect()]
+    ids = sorted({u for p in edges for u in p})
+    v = spark.createDataFrame([(i,) for i in ids], ["id"])
+    g = Graph(v, e, directed=False, indexed=True)
+    got = {
+        r.id: r.component
+        for r in AlternatingConnectedComponents(max_iterations=30).run(g).collect()
+    }
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    expect = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+    assert got == expect

@@ -145,3 +145,54 @@ def test_quota_invalid(spark):
     df = spark.createDataFrame([("d", "s")], ["doc_id", "source"])
     with pytest.raises(ValueError):
         quota_sample(df, "source", "doc_id", 0)
+
+
+# ------------------------------------------------------------------ cms
+
+
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    from pyspark_graph_spark.functions.sketch import cms_estimate, cms_sketch
+
+    rows = [("a",)] * 100 + [("b",)] * 10 + [(f"noise{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, ["v"])
+    sk = cms_sketch(df, "v", width=512, depth=4)
+    items = spark.createDataFrame([("a",), ("b",), ("absent",)], ["item"])
+    est = {
+        r.item: r.estimate
+        for r in cms_estimate(sk, items, "item", width=512, depth=4).collect()
+    }
+    assert est["a"] >= 100 and est["b"] >= 10
+    # wide sketch, tiny corpus -> estimates should be exact here
+    assert est["a"] == 100 and est["b"] == 10
+    assert est["absent"] == 0
+
+
+def test_cms_merges_cellwise(spark):
+    from pyspark_graph_spark.functions.sketch import cms_sketch
+
+    a = spark.createDataFrame([("x",)] * 5 + [("y",)] * 3, ["v"])
+    b = spark.createDataFrame([("x",)] * 2 + [("z",)] * 4, ["v"])
+    both = a.unionByName(b)
+    merged = {
+        (r.row, r.bucket): r.cnt
+        for r in cms_sketch(both, "v", width=64, depth=3).collect()
+    }
+    from collections import Counter
+
+    summed = Counter()
+    for part in (a, b):
+        for r in cms_sketch(part, "v", width=64, depth=3).collect():
+            summed[(r.row, r.bucket)] += r.cnt
+    assert merged == dict(summed)
+
+
+def test_cms_invalid_params(spark):
+    import pytest as _pytest
+
+    from pyspark_graph_spark.functions.sketch import cms_sketch
+
+    df = spark.createDataFrame([("v",)], ["v"])
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "v", width=1)
+    with _pytest.raises(ValueError):
+        cms_sketch(df, "v", depth=0)
