@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import (
@@ -4389,4 +4389,90 @@ def q_cms_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = cms_estimate(sk, items, "item", width=256, depth=4)
     return est.join(items, on="item").select(
         "item", "estimate", F.col("cnt").alias("exact")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN classification over the embedding corpus (ann/brute.py composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "knn_classifier",
+    oracle="""
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 60),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nl,
+           ROUND(
+             list_sum(list_transform(range(1, len(q.embedding)+1),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+           6) AS sim
+    FROM embeddings c, q
+    WHERE q.vec_id <> c.vec_id
+),
+tk AS (
+    SELECT query_id, nl FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+),
+vote AS (
+    SELECT query_id, nl AS predicted FROM (
+        SELECT query_id, nl, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY COUNT(*) DESC, nl) AS vr
+        FROM tk GROUP BY query_id, nl
+    ) WHERE vr = 1
+)
+SELECT q.label, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN v.predicted = q.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+FROM vote v JOIN q ON v.query_id = q.vec_id
+GROUP BY q.label
+""",
+)
+def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN majority-vote classification of the first 60
+    embedding vectors against the full corpus, reported as per-label
+    correct/total. Composes the brute-force top-k (broadcast queries,
+    no corpus shuffle, rounded-then-ranked determinism) with a
+    deterministic majority vote (count desc, label asc)."""
+    from pyspark_graph_spark.ann.brute import BruteForceKNN
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 60)
+    topk = BruteForceKNN(k=5).topk(emb, queries_df)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")),
+        on="neighbor_id",
+    )
+    vote = (
+        labeled.groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "vr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("n"), F.asc("nl")
+                )
+            ),
+        )
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("nl").alias("predicted"))
+    )
+    truth = queries_df.select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    return (
+        vote.join(truth, on="query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
     )
