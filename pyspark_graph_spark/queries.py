@@ -1955,10 +1955,9 @@ def q_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _walks_sql(length: int, seed: int) -> str:
-    """Replays the deterministic walks step-for-step: sorted distinct
-    adjacency, next vertex = nbrs[h60(walk_id, step, seed) % degree],
-    walks at neighborless vertices end early and keep their path."""
+def _walks_ctes(length: int, seed: int) -> list:
+    """CTE list replaying the deterministic walks step-for-step (shared
+    by the walk gate and the walk-PMI composition)."""
     from pyspark_graph_spark.functions.hashing import md5_hash60_sql
 
     ctes = [
@@ -1984,6 +1983,14 @@ def _walks_sql(length: int, seed: int) -> str:
             f"FROM (SELECT p.walk_id, p.start, p.path, a.nbrs "
             f"FROM s{t} p LEFT JOIN adj a ON p.cur = a.id))"
         )
+    return ctes
+
+
+def _walks_sql(length: int, seed: int) -> str:
+    """Replays the deterministic walks: sorted distinct adjacency, next
+    vertex = nbrs[h60(walk_id, step, seed) % degree], walks at
+    neighborless vertices end early and keep their path."""
+    ctes = _walks_ctes(length, seed)
     return (
         f"WITH {BIPARTITE_EDGES_CTE.strip()},\n"
         + ",\n".join(ctes)
@@ -4476,3 +4483,108 @@ def q_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("n_correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Walk skip-gram co-occurrence + PMI (DeepWalk preprocessing)
+# ---------------------------------------------------------------------------
+
+
+def _walk_pmi_sql(length: int, seed: int, window: int, topn: int) -> str:
+    """Replays the walks (shared CTEs), explodes skip-gram pairs within
+    the window, and scores unordered pairs by PMI."""
+    ctes = _walks_ctes(length, seed)
+    ctes.append(
+        f"wp AS (SELECT walk_id, string_split(path, ',') AS p FROM s{length})"
+    )
+    ctes.append(
+        "occ AS (SELECT CAST(x AS BIGINT) AS v, COUNT(*) AS n FROM "
+        "(SELECT unnest(p) AS x FROM wp) GROUP BY 1)"
+    )
+    ctes.append(
+        "pairs AS (SELECT LEAST(CAST(p[CAST(i AS INT)] AS BIGINT), "
+        "CAST(p[CAST(j AS INT)] AS BIGINT)) AS a, "
+        "GREATEST(CAST(p[CAST(i AS INT)] AS BIGINT), "
+        "CAST(p[CAST(j AS INT)] AS BIGINT)) AS b "
+        "FROM wp CROSS JOIN UNNEST(range(1, len(p)+1)) AS g(i) "
+        "CROSS JOIN UNNEST(range(1, len(p)+1)) AS h(j) "
+        f"WHERE j > i AND j <= i + {window})"
+    )
+    ctes.append(
+        "pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM pairs GROUP BY a, b)"
+    )
+    ctes.append("tot AS (SELECT SUM(n_pairs) AS t FROM pc)")
+    ctes.append("occ_tot AS (SELECT SUM(n) AS ot FROM occ)")
+    return (
+        f"WITH {BIPARTITE_EDGES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT a, b, n_pairs,
+       ROUND(log2((n_pairs * 1.0 / tot.t)
+             / ((oa.n * 1.0 / occ_tot.ot) * (ob.n * 1.0 / occ_tot.ot))), 6)
+           AS pmi
+FROM pc
+JOIN occ oa ON pc.a = oa.v
+JOIN occ ob ON pc.b = ob.v
+CROSS JOIN tot CROSS JOIN occ_tot
+ORDER BY n_pairs DESC, a, b LIMIT {topn}
+"""
+    )
+
+
+@query("walk_pmi", oracle=_walk_pmi_sql(length=8, seed=42, window=2, topn=100))
+def q_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk preprocessing: skip-gram co-occurrence pairs (window 2)
+    over the deterministic walk corpus, scored by PMI — the statistics a
+    word2vec-style embedding trains on. Pair explosion is a bounded
+    within-walk positional self-join (length x window fan-out per walk);
+    counts are map-side combined; one exact division chain into log2,
+    rounded. Top-100 by count for a stable gate surface."""
+    from pyspark_graph_spark.operators import RandomWalks
+
+    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    walks = RandomWalks(length=8, walks_per_vertex=1, hash_mode="md5").run(g)
+    pos = walks.select(
+        "walk_id", F.posexplode(F.col("path")).alias("i", "v")
+    )
+    occ = pos.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    a = pos.alias("a")
+    b = pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.walk_id") == F.col("b.walk_id"),
+                F.col("b.i") > F.col("a.i"),
+                F.col("b.i") <= F.col("a.i") + 2,
+            ],
+        )
+        .select(
+            F.least(F.col("a.v"), F.col("b.v")).alias("pa"),
+            F.greatest(F.col("a.v"), F.col("b.v")).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = pairs.agg(F.sum("n_pairs").alias("t"))
+    occ_tot = occ.agg(F.sum("n").alias("ot"))
+    scored = (
+        pairs.join(occ.select(F.col("v").alias("pa"), F.col("n").alias("na")), on="pa")
+        .join(occ.select(F.col("v").alias("pb"), F.col("n").alias("nb")), on="pb")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(occ_tot))
+        .select(
+            F.col("pa").alias("a"),
+            F.col("pb").alias("b"),
+            "n_pairs",
+            F.round(
+                F.log2(
+                    (F.col("n_pairs") / F.col("t"))
+                    / ((F.col("na") / F.col("ot")) * (F.col("nb") / F.col("ot")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("n_pairs"), "a", "b").limit(100)
