@@ -4588,3 +4588,81 @@ def q_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("n_pairs"), "a", "b").limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (ann/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle(m: int, k: int, n_iter: int, dim: int) -> str:
+    """Per-subspace unrolled Lloyd's (same rounds as the kmeans oracle,
+    sliced inputs), joined on the vector id."""
+    d_sub = dim // m
+    blocks = []
+    for s in range(m):
+        off = s * d_sub
+        sq = (
+            f"list_sum(list_transform(range(1, {d_sub + 1}), "
+            "i -> (e.v[i]-c.centroid[i])*(e.v[i]-c.centroid[i])))"
+        )
+        blocks.append(
+            f"emb{s} AS (SELECT vec_id, list_transform("
+            f"embedding[{off + 1}:{off + d_sub}], x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings)"
+        )
+        blocks.append(
+            f"c{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+            "AS BIGINT) AS cluster, v AS centroid FROM ("
+            f"SELECT vec_id, v FROM emb{s} ORDER BY vec_id LIMIT {k}))"
+        )
+        for it in range(n_iter):
+            blocks.append(
+                f"s{s}_{it} AS (SELECT e.vec_id, e.v, c.cluster, {sq} AS sq "
+                f"FROM emb{s} e CROSS JOIN c{s}_{it} c)"
+            )
+            blocks.append(
+                f"a{s}_{it} AS (SELECT * FROM s{s}_{it} QUALIFY row_number() "
+                "OVER (PARTITION BY vec_id ORDER BY sq, cluster) = 1)"
+            )
+            if it < n_iter - 1:
+                blocks.append(
+                    f"c{s}_{it + 1} AS (SELECT cluster, list(m ORDER BY dim) "
+                    "AS centroid FROM ("
+                    f"SELECT a.cluster, d.dim, avg(a.v[d.dim]) AS m "
+                    f"FROM a{s}_{it} a CROSS JOIN "
+                    f"(SELECT unnest(range(1, {d_sub + 1})) AS dim) d "
+                    "GROUP BY a.cluster, d.dim) GROUP BY cluster)"
+                )
+    code_cols = ", ".join(
+        f"CAST(a{s}_{n_iter - 1}.cluster AS INT) AS code_{s}"
+        for s in range(m)
+    )
+    sq_sum = " + ".join(f"a{s}_{n_iter - 1}.sq" for s in range(m))
+    joins = f"a0_{n_iter - 1}"
+    for s in range(1, m):
+        joins += (
+            f" JOIN a{s}_{n_iter - 1} ON a0_{n_iter - 1}.vec_id = "
+            f"a{s}_{n_iter - 1}.vec_id"
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"\nSELECT a0_{n_iter - 1}.vec_id, {code_cols}, "
+        + f"ROUND({sq_sum}, 6) AS distortion\nFROM {joins}"
+    )
+
+
+@query("pq_codes", oracle=_pq_oracle(m=4, k=16, n_iter=2, dim=64))
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding corpus: 4 subspaces x 16
+    centroids (2 Lloyd rounds each, deterministic init) compress each
+    64-dim vector to 4 codes; distortion = summed squared reconstruction
+    error. Each subspace's k-means keeps the corpus unshuffled (broadcast
+    centroids); the m assignments join on the id key. Fully replayed by
+    the oracle."""
+    from pyspark_graph_spark.ann.pq import ProductQuantizer
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ProductQuantizer(m=4, k=16, n_iter=2, dim=64).encode(emb)

@@ -41,3 +41,36 @@ def test_knn_vote_recovers_planted_clusters(spark):
     pred = {r.query_id: r.nl for r in vote.collect()}
     for i in range(20):
         assert pred[i] == ("a" if i < 10 else "b")
+
+
+def test_pq_codes_properties(spark):
+    import numpy as np
+
+    from pyspark_graph_spark.ann.pq import ProductQuantizer
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=16)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ProductQuantizer(m=4, k=8, n_iter=2, dim=16).encode(emb)
+    got = out.collect()
+    assert len(got) == 60
+    for r in got:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 8
+        assert r.distortion >= 0
+    # finer codebooks quantize better: k=8 beats k=2 in total distortion
+    coarse = ProductQuantizer(m=4, k=2, n_iter=2, dim=16).encode(emb)
+    fine_d = sum(r.distortion for r in got)
+    coarse_d = sum(r.distortion for r in coarse.collect())
+    assert fine_d < coarse_d
+
+
+def test_pq_requires_divisible_dim(spark):
+    import pytest as _pytest
+
+    from pyspark_graph_spark.ann.pq import ProductQuantizer
+
+    with _pytest.raises(ValueError):
+        ProductQuantizer(m=3, dim=64)
