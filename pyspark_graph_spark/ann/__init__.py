@@ -1,5 +1,13 @@
 from pyspark_graph_spark.ann.brute import BruteForceKNN
 from pyspark_graph_spark.ann.ivf import IVFFlat
+from pyspark_graph_spark.ann.kmeans import KMeans
 from pyspark_graph_spark.ann.lsh import RandomHyperplaneLSH
+from pyspark_graph_spark.ann.pq import ProductQuantizer
 
-__all__ = ["BruteForceKNN", "IVFFlat", "RandomHyperplaneLSH"]
+__all__ = [
+    "BruteForceKNN",
+    "IVFFlat",
+    "KMeans",
+    "ProductQuantizer",
+    "RandomHyperplaneLSH",
+]

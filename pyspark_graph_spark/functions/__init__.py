@@ -17,7 +17,15 @@ from pyspark_graph_spark.functions.sampling import (
     stratified_sample,
 )
 from pyspark_graph_spark.functions.shuffle import assign_shards, write_shards
-from pyspark_graph_spark.functions.sketch import kmv_distinct
+from pyspark_graph_spark.functions.sketch import (
+    cms_estimate,
+    cms_sketch,
+    kmv_distinct,
+)
+from pyspark_graph_spark.functions.bpe import apply_bpe, learn_bpe_merges
+from pyspark_graph_spark.functions.layout import zorder_write, zvalue
+from pyspark_graph_spark.functions.lm import unigram_counts
+from pyspark_graph_spark.functions.mixture import mixture_plan, skew_report
 
 __all__ = [
     "content_fingerprint",
@@ -28,6 +36,15 @@ __all__ = [
     "assign_shards",
     "write_shards",
     "kmv_distinct",
+    "cms_estimate",
+    "cms_sketch",
+    "apply_bpe",
+    "learn_bpe_merges",
+    "zorder_write",
+    "zvalue",
+    "unigram_counts",
+    "mixture_plan",
+    "skew_report",
     "cosine_similarity",
     "dot",
     "l2_norm",

@@ -30,7 +30,9 @@ from pyspark_graph_spark.operators.louvain import Louvain, modularity
 from pyspark_graph_spark.operators.neighbor_sampling import NeighborSampler
 from pyspark_graph_spark.operators.temporal import (
     as_of_join,
+    graph_at,
     range_join_points_intervals,
+    windowed_graph_metrics,
 )
 
 __all__ = [
@@ -59,6 +61,8 @@ __all__ = [
     "NeighborSampler",
     "as_of_join",
     "range_join_points_intervals",
+    "graph_at",
+    "windowed_graph_metrics",
     "StronglyConnectedComponents",
     "TriangleCount",
     "WeightedShortestPaths",
