@@ -4666,3 +4666,48 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ProductQuantizer(m=4, k=16, n_iter=2, dim=64).encode(emb)
+
+
+# ---------------------------------------------------------------------------
+# Clustering quality: per-cluster label purity (ann/kmeans.py composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kmeans_purity",
+    oracle=_kmeans_oracle(k=8, n_iter=3, dim=64).replace(
+        "SELECT vec_id, cluster, ROUND(sq, 6) AS sq_dist\nFROM a2",
+        """SELECT a.cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MAX(ln.c) AS BIGINT) AS n_majority
+FROM a2 a
+JOIN embeddings e ON a.vec_id = e.vec_id,
+LATERAL (
+    SELECT COUNT(*) AS c FROM a2 a2i JOIN embeddings e2
+        ON a2i.vec_id = e2.vec_id
+    WHERE a2i.cluster = a.cluster AND e2.label = e.label
+) ln
+GROUP BY a.cluster""",
+    ),
+)
+def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster quality readout: per k-means cluster, member count and the
+    size of its largest label group (purity numerator) — the standard
+    unsupervised-vs-labels diagnostic. One extra label join + two-level
+    aggregate over the existing assignment."""
+    from pyspark_graph_spark.ann.kmeans import KMeans
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = KMeans(k=8, n_iter=3).fit(emb)
+    labeled = assigned.join(
+        emb.select("vec_id", "label"), on="vec_id"
+    )
+    per_label = labeled.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_label.groupBy(
+        F.col("cluster").cast("long").alias("cluster")
+    ).agg(
+        F.sum("n").alias("n_members"),
+        F.max("n").alias("n_majority"),
+    )
