@@ -115,9 +115,17 @@ class KMeans:
         (id, vec, cluster, sq_dist). Empty clusters keep their previous
         centroid out of the update (they simply vanish from the mean table),
         matching the unrolled SQL replay."""
+        return self.fit_with_centroids(corpus)[0]
+
+    def fit_with_centroids(
+        self, corpus: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """(assignment, centroids): the final assignment plus the trained
+        ``(cluster, centroid)`` table that produced it — the codebook a
+        quantizer needs at search time."""
         cents = self.initial_centroids(corpus)
         assigned = self.assign(corpus, cents)
         for _ in range(self.n_iter - 1):
             cents = self.update(assigned)
             assigned = self.assign(corpus, cents)
-        return assigned
+        return assigned, cents

@@ -4711,3 +4711,109 @@ def q_kmeans_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_members"),
         F.max("n").alias("n_majority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ann/pq.py)
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_oracle(
+    m: int, k: int, n_iter: int, dim: int, nq: int, topk: int
+) -> str:
+    """PQ blocks (codes + final codebooks) plus the per-query LUT and the
+    fixed-order ADC distance sum."""
+    d_sub = dim // m
+    blocks = []
+    for s in range(m):
+        off = s * d_sub
+        sq = (
+            f"list_sum(list_transform(range(1, {d_sub + 1}), "
+            "i -> (e.v[i]-c.centroid[i])*(e.v[i]-c.centroid[i])))"
+        )
+        blocks.append(
+            f"emb{s} AS (SELECT vec_id, list_transform("
+            f"embedding[{off + 1}:{off + d_sub}], x -> CAST(x AS DOUBLE)) AS v "
+            "FROM embeddings)"
+        )
+        blocks.append(
+            f"c{s}_0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+            "AS BIGINT) AS cluster, v AS centroid FROM ("
+            f"SELECT vec_id, v FROM emb{s} ORDER BY vec_id LIMIT {k}))"
+        )
+        for it in range(n_iter):
+            blocks.append(
+                f"s{s}_{it} AS (SELECT e.vec_id, e.v, c.cluster, {sq} AS sq "
+                f"FROM emb{s} e CROSS JOIN c{s}_{it} c)"
+            )
+            blocks.append(
+                f"a{s}_{it} AS (SELECT * FROM s{s}_{it} QUALIFY row_number() "
+                "OVER (PARTITION BY vec_id ORDER BY sq, cluster) = 1)"
+            )
+            if it < n_iter - 1:
+                blocks.append(
+                    f"c{s}_{it + 1} AS (SELECT cluster, list(m ORDER BY dim) "
+                    "AS centroid FROM ("
+                    f"SELECT a.cluster, d.dim, avg(a.v[d.dim]) AS m "
+                    f"FROM a{s}_{it} a CROSS JOIN "
+                    f"(SELECT unnest(range(1, {d_sub + 1})) AS dim) d "
+                    "GROUP BY a.cluster, d.dim) GROUP BY cluster)"
+                )
+    blocks.append(
+        "q AS (SELECT vec_id AS query_id, list_transform(embedding, "
+        f"x -> CAST(x AS DOUBLE)) AS qv FROM embeddings WHERE vec_id < {nq})"
+    )
+    last = n_iter - 1
+    for s in range(m):
+        off = s * d_sub
+        blocks.append(
+            f"lut{s} AS (SELECT q.query_id, c.cluster, "
+            f"list_sum(list_transform(range(1, {d_sub + 1}), "
+            f"i -> (q.qv[{off}+i]-c.centroid[i])*(q.qv[{off}+i]-c.centroid[i]))) "
+            f"AS d FROM q CROSS JOIN c{s}_{last} c)"
+        )
+    code_joins = f"a0_{last} a0"
+    for s in range(1, m):
+        code_joins += f" JOIN a{s}_{last} a{s} ON a0.vec_id = a{s}.vec_id"
+    lut_joins = " JOIN lut0 l0 ON l0.cluster = a0.cluster"
+    for s in range(1, m):
+        lut_joins += (
+            f" JOIN lut{s} l{s} ON l{s}.query_id = l0.query_id "
+            f"AND l{s}.cluster = a{s}.cluster"
+        )
+    dsum = " + ".join(f"l{s}.d" for s in range(m))
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f"""
+SELECT query_id, neighbor_id, est_dist, CAST(rnk AS INT) AS rank FROM (
+    SELECT l0.query_id, a0.vec_id AS neighbor_id,
+           ROUND({dsum}, 6) AS est_dist,
+           ROW_NUMBER() OVER (PARTITION BY l0.query_id
+               ORDER BY ROUND({dsum}, 6), a0.vec_id) AS rnk
+    FROM {code_joins}{lut_joins}
+    WHERE a0.vec_id <> l0.query_id
+) WHERE rnk <= {topk}
+"""
+    )
+
+
+@query(
+    "pq_adc_topk",
+    oracle=_pq_adc_oracle(m=4, k=16, n_iter=2, dim=64, nq=5, topk=5),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance search: 5 exact query vectors against the
+    PQ-coded corpus via per-query m x k lookup tables (broadcast), each
+    corpus vector scored by m fixed-order LUT probes — the corpus's raw
+    vectors are never touched at search time. Rounded-then-ranked for
+    cross-engine determinism; full train+encode+search replayed by the
+    oracle."""
+    from pyspark_graph_spark.ann.pq import ProductQuantizer
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = ProductQuantizer(m=4, k=16, n_iter=2, dim=64)
+    codes, books = pq.fit(emb)
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return pq.adc_topk(codes, books, queries_df, topk=5)

@@ -74,3 +74,26 @@ def test_pq_requires_divisible_dim(spark):
 
     with _pytest.raises(ValueError):
         ProductQuantizer(m=3, dim=64)
+
+
+def test_pq_adc_search_finds_near_neighbors(spark):
+    """On well-separated clusters, ADC top-1 must land in the query's own
+    cluster (quantized distances preserve coarse geometry)."""
+    import numpy as np
+
+    from pyspark_graph_spark.ann.pq import ProductQuantizer
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(4) * 20
+    rows = []
+    for i in range(40):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in rng.normal(c, 0.2)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pq = ProductQuantizer(m=2, k=8, n_iter=2, dim=4)
+    codes, books = pq.fit(emb)
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = pq.adc_topk(codes, books, queries, topk=3).collect()
+    for r in out:
+        if r.rank == 1:
+            assert r.neighbor_id % 4 == r.query_id % 4
