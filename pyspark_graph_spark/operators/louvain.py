@@ -231,8 +231,14 @@ class Louvain:
             .alias("c"),
         )
 
-    def _local_moving(self, und: DataFrame) -> DataFrame:
-        """Run rounds on one level; returns assignment (v, c)."""
+    def _local_moving(
+        self, und: DataFrame, vertices: DataFrame | None = None
+    ) -> DataFrame:
+        """Run rounds on one level; returns assignment (v, c). ``vertices``
+        (a 1-column ``v`` frame) seeds the assignment so isolated vertices
+        keep a singleton community; None derives the set from the edges
+        (coarsened levels, where every vertex has an edge by construction).
+        """
         # materialize the symmetric edge list once: it feeds the k-join of
         # EVERY round, and leaving it lazy re-runs the upstream edge
         # construction (e.g. the co-occurrence self-join) per round
@@ -246,7 +252,10 @@ class Louvain:
             )
             .localCheckpoint()
         )
-        deg = _weighted_degrees(und).localCheckpoint()
+        deg = _weighted_degrees(und)
+        if vertices is not None:
+            deg = vertices.join(deg, on="v", how="left").na.fill({"deg": 0})
+        deg = deg.localCheckpoint()
         two_m = deg.agg(F.sum("deg").alias("m2"))
         asg = deg.select("v", F.col("v").alias("c")).localCheckpoint()
         rounds = self.fixed_rounds or self.max_rounds
@@ -268,7 +277,9 @@ class Louvain:
     def run(self, g: Graph) -> DataFrame:
         und = canonical_undirected(g.edges, self.weight_col)
         # mapping: original vertex id -> current-level community
-        mapping = self._local_moving(und)
+        mapping = self._local_moving(
+            und, g.vertices.select(F.col(ID).alias("v"))
+        )
         for _ in range(1, self.levels):
             # contract: endpoints -> communities; intra weight -> self-loop
             coarse = (

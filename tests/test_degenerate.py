@@ -103,3 +103,86 @@ def test_sessions_on_empty_events(spark):
         [], "event_id long, ts timestamp, user_id long, value double"
     )
     assert session_stats(ev).count() == 0
+
+
+def test_louvain_degenerate(degenerate):
+    from pyspark_graph_spark.operators import Louvain, modularity
+
+    g = degenerate
+    out = Louvain(max_rounds=3).run(g)
+    n = g.vertices.count()
+    assert out.count() == n
+    if n:
+        r = out.first()
+        assert r.community == r.id
+    # modularity of an edgeless graph: no communities carry degree
+    q = modularity(g, g.vertices.select("id", F.col("id").alias("community")))
+    row = q.first()
+    assert row is None or row.modularity is None or row.modularity == 0.0
+
+
+def test_neighbor_sampler_degenerate(degenerate, spark):
+    from pyspark_graph_spark.operators import NeighborSampler
+
+    g = degenerate
+    seeds = g.vertices
+    out = NeighborSampler(fanouts=[2, 2]).run(g, seeds)
+    assert out.count() == 0
+
+
+def test_incremental_dedup_degenerate(spark):
+    from pyspark_graph_spark.dedup import IncrementalDedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert IncrementalDedup().admitted(empty, empty).count() == 0
+
+
+def test_training_shuffle_degenerate(spark):
+    from pyspark_graph_spark.functions import assign_shards
+
+    empty = spark.createDataFrame([], "doc_id long")
+    assert assign_shards(empty, "doc_id", 4).count() == 0
+
+
+def test_bpe_degenerate(spark):
+    from pyspark_graph_spark.functions import apply_bpe, learn_bpe_merges
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert learn_bpe_merges(empty, n_merges=2).count() == 0
+    assert apply_bpe(empty, [("a", "b")]).count() == 0
+
+
+def test_sketches_degenerate(spark):
+    from pyspark_graph_spark.functions import cms_sketch, kmv_distinct
+
+    empty = spark.createDataFrame([], "grp string, val string")
+    assert kmv_distinct(empty, "grp", "val", k=4).count() == 0
+    assert cms_sketch(empty, "val").count() == 0
+
+
+def test_pq_degenerate_tiny_corpus(spark):
+    """Fewer vectors than centroids: every vector still gets a code."""
+    from pyspark_graph_spark.ann import ProductQuantizer
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = ProductQuantizer(m=2, k=8, n_iter=2, dim=2).encode(emb)
+    assert out.count() == 2
+
+
+def test_event_analytics_degenerate(spark):
+    from pyspark_graph_spark.streaming.events import (
+        funnel,
+        retention_cohorts,
+        sliding_window_agg,
+    )
+
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp, value double"
+    )
+    assert sliding_window_agg(empty).count() == 0
+    assert retention_cohorts(empty).count() == 0
+    out = {r.step: r.n_users for r in funnel(empty, ["a", "b"]).collect()}
+    assert out == {1: 0, 2: 0}
