@@ -142,3 +142,76 @@ def cms_estimate(
         .groupBy("item")
         .agg(F.min("cnt").alias("estimate"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    bins: int = 1024,
+) -> DataFrame:
+    """(q, estimate) approximate quantiles from a fixed-width histogram —
+    the deterministic single-pass alternative to a global sort.
+
+    One pass computes (min, max); a second bins every value
+    (row-local arithmetic + one tiny aggregate); quantiles interpolate
+    linearly inside the hit bin. Error is bounded by the bin width
+    (range/bins); the histogram is mergeable across shards by adding
+    counts. Unlike sampling-based approx_percentile, the result is a pure
+    function of the data — identical on any engine or partitioning.
+    """
+    if not quantiles or any(not 0 <= q <= 1 for q in quantiles):
+        raise ValueError("quantiles must be fractions in [0, 1]")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n")
+    )
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (v - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / bins)
+                ).cast("int"),
+            ).alias("bin"),
+            "lo",
+            "hi",
+            "n",
+        )
+        .groupBy("bin", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # cumulative counts over <= bins rows: tiny ordered window
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = binned.withColumn("cum", F.sum("cnt").over(w))
+    out = None
+    for q in quantiles:
+        # first bin whose cumulative count reaches q*n; interpolate inside
+        hit = (
+            cum.filter(F.col("cum") >= F.lit(q) * F.col("n"))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.round(
+                    F.col("lo")
+                    + ((F.col("hi") - F.col("lo")) / bins)
+                    * (
+                        F.col("bin")
+                        + (
+                            (F.lit(q) * F.col("n") - (F.col("cum") - F.col("cnt")))
+                            / F.col("cnt")
+                        )
+                    ),
+                    6,
+                ).alias("estimate"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -4817,3 +4817,62 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, books = pq.fit(emb)
     queries_df = emb.filter(F.col("vec_id") < 5)
     return pq.adc_topk(codes, books, queries_df, topk=5)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile estimation (functions/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def _hist_quantile_sql(quantiles: list[float], bins: int) -> str:
+    qsel = []
+    for q in quantiles:
+        qsel.append(f"""
+SELECT CAST({q!r} AS DOUBLE) AS q,
+       ROUND(lo + ((hi - lo) / {bins}) *
+             (bin + (({q!r} * n - (cum - cnt)) * 1.0 / cnt)), 6) AS estimate
+FROM cum WHERE cum >= {q!r} * n ORDER BY bin LIMIT 1""")
+    return f"""
+WITH b AS (
+    SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+           MAX(CAST(l_extendedprice AS DOUBLE)) AS hi,
+           COUNT(*) AS n
+    FROM lineitem
+),
+binned AS (
+    SELECT LEAST({bins} - 1, CAST(floor(
+               (CAST(l_extendedprice AS DOUBLE) - b.lo)
+               / ((b.hi - b.lo) / {bins})) AS INT)) AS bin,
+           b.lo, b.hi, b.n
+    FROM lineitem, b
+),
+hist AS (
+    SELECT bin, lo, hi, n, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM binned GROUP BY bin, lo, hi, n
+),
+cum AS (
+    SELECT *, SUM(cnt) OVER (ORDER BY bin
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM hist
+)
+{"UNION ALL".join("(" + s + ")" for s in qsel)}
+"""
+
+
+@query(
+    "histogram_quantiles",
+    oracle=_hist_quantile_sql([0.5, 0.9, 0.99], bins=1024),
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem extended price from a 1024-bin fixed-width
+    histogram: one min/max pass + one tiny aggregate instead of a global
+    sort; error bounded by bin width, histogram mergeable across shards,
+    and — unlike sampling-based approx_percentile — a pure function of
+    the data, so the estimate itself is oracle-checked."""
+    from pyspark_graph_spark.functions.sketch import histogram_quantiles
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, "l_extendedprice", [0.5, 0.9, 0.99], bins=1024
+    )

@@ -196,3 +196,41 @@ def test_cms_invalid_params(spark):
         cms_sketch(df, "v", width=1)
     with _pytest.raises(ValueError):
         cms_sketch(df, "v", depth=0)
+
+
+# ------------------------------------------------------ histogram quantiles
+
+
+def test_histogram_quantiles_accuracy(spark):
+    from pyspark_graph_spark.functions.sketch import histogram_quantiles
+
+    df = spark.range(10000).select((F.col("id") / 1.0).alias("v"))
+    out = {
+        r.q: r.estimate
+        for r in histogram_quantiles(df, "v", [0.5, 0.9], bins=1000).collect()
+    }
+    # uniform 0..9999: p50 ~ 5000, p90 ~ 9000; bin width 10 bounds error
+    assert abs(out[0.5] - 5000) < 20
+    assert abs(out[0.9] - 9000) < 20
+
+
+def test_histogram_quantiles_partition_invariant(spark):
+    from pyspark_graph_spark.functions.sketch import histogram_quantiles
+
+    df = spark.range(5000).select((F.col("id") % 137 * 1.0).alias("v"))
+    a = sorted(tuple(r) for r in histogram_quantiles(df, "v", [0.25, 0.75]).collect())
+    b = sorted(
+        tuple(r)
+        for r in histogram_quantiles(df.repartition(13), "v", [0.25, 0.75]).collect()
+    )
+    assert a == b
+
+
+def test_histogram_quantiles_validation(spark):
+    from pyspark_graph_spark.functions.sketch import histogram_quantiles
+
+    df = spark.range(10).select(F.col("id").cast("double").alias("v"))
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", [1.5])
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", [0.5], bins=0)
