@@ -20,6 +20,7 @@ from pyspark_graph_spark.functions.shuffle import assign_shards, write_shards
 from pyspark_graph_spark.functions.sketch import (
     cms_estimate,
     cms_sketch,
+    histogram_quantiles,
     kmv_distinct,
 )
 from pyspark_graph_spark.functions.bpe import apply_bpe, learn_bpe_merges
@@ -38,6 +39,7 @@ __all__ = [
     "kmv_distinct",
     "cms_estimate",
     "cms_sketch",
+    "histogram_quantiles",
     "apply_bpe",
     "learn_bpe_merges",
     "zorder_write",
