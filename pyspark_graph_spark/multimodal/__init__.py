@@ -7,6 +7,7 @@ from pyspark_graph_spark.multimodal.binary_ops import (
     MEDIA_SCHEMA,
     attach_fake_media,
     attach_pgm_media,
+    attach_png_media,
     attach_pgm_video,
     decode_images,
     extract_frames,
@@ -19,6 +20,7 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
     "attach_pgm_media",
+    "attach_png_media",
     "attach_pgm_video",
     "attach_wav_media",
     "audio_stats",

@@ -212,6 +212,8 @@ def _decode_any(media: bytes, meta) -> np.ndarray:
         return _decode_pnm(media)
     if head == b"BM":
         return _decode_bmp(media)
+    if bytes(media[:8]) == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(media)
     if meta["format"] == "fake":
         return _fake_decode(media, meta["width"], meta["height"])
     if _PIL_Image is not None:  # pragma: no cover - pillow not in container
@@ -426,3 +428,175 @@ def extract_frames(media_df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media_df.mapInPandas(decode, schema)
+
+
+# --------------------------------------------------------------------- png
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png_gray8(pixels: "np.ndarray") -> bytes:
+    """Standards-conforming 8-bit grayscale PNG, cycling scanline filters
+    0..4 row-by-row so a decoder must implement ALL five reconstructions
+    (None, Sub, Up, Average, Paeth) to get the pixels back."""
+    import struct
+    import zlib as _zlib
+
+    h, w = pixels.shape
+    px = pixels.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        row = px[r]
+        f = r % 5
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub
+            left = np.concatenate(([0], row[:-1]))
+            out = row - left
+        elif f == 2:  # Up
+            out = row - prev
+        elif f == 3:  # Average
+            left = np.concatenate(([0], row[:-1]))
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            left = np.concatenate(([0], row[:-1]))
+            upleft = np.concatenate(([0], prev[:-1]))
+            p = left + prev - upleft
+            pa, pb, pc = (
+                np.abs(p - left),
+                np.abs(p - prev),
+                np.abs(p - upleft),
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = row - pred
+        raw.append(f)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(media: bytes) -> "np.ndarray":
+    """Real decode of non-interlaced 8-bit PNG (grayscale or RGB) with
+    only the standard library: chunk walk, zlib inflate, then the five
+    scanline filter reconstructions (per-row vectorized where the filter
+    allows; Sub/Average/Paeth carry an in-row sequential dependency, so
+    those rows reconstruct byte-by-byte — fine for the bounded image
+    sizes this plumbing targets; a SIMD unfilter drops in unchanged).
+    Returns 2-D int64 intensity (RGB -> integer mean)."""
+    import struct
+    import zlib as _zlib
+
+    if media[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(media):
+        (length,) = struct.unpack(">I", media[pos : pos + 4])
+        tag = media[pos + 4 : pos + 8]
+        body = media[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2):
+        raise NotImplementedError(
+            "only non-interlaced 8-bit grayscale/RGB PNG supported "
+            f"(depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = 1 if color == 0 else 3
+    stride = w * ch
+    raw = _zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        base = r * (stride + 1)
+        f = raw[base]
+        row = np.frombuffer(
+            raw[base + 1 : base + 1 + stride], dtype=np.uint8
+        ).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                up = prev[x]
+                upleft = prev[x - ch] if x >= ch else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else (up if pb <= pc else upleft)
+                    )
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[r] = rec
+        prev = rec
+    if ch == 1:
+        return out
+    return out.reshape(h, w, 3).sum(axis=2) // 3
+
+
+def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL 8-bit grayscale PNGs (zlib-compressed, filter types
+    cycling 0-4 per row) from doc ids via one Arrow-batched Python hop —
+    PNG needs zlib + CRC32, which no JVM expression provides. Pixel ``k``
+    is ``(id + k) % 256`` over a ``(id%48+16) x (id%32+16)`` image, the
+    same integer formula as the PGM fixtures, so the SQL oracle recomputes
+    every decoded feature."""
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            medias = []
+            metas = []
+            for i in b["media_id"]:
+                i = int(i)
+                w, h = i % 48 + 16, i % 32 + 16
+                px = (i + np.arange(w * h, dtype=np.int64)).reshape(h, w) % 256
+                medias.append(_encode_png_gray8(px))
+                metas.append(
+                    {"format": "png", "width": w, "height": h, "n_frames": 1}
+                )
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "media": medias, "meta": metas}
+            )
+
+    return src.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -4876,3 +4876,38 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         li, "l_extendedprice", [0.5, 0.9, 0.99], bins=1024
     )
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode (multimodal/binary_ops.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode_png",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(doc_id % 48 + 16 AS INT) AS width,
+       CAST(doc_id % 32 + 16 AS INT) AS height,
+       CAST(list_sum(list_transform(
+                range(0, (doc_id % 48 + 16) * (doc_id % 32 + 16)),
+                k -> (doc_id + k) % 256))
+            // ((doc_id % 48 + 16) * (doc_id % 32 + 16)) AS BIGINT)
+         AS mean_intensity
+FROM documents
+""",
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end: standards-conforming 8-bit
+    grayscale PNGs (zlib DEFLATE, scanline filters cycling through all
+    five types) are synthesized from doc ids, then decoded with only the
+    standard library inside Arrow-batched mapInPandas — chunk walk,
+    inflate, and the full None/Sub/Up/Average/Paeth reconstruction.
+    Pixels follow the same integer formula as the PGM fixtures, so the
+    oracle recomputes every decoded feature; a wrong filter
+    reconstruction or inflate shows up as a value mismatch."""
+    from pyspark_graph_spark.multimodal import attach_png_media, decode_images
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_png_media(docs, "doc_id"))

@@ -154,3 +154,40 @@ def test_video_stream_is_concatenated_standard_p5(spark):
     px = _decode_pnm(media)
     assert px.shape == (5 % 16 + 8, 5 % 24 + 8)
     assert px[0, 0] == 5  # pixel 0 of frame 0 is id % 256
+
+
+# --------------------------------------------------------------------- png
+
+
+def test_png_roundtrip_all_filters(spark):
+    import numpy as np
+
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        _decode_png,
+        _encode_png_gray8,
+    )
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=(11, 23), dtype=np.int64)
+    assert np.array_equal(_decode_png(_encode_png_gray8(px)), px)
+
+
+def test_png_decode_end_to_end(spark):
+    from pyspark_graph_spark.multimodal import attach_png_media, decode_images
+
+    base = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    out = {r.media_id: r for r in decode_images(attach_png_media(base, "doc_id")).collect()}
+    for i in range(6):
+        w, h = i % 48 + 16, i % 32 + 16
+        assert (out[i].width, out[i].height) == (w, h)
+        expect = sum((i + k) % 256 for k in range(w * h)) // (w * h)
+        assert out[i].mean_intensity == expect
+
+
+def test_png_rejects_garbage(spark):
+    import pytest as _pytest
+
+    from pyspark_graph_spark.multimodal.binary_ops import _decode_png
+
+    with _pytest.raises(ValueError):
+        _decode_png(b"not a png at all")
