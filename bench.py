@@ -68,7 +68,18 @@ def main() -> None:
     }
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    # durable copy: BENCH_r*.json captures only a tail of stdout and has
+    # truncated before (r2's parsed:null) — keep the full record in-repo
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
+    try:
+        with open(out, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as e:
+        print(f"# could not write {out}: {e}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

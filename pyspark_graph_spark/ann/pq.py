@@ -45,35 +45,12 @@ class ProductQuantizer:
 
     def encode(self, corpus: DataFrame) -> DataFrame:
         """(id, code_0..code_{m-1}, distortion): per-subspace nearest
-        trained centroid and the summed squared reconstruction error."""
-        out = None
-        for s in range(self.m):
-            sub = corpus.select(
-                self.id_col,
-                F.slice(
-                    F.col(self.vec_col).cast("array<double>"),
-                    s * self.d_sub + 1,
-                    self.d_sub,
-                ).alias("embedding"),
-            )
-            km = KMeans(
-                k=self.k,
-                n_iter=self.n_iter,
-                id_col=self.id_col,
-                vec_col="embedding",
-            )
-            assigned = km.fit(sub).select(
-                self.id_col,
-                F.col("cluster").cast("int").alias(f"code_{s}"),
-                F.col("sq_dist").alias(f"__sq_{s}"),
-            )
-            out = assigned if out is None else out.join(assigned, on=self.id_col)
-        total = sum(F.col(f"__sq_{s}") for s in range(self.m))
-        return out.select(
-            self.id_col,
-            *[f"code_{s}" for s in range(self.m)],
-            F.round(total, 6).alias("distortion"),
-        )
+        trained centroid and the summed squared reconstruction error.
+
+        Delegates to :meth:`fit` (dropping the codebooks) so the training
+        loop exists exactly once and cannot drift between the two paths.
+        """
+        return self.fit(corpus)[0]
 
 
     def fit(self, corpus: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -46,16 +46,25 @@ class IncrementalDedup:
 
     def __init__(
         self,
-        threshold: float = 0.5,
+        threshold: float | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
         minhash: MinHashLSH | None = None,
     ):
+        if threshold is not None and minhash is not None:
+            raise ValueError(
+                "pass either threshold (to build the default MinHashLSH) or "
+                "a pre-configured minhash, not both — near_matches verifies "
+                "against minhash.threshold, so a separate threshold would "
+                "be silently ignored"
+            )
         self.id_col = id_col
         self.text_col = text_col
         self.exact = ExactDedup(id_col=id_col, text_col=text_col)
         self.minhash = minhash or MinHashLSH(
-            threshold=threshold, id_col=id_col, text_col=text_col
+            threshold=0.5 if threshold is None else threshold,
+            id_col=id_col,
+            text_col=text_col,
         )
 
     def exact_hits(self, corpus: DataFrame, batch: DataFrame) -> DataFrame:

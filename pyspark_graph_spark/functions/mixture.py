@@ -38,25 +38,47 @@ def mixture_plan(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
-    w = F.lit(0.0)
-    for g, wt in sorted(weights.items()):
-        w = F.when(F.col(group_col) == g, F.lit(float(wt))).otherwise(w)
-    return inventory.select(
-        F.col(group_col),
-        F.col(tokens_col).alias("tokens"),
-        w.alias("weight"),
-    ).select(
+    spark = inventory.sparkSession
+    # full outer join against the weight keys: a group listed in `weights`
+    # but absent from the inventory must still appear in the plan (tokens
+    # 0, achievable 0) so callers renormalizing see the shortfall instead
+    # of silently missing the group (ADVICE r2)
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(g, float(wt)) for g, wt in sorted(weights.items())],
+            schema=f"`{group_col}` string, `__w` double",
+        )
+    )
+    joined = (
+        inventory.select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(tokens_col).cast("long").alias("tokens"),
+        )
+        .join(wdf, on=group_col, how="full_outer")
+        .select(
+            group_col,
+            F.coalesce(F.col("tokens"), F.lit(0)).alias("tokens"),
+            F.coalesce(F.col("__w"), F.lit(0.0)).alias("weight"),
+        )
+    )
+    return joined.select(
         group_col,
         "tokens",
         "weight",
         F.round(F.col("weight") * F.lit(float(budget)), 3).alias("target"),
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.col("weight") * F.lit(float(budget)) / F.col("tokens"),
-            ),
-            9,
-        ).alias("rate"),
+        # tokens = 0: keep-everything (rate 1.0) with achievable 0 — the
+        # under-supplied group stays visible instead of a NULL rate
+        F.when(F.col("tokens") == 0, F.lit(1.0))
+        .otherwise(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("weight") * F.lit(float(budget)) / F.col("tokens"),
+                ),
+                9,
+            )
+        )
+        .alias("rate"),
         F.round(
             F.least(
                 F.col("weight") * F.lit(float(budget)),

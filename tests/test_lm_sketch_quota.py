@@ -234,3 +234,15 @@ def test_histogram_quantiles_validation(spark):
         histogram_quantiles(df, "v", [1.5])
     with pytest.raises(ValueError):
         histogram_quantiles(df, "v", [0.5], bins=0)
+
+
+def test_histogram_quantiles_constant_column(spark):
+    """hi == lo degenerate case returns the constant itself, not NULL/inf
+    (ADVICE r2: Spark NULL-division vs DuckDB inf-cast divergence)."""
+    from pyspark_graph_spark.functions.sketch import histogram_quantiles
+
+    df = spark.range(100).selectExpr("CAST(42.5 AS DOUBLE) AS v")
+    rows = histogram_quantiles(df, "v", [0.0, 0.5, 1.0], bins=64).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.estimate == 42.5

@@ -66,3 +66,25 @@ def test_apply_bpe_no_merges_counts_chars(spark):
     docs = spark.createDataFrame([(7, "ab cde")], ["doc_id", "text"])
     out = apply_bpe(docs, []).first()
     assert out.n_words == 2 and out.n_subwords == 5
+
+
+def test_mixture_plan_missing_group_visible(spark):
+    """A group listed in weights but absent from inventory appears in the
+    plan with tokens 0 / rate 1.0 / achievable 0 (ADVICE r2)."""
+    inv = spark.createDataFrame([("web", 1000)], ["group", "tokens"])
+    out = {
+        r.group: r
+        for r in mixture_plan(
+            inv, {"web": 0.5, "rare": 0.5}, budget=100.0
+        ).collect()
+    }
+    assert set(out) == {"web", "rare"}
+    r = out["rare"]
+    assert r.tokens == 0 and r.weight == 0.5
+    assert r.target == 50.0 and r.rate == 1.0 and r.achievable == 0.0
+
+
+def test_mixture_plan_zero_token_group_rate(spark):
+    inv = spark.createDataFrame([("empty", 0)], ["group", "tokens"])
+    r = mixture_plan(inv, {"empty": 1.0}, budget=10.0).first()
+    assert r.rate == 1.0 and r.achievable == 0.0

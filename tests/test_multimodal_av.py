@@ -191,3 +191,123 @@ def test_png_rejects_garbage(spark):
 
     with _pytest.raises(ValueError):
         _decode_png(b"not a png at all")
+
+
+def test_png_palette_decode(spark):
+    """Color-type-3 PNG: indices map through PLTE, intensity = RGB mean."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        _decode_png,
+        _png_chunk,
+    )
+
+    w, h = 5, 3
+    idx = np.arange(w * h, dtype=np.uint8).reshape(h, w) % 4
+    palette = bytes(
+        [10, 20, 30,  60, 61, 65,  200, 100, 0,  255, 255, 255]
+    )
+    raw = bytearray()
+    for r in range(h):
+        raw.append(0)  # filter None
+        raw.extend(idx[r].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3).astype(int)
+    expect = pal[idx].sum(axis=2) // 3
+    assert np.array_equal(_decode_png(png), expect)
+
+
+def test_png_palette_missing_plte(spark):
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        _decode_png,
+        _png_chunk,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="PLTE"):
+        _decode_png(png)
+
+
+def test_png_truncated_idat(spark):
+    """Chopping the IDAT stream raises a clear ValueError, never a silent
+    mis-decode (r2 verdict item 8)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        _decode_png,
+        _encode_png_gray8,
+        _png_chunk,
+    )
+
+    px = np.arange(64, dtype=np.int64).reshape(8, 8)
+    good = _encode_png_gray8(px)
+    # locate the IDAT chunk and rebuild the PNG with its body halved
+    pos = 8
+    while True:
+        (length,) = struct.unpack(">I", good[pos : pos + 4])
+        tag = good[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            break
+        pos += 12 + length
+    body = good[pos + 8 : pos + 8 + length]
+    bad = (
+        good[:pos]
+        + _png_chunk(b"IDAT", body[: len(body) // 2])
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="IDAT|truncated"):
+        _decode_png(bad)
+
+
+def test_png_rejects_interlaced_and_16bit(spark):
+    """The rejection contract is formal: interlace=1 and depth=16 raise
+    NotImplementedError with the offending parameters in the message."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        _decode_png,
+        _png_chunk,
+    )
+
+    def png_with(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(NotImplementedError, match="interlace=1"):
+        _decode_png(png_with(8, 0, 1))
+    with _pytest.raises(NotImplementedError, match="depth=16"):
+        _decode_png(png_with(16, 0, 0))
+    with _pytest.raises(NotImplementedError, match="color=6"):
+        _decode_png(png_with(8, 6, 0))
