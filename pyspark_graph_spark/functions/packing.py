@@ -123,3 +123,66 @@ def chunk_documents(
         F.length("__chunk").cast("long").alias("chunk_len"),
         F.md5(F.col("__chunk")).alias("chunk_md5"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    divisor: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style) over the token stream.
+
+    A chunk boundary opens at token position ``p`` (0-based, p > 0) when
+    the 60-bit cross-engine hash of the ``window``-gram starting at ``p``
+    is ``0 (mod divisor)`` — boundaries depend only on LOCAL content, so
+    an insertion early in a document shifts at most one chunk, which is
+    the whole point of CDC for dedup (fixed-width chunking would shift
+    every downstream chunk fingerprint).  Expected chunk length is
+    ``divisor`` tokens.
+
+    Returns (id, chunk_id, n_tokens, fingerprint) — fingerprint is the
+    md5 of the space-joined chunk, the unit for chunk-level dedup.
+
+    Scale shape: everything up to the final explode is per-row array
+    arithmetic inside whole-stage codegen (no token-level shuffle and no
+    O(len²) carry of the token array through an explode); output rows are
+    ~n_tokens/divisor per doc.
+    """
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+    from pyspark_graph_spark.functions.text import tokens
+
+    t = tokens(F.col(text_col))
+    size = F.size(t)
+    gram = lambda p: F.array_join(F.slice(t, p + 1, window), " ")
+    bpos = F.when(
+        size >= F.lit(window + 1),
+        F.filter(
+            F.sequence(F.lit(1), size - 1),
+            lambda p: (p + window <= size)
+            & (F.pmod(md5_hash60(gram(p)), F.lit(divisor)) == 0),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(0)), bpos)
+    chunks = F.transform(
+        starts,
+        lambda start, j: F.struct(
+            j.cast("long").alias("chunk_id"),
+            F.slice(
+                t,
+                start + 1,
+                F.coalesce(F.get(starts, j + 1), size) - start,
+            ).alias("toks"),
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            id_col,
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.toks").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("c.toks", " ")).alias("fingerprint"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )

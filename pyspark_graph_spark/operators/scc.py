@@ -102,6 +102,34 @@ class StronglyConnectedComponents:
                 "cover the longest intra-SCC reachability chain)."
             )
 
+    def _trim(
+        self, verts: DataFrame, edges: DataFrame, done: DataFrame
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Standard FW-BW trim: a vertex with no in-edges or no out-edges
+        among the REMAINING graph cannot sit on a cycle — it is its own
+        SCC.  Peeling these iteratively (bounded rounds; trim is a pure
+        optimization, correctness never depends on it converging) removes
+        the one-way periphery — usually the bulk of a bowtie-shaped graph
+        — before the much costlier Pregel floods run."""
+        for _ in range(10):
+            has_out = edges.select(F.col(SRC).alias(ID)).distinct()
+            has_in = edges.select(F.col(DST).alias(ID)).distinct()
+            keep = verts.join(has_out, ID, "semi").join(has_in, ID, "semi")
+            trimmed = verts.join(keep, ID, "anti")
+            if trimmed.isEmpty():
+                break
+            done = done.unionByName(
+                trimmed.select(ID, F.col(ID).alias(COMPONENT))
+            ).localCheckpoint()
+            verts = keep.select(ID).localCheckpoint()
+            edges = (
+                edges.join(verts.withColumnRenamed(ID, SRC), SRC, "semi")
+                .join(verts.withColumnRenamed(ID, DST), DST, "semi")
+                .select(SRC, DST)
+                .localCheckpoint()
+            )
+        return verts, edges, done
+
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, component)`` — component = max vertex id in the SCC."""
         verts = g.vertices.select(ID).localCheckpoint()
@@ -115,6 +143,7 @@ class StronglyConnectedComponents:
         done = spark.createDataFrame([], f"{ID} long, {COMPONENT} long")
 
         for _ in range(self.max_outer_iterations):
+            verts, edges, done = self._trim(verts, edges, done)
             if verts.isEmpty():
                 break
             colored = self._max_color_flood(verts, edges)

@@ -4972,6 +4972,284 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Strongly connected components (operators/scc.py) — round 3
+# ---------------------------------------------------------------------------
+
+# mutual-reachability oracle: the recursive CTE computes the directed
+# transitive closure of the (small) gate graph; v's SCC label is the MAX id
+# among {v} ∪ {w : v→*w and w→*v}, matching the operator's max-id coloring
+_SCC_ORACLE = """
+WITH RECURSIVE
+order_edges AS (
+    SELECT DISTINCT CAST(o_custkey * 2 AS BIGINT) AS src,
+           CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+return_edges AS (
+    SELECT DISTINCT CAST(s_suppkey * 2 + 1 AS BIGINT) AS src,
+           CAST(c_custkey * 2 AS BIGINT) AS dst
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND c.c_custkey % 7 = 0
+),
+e AS (
+    SELECT src, dst FROM order_edges
+    UNION
+    SELECT src, dst FROM return_edges
+),
+verts AS (
+    SELECT CAST(c_custkey * 2 AS BIGINT) AS id FROM customer
+    UNION
+    SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) AS id FROM supplier
+),
+reach(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+mutual AS (
+    SELECT r1.a AS v, r1.b AS w
+    FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+)
+SELECT v.id, GREATEST(v.id, COALESCE(MAX(m.w), v.id)) AS component
+FROM verts v LEFT JOIN mutual m ON v.id = m.v
+GROUP BY v.id
+"""
+
+
+@query("scc", oracle=_SCC_ORACLE)
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the directed trade graph
+    (customer→supplier order edges + bounded same-nation return edges —
+    the web-graph bowtie shape: one giant SCC + one-way periphery).
+    FW-BW/coloring SCC built from the engine's own Pregel: max-id forward
+    flood, same-color backward root-reach, peel, repeat.  The reference
+    lists SCC as unsupported (README.md:24-38); its CC operator's SCC
+    claim is wrong (connected_components.py:19-21)."""
+    from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
+    from pyspark_graph_spark.sources.tables import directed_trade_graph
+
+    g = directed_trade_graph(spark, sf_dir)
+    return StronglyConnectedComponents(
+        max_outer_iterations=20, max_flood_iterations=40
+    ).run(g)
+
+
+# ---------------------------------------------------------------------------
+# Quality filtering, vocab coverage, CDC chunking (round 3)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = r"""
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+             AS t
+    FROM documents
+)
+"""
+
+
+@query(
+    "gopher_quality",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+m AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(t, x -> len(x))), 0)
+                AS BIGINT) AS chars,
+           CAST(COALESCE(list_sum(list_transform(t,
+                x -> CASE WHEN x LIKE '#%' OR position('...' in x) > 0
+                          THEN 1 ELSE 0 END)), 0) AS BIGINT) AS sym,
+           CAST(len(t) - len(list_filter(t,
+                x -> regexp_matches(x, '^[^a-z]*$'))) AS BIGINT) AS alpha,
+           CAST(len(list_filter(t, x -> list_contains(
+                ['the','be','to','of','and','that','have','with'], x)))
+                AS BIGINT) AS hits
+    FROM toks
+),
+r AS (
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0
+                THEN ROUND(chars * 1.0 / n_words, 6) ELSE 0.0 END
+             AS mean_word_len,
+           CASE WHEN n_words > 0
+                THEN ROUND(sym * 1.0 / n_words, 6) ELSE 0.0 END
+             AS symbol_ratio,
+           CASE WHEN n_words > 0
+                THEN ROUND(alpha * 1.0 / n_words, 6) ELSE 0.0 END
+             AS alpha_fraction,
+           hits AS stopword_hits
+    FROM m
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_word_len,
+       (symbol_ratio <= 0.1) AS r_symbol,
+       (alpha_fraction >= 0.8) AS r_alpha,
+       (stopword_hits >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (symbol_ratio <= 0.1)
+        AND (alpha_fraction >= 0.8)
+        AND (stopword_hits >= 2)) AS keep
+FROM r
+""",
+)
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate over the documents table: word
+    count bounds, mean word length, symbol ratio, alphabetic fraction,
+    stopword evidence — one UDF-free projection (functions/quality.py),
+    every ratio a single division of exact integers."""
+    from pyspark_graph_spark.functions.quality import gopher_rules
+    from pyspark_graph_spark.sources.tables import load_table
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+tf AS (
+    SELECT u.term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks CROSS JOIN UNNEST(t) AS u(term)
+    GROUP BY u.term
+),
+ranked AS (
+    SELECT term, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+    FROM tf
+),
+tot AS (
+    SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size
+    FROM ranked
+)
+SELECT CAST(ks.k AS BIGINT) AS k, tot.vocab_size,
+       CAST(c.covered AS BIGINT) AS covered, tot.total,
+       ROUND(c.covered * 1.0 / tot.total, 6) AS coverage
+FROM (VALUES (10), (100), (1000)) ks(k)
+CROSS JOIN tot
+CROSS JOIN LATERAL (
+    SELECT SUM(cnt) AS covered FROM ranked WHERE rank <= ks.k
+) c
+""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage curve (k = 10/100/1000): fraction of all
+    token occurrences covered by the k most frequent terms — the
+    tokenizer-vocab-sizing diagnostic.  One explode + one hash aggregate;
+    the rank window runs over vocab-sized data only."""
+    from pyspark_graph_spark.functions.quality import vocab_coverage
+    from pyspark_graph_spark.sources.tables import load_table
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), [10, 100, 1000]
+    )
+
+
+def _cdc_sql(window: int, divisor: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    gram_hash = md5_hash60_sql(
+        f"array_to_string(list_slice(t, p + 1, p + {window}), ' ')"
+    )
+    return f"""
+WITH {_TOKS_CTE.strip()},
+b AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= {window + 1} THEN
+               list_filter(range(1, len(t)),
+                   p -> p + {window} <= len(t)
+                        AND ({gram_hash}) % {divisor} = 0)
+           ELSE CAST([] AS BIGINT[]) END AS bpos
+    FROM toks
+),
+s AS (SELECT doc_id, t, list_prepend(0, bpos) AS starts FROM b),
+c AS (
+    SELECT doc_id, g.j - 1 AS chunk_id,
+           list_slice(t, starts[g.j] + 1,
+                      COALESCE(starts[g.j + 1], len(t))) AS ctoks
+    FROM s CROSS JOIN UNNEST(range(1, len(starts) + 1)) AS g(j)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ctoks, ' ')) AS fingerprint
+FROM c WHERE len(ctoks) > 0
+"""
+
+
+@query("cdc_chunks", oracle=_cdc_sql(window=3, divisor=16))
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style k-gram boundaries, expected
+    chunk ~16 tokens) with md5 chunk fingerprints — the chunk-level dedup
+    unit.  All boundary arithmetic is per-row array lambdas inside
+    whole-stage codegen; no token-level shuffle (functions/packing.py)."""
+    from pyspark_graph_spark.functions.packing import cdc_chunks
+    from pyspark_graph_spark.sources.tables import load_table
+
+    return cdc_chunks(
+        load_table(spark, sf_dir, "documents"), window=3, divisor=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (dedup/semdedup.py) — round 3
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_sql(k: int, n_iter: int, dim: int, tau: float) -> str:
+    """Wraps the unrolled-kmeans oracle as a subquery, then replays the
+    within-cluster pairwise keep rule (closer-to-centroid survives,
+    ties by id; similarities rounded to 6 on both engines)."""
+    km = _kmeans_oracle(k=k, n_iter=n_iter, dim=dim)
+    cos = (
+        f"ROUND(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> a.v[i] * b.v[i])) "
+        "/ (sqrt(list_sum(list_transform(a.v, x -> x*x))) "
+        "* sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6)"
+    )
+    return f"""
+WITH km AS MATERIALIZED (
+    SELECT vec_id, cluster, sq_dist FROM ({km})
+),
+emb2 AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+m AS (
+    SELECT km.vec_id, km.cluster, km.sq_dist, emb2.v
+    FROM km JOIN emb2 USING (vec_id)
+),
+drops AS (
+    SELECT DISTINCT b.vec_id
+    FROM m a JOIN m b
+      ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+     AND (a.sq_dist < b.sq_dist
+          OR (a.sq_dist = b.sq_dist AND a.vec_id < b.vec_id))
+    WHERE {cos} >= {tau}
+)
+SELECT m.vec_id, m.cluster, (d.vec_id IS NULL) AS kept
+FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
+"""
+
+
+@query("semdedup", oracle=_semdedup_sql(k=8, n_iter=2, dim=64, tau=0.42))
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    drop within-cluster members whose cosine to a closer-to-centroid
+    member exceeds the threshold.  Quadratic term bounded by cluster size
+    — at 100 TB raise k so clusters stay constant-sized; no all-pairs
+    path.  Threshold sits in this synthetic corpus's distribution tail
+    (no planted near-dups), same convention as dedup_embedding."""
+    from pyspark_graph_spark.dedup.semdedup import SemDeDup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SemDeDup(k=8, n_iter=2, threshold=0.42).run(emb)
+
+
+# ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the

@@ -186,3 +186,33 @@ def nation_graph(spark: SparkSession, sf_dir: str) -> Graph:
         F.col("b.n_nationkey").cast("long").alias(DST),
     )
     return Graph(vertices, edges, directed=False, indexed=True)
+
+
+def directed_trade_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Directed graph with genuine cycles for SCC-family operators.
+
+    Same disjoint id space as :func:`customer_supplier_graph` (customer
+    ``2k``, supplier ``2k+1``).  Forward edges: customer → supplier they
+    ordered from.  Return edges: supplier → every 7th customer of the same
+    nation (``c_custkey % 7 == 0``) — a bounded dimension product (25
+    nations, 1/7 of customers) that closes customer→supplier→customer
+    cycles into one large SCC plus a periphery of one-way vertices, the
+    standard web-graph bowtie shape.  Every edge rule is plain integer
+    arithmetic so an external SQL oracle can rebuild the graph exactly.
+    """
+    base = customer_supplier_graph(spark, sf_dir, directed=True)
+    suppliers = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias(SRC),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    customers = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 7) == 0)
+        .select(
+            (F.col("c_custkey") * 2).alias(DST),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    returns = suppliers.join(customers, on="nationkey").select(SRC, DST)
+    edges = base.edges.select(SRC, DST).unionByName(returns).distinct()
+    return Graph(base.vertices, edges, directed=True, indexed=True)

@@ -1,0 +1,148 @@
+"""Round-3 LLM-pipeline operators: gopher_rules, vocab_coverage,
+cdc_chunks, SemDeDup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.functions.packing import cdc_chunks
+from pyspark_graph_spark.functions.quality import (
+    GOPHER_STOPWORDS,
+    gopher_rules,
+    vocab_coverage,
+)
+
+
+def test_gopher_rules_metrics(spark):
+    good = "the quick brown fox and the lazy dog have fun with that stick " * 5
+    short = "tiny doc"
+    symbols = " ".join(["#tag"] * 60)
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].keep is True
+    assert out[1].n_words == 65
+    assert out[1].stopword_hits >= 2
+    # short doc fails the word-count rule only by count
+    assert out[2].keep is False and out[2].r_word_count is False
+    # symbol doc: 60 words, all '#'-prefixed -> symbol_ratio 1.0
+    assert out[3].symbol_ratio == 1.0 and out[3].r_symbol is False
+    assert out[3].keep is False
+
+
+def test_gopher_rules_empty_text(spark):
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    r = gopher_rules(df).first()
+    assert r.n_words == 0 and r.keep is False
+    assert r.mean_word_len == 0.0 and r.alpha_fraction == 0.0
+
+
+def test_vocab_coverage_exact(spark):
+    # a a a b b c -> top-1 covers 3/6, top-2 covers 5/6, top-3 covers 6/6
+    df = spark.createDataFrame([(1, "a a a b b c")], ["doc_id", "text"])
+    out = {r.k: r for r in vocab_coverage(df, [1, 2, 3, 10]).collect()}
+    assert out[1].covered == 3 and out[1].coverage == 0.5
+    assert out[2].covered == 5
+    assert out[3].coverage == 1.0
+    assert out[10].coverage == 1.0  # k beyond vocab covers everything
+    assert out[1].vocab_size == 3 and out[1].total == 6
+
+
+def test_vocab_coverage_validation(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        vocab_coverage(df, [])
+    with pytest.raises(ValueError):
+        vocab_coverage(df, [0])
+
+
+def test_cdc_chunks_partition_and_coverage(spark):
+    text = " ".join(f"w{j % 13} x{j % 5} y{j}" for j in range(60))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               ["doc_id", "text"])
+    out = cdc_chunks(df, window=3, divisor=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # every token of doc 1 lands in exactly one chunk
+    assert sum(r.n_tokens for r in by_doc[1]) == 180
+    # chunk ids are dense 0..n-1
+    assert sorted(r.chunk_id for r in by_doc[1]) == list(
+        range(len(by_doc[1]))
+    )
+    # short doc -> one chunk of 2 tokens; empty doc -> no rows
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 2
+    assert 3 not in by_doc
+
+
+def test_cdc_chunks_boundary_locality(spark):
+    """Content-defined property: editing the FIRST token leaves all chunks
+    after the first boundary identical (fixed-width chunking would shift
+    every fingerprint)."""
+    base = " ".join(f"t{j % 17} u{j % 3} v{j}" for j in range(80))
+    edited = "EDITED " + base
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], ["doc_id", "text"]
+    )
+    out = cdc_chunks(df, window=3, divisor=4).collect()
+    fps = {
+        d: [r.fingerprint for r in sorted(g, key=lambda r: r.chunk_id)]
+        for d, g in [
+            (doc, [r for r in out if r.doc_id == doc]) for doc in (1, 2)
+        ]
+    }
+    # suffix chunks (everything after each doc's first chunk) coincide
+    assert fps[1][1:] == fps[2][1:]
+
+
+def test_semdedup_drops_planted_duplicate(spark):
+    import numpy as np
+
+    from pyspark_graph_spark.dedup.semdedup import SemDeDup
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=(20, 8))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # vec 100 = near-copy of vec 0 (tiny perturbation)
+    rows.append((100, [float(x) for x in base[0] + 1e-4]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in
+           SemDeDup(k=3, n_iter=2, threshold=0.95).run(df).collect()}
+    assert len(out) == 21
+    pair = {out[0].kept, out[100].kept}
+    assert pair == {True, False}  # exactly one of the twins survives
+    # everything else is far from everything -> kept
+    dropped = [v for v, r in out.items() if not r.kept]
+    assert len(dropped) == 1
+
+
+def test_semdedup_threshold_validation(spark):
+    from pyspark_graph_spark.dedup.semdedup import SemDeDup
+
+    with pytest.raises(ValueError):
+        SemDeDup(threshold=0.0)
+    with pytest.raises(ValueError):
+        SemDeDup(threshold=1.5)
+
+
+def test_scc_directed_trade_graph_gate(spark):
+    """Directed trade graph: SCC labels agree with weak components where
+    mutual reachability holds, and every vertex is labeled exactly once."""
+    from pyspark_graph_spark.operators.scc import (
+        StronglyConnectedComponents,
+    )
+    from pyspark_graph_spark.sources.tables import directed_trade_graph
+
+    g = directed_trade_graph(spark, "/root/testdata/sf0.001")
+    out = StronglyConnectedComponents(
+        max_outer_iterations=20, max_flood_iterations=40
+    ).run(g)
+    rows = out.collect()
+    n_verts = g.vertices.count()
+    assert len(rows) == n_verts
+    assert len({r.id for r in rows}) == n_verts
+    # the return edges close cycles: at least one SCC has >= 2 members
+    from collections import Counter
+
+    sizes = Counter(r.component for r in rows)
+    assert max(sizes.values()) >= 2
