@@ -5188,9 +5188,13 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.functions.packing import cdc_chunks
     from pyspark_graph_spark.sources.tables import load_table
 
-    return cdc_chunks(
-        load_table(spark, sf_dir, "documents"), window=3, divisor=16
+    # sf0.1 documents is ONE parquet file -> one input partition; the
+    # per-position hash lambdas are the real work here, so spread them
+    # (measured 48 s -> ~3 s at sf0.1 on local[32])
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    return cdc_chunks(docs, window=3, divisor=16)
 
 
 # ---------------------------------------------------------------------------
@@ -5247,6 +5251,86 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return SemDeDup(k=8, n_iter=2, threshold=0.42).run(emb)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup clustering: cdc_chunks -> shared-fingerprint edges -> CC
+# ---------------------------------------------------------------------------
+
+
+def _cdc_clusters_oracle(window: int, divisor: int) -> str:
+    """Replays cdc_chunks as a subquery, links docs sharing a chunk
+    fingerprint, then resolves clusters with a recursive min-label
+    reachability CTE."""
+    chunks = _cdc_sql(window=window, divisor=divisor).strip()
+    return f"""
+WITH RECURSIVE
+chunks AS MATERIALIZED (
+    SELECT * FROM ({chunks})
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM chunks a JOIN chunks b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+),
+sym AS (
+    SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+),
+reach(a, b) AS (
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+)
+SELECT a AS doc_id, MIN(b) AS component
+FROM reach GROUP BY a
+"""
+
+
+@query("cdc_dedup_clusters", oracle=_cdc_clusters_oracle(window=3, divisor=16))
+def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chunk-level dedup: content-defined chunks -> docs sharing
+    a chunk fingerprint become edges -> connected components label each
+    near-dup cluster (min doc id).  Composes two scale-safe pieces: CDC is
+    shuffle-free per-row arithmetic; the fingerprint self-join is bucketed
+    by fingerprint (never all-pairs).  Pregel min-label CC fits here —
+    shared-chunk clusters are clique-dense, so diameter stays tiny; swap
+    in AlternatingConnectedComponents for adversarial chain-shaped
+    corpora."""
+    from pyspark_graph_spark.functions.packing import cdc_chunks
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators.connected_components import (
+        ConnectedComponents,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    ch = cdc_chunks(spread, window=3, divisor=16).select(
+        "doc_id", "fingerprint"
+    )
+    a = ch.select(F.col("doc_id").alias(SRC), "fingerprint")
+    b = ch.select(F.col("doc_id").alias(DST), "fingerprint")
+    # materialize once: ACC's rounds + convergence probes would otherwise
+    # re-execute the chunking + fingerprint join per round
+    pairs = (
+        a.join(b, on="fingerprint")
+        .filter(F.col(SRC) < F.col(DST))
+        .select(SRC, DST)
+        .distinct()
+        .localCheckpoint()
+    )
+    g = Graph(
+        docs.select(F.col("doc_id").alias(ID)),
+        pairs,
+        directed=False,
+        indexed=True,
+    )
+    out = ConnectedComponents(max_iterations=10).run(g)
+    return out.select(
+        F.col(ID).alias("doc_id"), F.col("component").alias("component")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -106,14 +106,21 @@ def test_semdedup_drops_planted_duplicate(spark):
     # vec 100 = near-copy of vec 0 (tiny perturbation)
     rows.append((100, [float(x) for x in base[0] + 1e-4]))
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    out = {r.vec_id: r for r in
-           SemDeDup(k=3, n_iter=2, threshold=0.95).run(df).collect()}
+    sd = SemDeDup(k=3, n_iter=2, threshold=0.95)
+    out = {r.vec_id: r for r in sd.run(df).collect()}
     assert len(out) == 21
     pair = {out[0].kept, out[100].kept}
     assert pair == {True, False}  # exactly one of the twins survives
     # everything else is far from everything -> kept
     dropped = [v for v, r in out.items() if not r.kept]
     assert len(dropped) == 1
+    # the oracle-twin pair-join strategy makes identical decisions
+    pairs = {
+        r.vec_id: r for r in sd.run(df, strategy="pairs").collect()
+    }
+    assert {v: r.kept for v, r in out.items()} == {
+        v: r.kept for v, r in pairs.items()
+    }
 
 
 def test_semdedup_threshold_validation(spark):
