@@ -5334,6 +5334,178 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Embedding PCA, feature propagation, power-law degree fit (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _pca_sql(dim: int, n_iter: int) -> str:
+    """Unrolled distributed-covariance + power-iteration replay."""
+    d = dim
+    ctes = [
+        "emb AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS v FROM embeddings)",
+        f"dims AS (SELECT unnest(range(1, {d + 1})) AS i)",
+        "mu AS (SELECT d.i, AVG(v[d.i]) AS mu "
+        "FROM emb CROSS JOIN dims d GROUP BY d.i)",
+        "sxx AS MATERIALIZED (SELECT d1.i AS i, d2.i AS j, "
+        "SUM(v[d1.i] * v[d2.i]) AS s, COUNT(*) AS n "
+        "FROM emb CROSS JOIN dims d1 CROSS JOIN dims d2 GROUP BY 1, 2)",
+        "cov AS MATERIALIZED (SELECT s.i, s.j, "
+        "s.s / s.n - a.mu * b.mu AS c "
+        "FROM sxx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j)",
+        f"v0 AS (SELECT i, 1.0 / sqrt({d}.0) AS x FROM dims)",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(
+            f"w{it} AS (SELECT c.i, SUM(c.c * v.x) AS w "
+            f"FROM cov c JOIN v{it - 1} v ON c.j = v.i GROUP BY c.i)"
+        )
+        ctes.append(
+            f"n{it} AS (SELECT sqrt(SUM(w * w)) AS nm FROM w{it})"
+        )
+        ctes.append(
+            f"v{it} AS (SELECT i, w / nm AS x FROM w{it}, n{it})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(v.i AS BIGINT) AS i, ROUND(v.x, 6) AS loading,
+       ROUND(n.nm, 6) AS eigenvalue
+FROM v{n_iter} v, n{n_iter} n
+"""
+    )
+
+
+@query("embedding_pca", oracle=_pca_sql(dim=64, n_iter=3))
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus: distributed
+    covariance (one map-side-combined (i,j) aggregate — the corpus never
+    shuffles) + 3 deterministic power iterations over the d²-row
+    covariance frame (functions/pca.py).  PSD covariance + fixed v₀ means
+    no eigenvector sign ambiguity, so the SQL oracle replays the exact
+    trajectory."""
+    from pyspark_graph_spark.functions.pca import embedding_pca
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_pca(emb, dim=64, n_iter=3).select(
+        F.col("i").cast("long").alias("i"), "loading", "eigenvalue"
+    )
+
+
+@query(
+    "feature_propagation",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+f0 AS (
+    SELECT CAST(s_suppkey AS BIGINT) AS v, CAST(s_acctbal AS DOUBLE) AS f
+    FROM supplier
+),
+a1 AS (
+    SELECT s.src AS v, AVG(f0.f) AS f
+    FROM supplier_sym s JOIN f0 ON s.dst = f0.v GROUP BY s.src
+),
+f1 AS (
+    SELECT f0.v, COALESCE(a1.f, f0.f) AS f
+    FROM f0 LEFT JOIN a1 ON f0.v = a1.v
+),
+a2 AS (
+    SELECT s.src AS v, AVG(f1.f) AS f
+    FROM supplier_sym s JOIN f1 ON s.dst = f1.v GROUP BY s.src
+),
+f2 AS (
+    SELECT f1.v, COALESCE(a2.f, f1.f) AS f
+    FROM f1 LEFT JOIN a2 ON f1.v = a2.v
+)
+SELECT v AS id, ROUND(f, 6) AS feature FROM f2
+""",
+)
+def q_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of neighbor-mean feature smoothing (the GNN-less feature
+    propagation baseline) over supplier account balances — a pure
+    composition of the AggregateMessages operator; isolated vertices keep
+    their value."""
+    from pyspark_graph_spark.operators.aggregate_messages import (
+        AggregateMessages,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    sym = g.symmetric_edges.select(SRC, DST)
+    f = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias(ID),
+        F.col("s_acctbal").cast("double").alias("f"),
+    )
+    for _ in range(2):
+        gg = Graph(f, sym, directed=True, indexed=True)
+        msgs = AggregateMessages(
+            agg=F.avg("msg"), to_dst=F.col("src_f")
+        ).run(gg)
+        f = (
+            f.join(msgs.withColumnRenamed("msg", "__nf"), on=ID, how="left")
+            .select(ID, F.coalesce("__nf", "f").alias("f"))
+        )
+    return f.select(ID, F.round("f", 6).alias("feature"))
+
+
+@query(
+    "powerlaw_fit",
+    oracle=f"""
+WITH {BIPARTITE_EDGES_CTE.strip()},
+sym AS (
+    SELECT src, dst FROM bipartite_edges
+    UNION
+    SELECT dst AS src, src AS dst FROM bipartite_edges
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY src),
+hist AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY k),
+pts AS (SELECT ln(CAST(k AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+        FROM hist WHERE k > 0),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM pts
+)
+SELECT n AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept
+FROM s
+""",
+)
+def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS fit of the degree distribution (the power-law exponent
+    diagnostic that decides salting/AQE-skew strategy before a big join):
+    degree histogram -> (ln k, ln count) points -> closed-form slope/
+    intercept.  Three tiny aggregates; nothing corpus-sized survives the
+    first groupBy."""
+    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    sym = g.symmetric_edges.select(SRC, DST).distinct()
+    deg = sym.groupBy(SRC).agg(F.count(F.lit(1)).alias("k"))
+    hist = deg.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    pts = hist.filter(F.col("k") > 0).select(
+        F.log(F.col("k").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the

@@ -153,3 +153,104 @@ def test_scc_directed_trade_graph_gate(spark):
 
     sizes = Counter(r.component for r in rows)
     assert max(sizes.values()) >= 2
+
+
+def test_embedding_pca_matches_numpy(spark):
+    """Top principal direction matches numpy's eigendecomposition of the
+    same covariance (up to the tolerance of 3 power iterations)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: dominant axis along a fixed direction
+    base = rng.normal(size=(300, 6))
+    base[:, 2] *= 6.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    from pyspark_graph_spark.functions.pca import embedding_pca
+
+    out = embedding_pca(df, dim=6, n_iter=8).collect()
+    v = np.zeros(6)
+    for r in out:
+        v[r.i - 1] = r.loading
+    C = np.cov(base.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    top = evecs[:, -1]
+    # sign-align then compare
+    if np.dot(v, top) < 0:
+        top = -top
+    assert np.abs(np.dot(v, top)) > 0.999
+    assert out[0].eigenvalue == pytest.approx(evals[-1], rel=1e-3)
+
+
+def test_embedding_pca_validation(spark):
+    from pyspark_graph_spark.functions.pca import embedding_pca
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        embedding_pca(df, dim=2, n_iter=0)
+
+
+def test_feature_propagation_path_graph(spark):
+    """Hand-checkable 3-vertex path: one mean round, isolated keeps value."""
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators.aggregate_messages import (
+        AggregateMessages,
+    )
+
+    verts = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 60.0), (9, 5.0)], ["id", "f"]
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], ["src", "dst"]
+    )
+    g = Graph(verts, edges, directed=True, indexed=True)
+    from pyspark.sql import functions as FF
+
+    msgs = AggregateMessages(agg=FF.avg("msg"), to_dst=FF.col("src_f")).run(g)
+    f1 = {
+        r.id: r.f
+        for r in verts.join(
+            msgs.withColumnRenamed("msg", "nf"), on="id", how="left"
+        )
+        .selectExpr("id", "coalesce(nf, f) AS f")
+        .collect()
+    }
+    assert f1[1] == 20.0          # neighbor 2
+    assert f1[2] == 35.0          # mean(10, 60)
+    assert f1[3] == 20.0          # neighbor 2
+    assert f1[9] == 5.0           # isolated keeps value
+
+
+def test_powerlaw_fit_exact_line(spark):
+    """A degree histogram that IS a power law fits exactly:
+    count(k) = 64 * k^-2 -> slope -2, intercept ln 64."""
+    import math
+
+    # build synthetic points directly through the same OLS arithmetic
+    rows = []
+    vid = 0
+    for k in (1, 2, 4, 8):
+        cnt = 64 // (k * k)
+        for _ in range(cnt):
+            rows.append((vid, k))
+            vid += 1
+    df = spark.createDataFrame(rows, ["v", "k"])
+    from pyspark.sql import functions as FF
+
+    hist = df.groupBy("k").agg(FF.count(FF.lit(1)).alias("cnt"))
+    pts = hist.select(
+        FF.log(FF.col("k").cast("double")).alias("x"),
+        FF.log(FF.col("cnt").cast("double")).alias("y"),
+    )
+    s = pts.agg(
+        FF.count(FF.lit(1)).alias("n"),
+        FF.sum("x").alias("sx"),
+        FF.sum("y").alias("sy"),
+        FF.sum(FF.col("x") * FF.col("y")).alias("sxy"),
+        FF.sum(FF.col("x") * FF.col("x")).alias("sxx"),
+    ).first()
+    slope = (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)
+    assert slope == pytest.approx(-2.0, abs=1e-9)
+    intercept = (s.sy - slope * s.sx) / s.n
+    assert intercept == pytest.approx(math.log(64), abs=1e-9)
