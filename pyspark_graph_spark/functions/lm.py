@@ -73,3 +73,73 @@ def unigram_scores(
         )
     )
     return scored
+
+
+def _bigrams(text_col):
+    """(w1, w2) struct array with multiplicity from the token stream."""
+    t = tokens(F.col(text_col))
+    return F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def bigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w1, w2, cnt) over all consecutive token pairs in the corpus."""
+    return (
+        docs.select(F.explode(_bigrams(text_col)).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+
+def bigram_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bigrams, neg_log2_p): mean -log2 P(w2|w1) per document under
+    the corpus's own add-one-smoothed bigram model — the CCNet-style
+    perplexity filter trained on the corpus itself (no external weights).
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V).  Documents with fewer than
+    two tokens are omitted (no bigram support).  Plan shape: two term
+    aggregates (vocab- and bigram-cardinality, map-side combined), one
+    hash join of the exploded bigram stream against each, one per-doc
+    aggregate — nothing corpus-sized is ever broadcast or collected.
+    """
+    bc = bigram_counts(docs, text_col)
+    uc = unigram_counts(docs, text_col).withColumnsRenamed(
+        {"token": "w1", "cnt": "c1"}
+    )
+    vocab = uc.agg(F.count(F.lit(1)).alias("__v"))
+    big = docs.select(
+        F.col(id_col), F.explode(_bigrams(text_col)).alias("b")
+    ).select(
+        id_col,
+        F.col("b.w1").alias("w1"),
+        F.col("b.w2").alias("w2"),
+    )
+    return (
+        big.join(bc, on=["w1", "w2"])
+        .join(uc, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                -F.avg(
+                    F.log2(
+                        (F.col("c2") + 1) / (F.col("c1") + F.col("__v"))
+                    )
+                ),
+                6,
+            ).alias(NEG_LOG2_P),
+        )
+    )

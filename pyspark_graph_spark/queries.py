@@ -5505,6 +5505,77 @@ def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "bigram_scores",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+big AS (
+    SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
+    FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS g(i)
+),
+bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+uc AS (
+    SELECT u.tok AS w1, CAST(COUNT(*) AS BIGINT) AS c1
+    FROM toks CROSS JOIN UNNEST(t) AS u(tok) GROUP BY 1
+),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uc)
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-log2((bc.c2 + 1.0) / (uc.c1 + v.v))), 6) AS neg_log2_p
+FROM big b
+JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+JOIN uc ON b.w1 = uc.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+""",
+)
+def q_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM perplexity scoring (CCNet-style quality
+    filter without external weights): mean -log2 P(w2|w1) per doc under
+    the corpus's own add-one-smoothed bigram model.  Two term aggregates
+    + one hash join of the bigram stream; nothing corpus-sized broadcast
+    (functions/lm.py)."""
+    from pyspark_graph_spark.functions.lm import bigram_scores
+    from pyspark_graph_spark.sources.tables import load_table
+
+    return bigram_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _leakage_split_sql(window: int, divisor: int, train_pct: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    clusters = _cdc_clusters_oracle(window=window, divisor=divisor).strip()
+    h = md5_hash60_sql("CAST(component AS VARCHAR)")
+    return f"""
+SELECT doc_id, component,
+       CASE WHEN ({h}) % 100 < {train_pct} THEN 'train' ELSE 'val' END
+         AS split
+FROM ({clusters})
+"""
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_leakage_split_sql(window=3, divisor=16, train_pct=90),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split assigned at the DEDUP-CLUSTER level, not the doc
+    level: hash the near-dup cluster label, so no two near-duplicate
+    documents ever straddle the split boundary (the classic eval-leakage
+    bug doc-level hashing cannot prevent).  Pure composition:
+    cdc_dedup_clusters + one deterministic hash expression."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+
+    clusters = q_cdc_dedup_clusters(spark, sf_dir)
+    h = F.pmod(md5_hash60(F.col("component").cast("string")), F.lit(100))
+    return clusters.select(
+        "doc_id",
+        "component",
+        F.when(h < 90, F.lit("train")).otherwise(F.lit("val")).alias(
+            "split"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

@@ -254,3 +254,44 @@ def test_powerlaw_fit_exact_line(spark):
     assert slope == pytest.approx(-2.0, abs=1e-9)
     intercept = (s.sy - slope * s.sx) / s.n
     assert intercept == pytest.approx(math.log(64), abs=1e-9)
+
+
+def test_bigram_scores_exact(spark):
+    """Hand-checked add-one bigram model on a 2-doc corpus."""
+    import math
+
+    from pyspark_graph_spark.functions.lm import bigram_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1; unigrams a:3 b:3 c:1; V=3
+    out = {r.doc_id: r for r in bigram_scores(df).collect()}
+    p_ab = (3 + 1) / (3 + 3)   # c(a,b)+1 / c(a)+V
+    p_ba = (1 + 1) / (3 + 3)
+    p_bc = (1 + 1) / (3 + 3)
+    exp1 = -(2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    exp2 = -(math.log2(p_ab) + math.log2(p_bc)) / 2
+    assert out[1].n_bigrams == 3
+    assert out[1].neg_log2_p == pytest.approx(exp1, abs=1e-6)
+    assert out[2].n_bigrams == 2
+    assert out[2].neg_log2_p == pytest.approx(exp2, abs=1e-6)
+    # single-token doc has no bigrams -> omitted
+    df2 = spark.createDataFrame([(9, "solo")], ["doc_id", "text"])
+    assert bigram_scores(df2).count() == 0
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Every member of a dedup cluster lands on the same side of the
+    split — the property doc-level hashing cannot give."""
+    from pyspark_graph_spark.queries import QUERIES
+
+    out = QUERIES["leakage_safe_split"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_component = {}
+    for r in out:
+        by_component.setdefault(r.component, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_component.values())
+    splits = {r.split for r in out}
+    assert splits <= {"train", "val"}
