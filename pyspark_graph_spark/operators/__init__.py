@@ -11,6 +11,7 @@ from pyspark_graph_spark.operators.connected_components import (
 from pyspark_graph_spark.operators.katz import KatzIndex
 from pyspark_graph_spark.operators.kcore import KCore, core_numbers
 from pyspark_graph_spark.operators.mis import MaximalIndependentSet, greedy_coloring
+from pyspark_graph_spark.operators.mst import BoruvkaMST
 from pyspark_graph_spark.operators.pagerank import PageRank
 from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
 from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
@@ -39,6 +40,7 @@ __all__ = [
     "AggregateMessages",
     "AlternatingConnectedComponents",
     "BetweennessCentrality",
+    "BoruvkaMST",
     "BreadthFirstSearch",
     "ConnectedComponents",
     "JaccardSimilarity",

@@ -1,0 +1,167 @@
+"""Minimum spanning forest — distributed Borůvka over DataFrames.
+
+The reference has no MST operator (its graph surface stops at components /
+paths / centrality; SURVEY.md §2), but a spanning forest is the canonical
+"contract the graph in O(log V) rounds" algorithm and the natural companion
+to :class:`AlternatingConnectedComponents` — same star-contraction machinery,
+now weight-guided.
+
+Algorithm (Borůvka 1926, the provably parallel MST):
+
+1. every component picks its minimum incident cross-edge,
+2. the picked edges are added to the forest and their endpoint components
+   are contracted,
+3. repeat until no cross-component edge remains.
+
+Components at least halve per round, so rounds ≤ log2(V) regardless of
+weights or topology.
+
+Determinism: edges are compared by the total order ``(weight, src, dst)``
+(canonical ``src < dst``), which makes every "minimum" unique — the result
+is THE minimum spanning forest under that order (equivalently: the MSF of
+perturbed-to-distinct weights), identical across runs, partitionings, and
+engines. An external oracle can therefore replay it exactly via the cycle
+rule: an edge belongs to the forest iff no path between its endpoints uses
+only strictly smaller edges (min-max path closure; see the gate query).
+
+Scale notes (100 TB design):
+
+- The per-component minimum is a ``min(struct(weight, src, dst, ...))``
+  hash aggregation — partial (map-side) aggregation absorbs hub skew, unlike
+  a window rank which would sort each component's full incident edge list on
+  one task.
+- Contraction reuses the Kiveris star-contraction CC on the picked-edge
+  graph, whose size is ≤ #components and shrinks geometrically.
+- Each round shuffles the surviving edge list twice (component relabel on
+  src and dst) — edges that became intra-component are dropped *before* the
+  next round, so shuffled bytes shrink with the contraction.
+- Per-round ``localCheckpoint`` truncates lineage exactly like the other
+  iterative operators here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.constants import DST, ID, SRC
+from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.operators.connected_components import (
+    COMPONENT,
+    AlternatingConnectedComponents,
+)
+
+WEIGHT = "weight"
+
+
+class BoruvkaMST:
+    """Minimum spanning forest of an undirected weighted graph.
+
+    ``run`` returns the forest's edge list ``(src, dst, weight)`` in
+    canonical ``src < dst`` orientation. Vertices with no incident edges
+    contribute no rows (a forest has no edges there). Parallel edges are
+    collapsed to their minimum weight; self-loops are dropped.
+    """
+
+    def __init__(self, weight: str = WEIGHT, max_iterations: int = 20):
+        self.weight = weight
+        self.max_iterations = max_iterations
+
+    def run(self, g: Graph) -> DataFrame:
+        w = F.col(self.weight).alias(WEIGHT)
+        edges = (
+            g.edges.select(
+                F.least(SRC, DST).alias(SRC),
+                F.greatest(SRC, DST).alias(DST),
+                w,
+            )
+            .filter(F.col(SRC) != F.col(DST))
+            .groupBy(SRC, DST)
+            .agg(F.min(WEIGHT).alias(WEIGHT))
+            .localCheckpoint()
+        )
+
+        # component label per edge-incident vertex (isolated vertices can
+        # never gain a forest edge, so they are not tracked)
+        comp = (
+            edges.select(F.col(SRC).alias(ID))
+            .unionByName(edges.select(F.col(DST).alias(ID)))
+            .distinct()
+            .withColumn(COMPONENT, F.col(ID))
+            .localCheckpoint()
+        )
+
+        forest: DataFrame | None = None
+        for _ in range(self.max_iterations):
+            live = (
+                edges.join(
+                    comp.select(
+                        F.col(ID).alias(SRC), F.col(COMPONENT).alias("__cs")
+                    ),
+                    on=SRC,
+                )
+                .join(
+                    comp.select(
+                        F.col(ID).alias(DST), F.col(COMPONENT).alias("__cd")
+                    ),
+                    on=DST,
+                )
+                .filter(F.col("__cs") != F.col("__cd"))
+                .localCheckpoint()
+            )
+            if live.limit(1).count() == 0:
+                break
+            # next round never revisits intra-component edges
+            edges = live.select(SRC, DST, WEIGHT)
+
+            # minimum incident cross-edge per component: min over a struct
+            # whose leading fields are the (weight, src, dst) total order —
+            # a hash aggregate with map-side combine, skew-immune
+            pick = F.struct(WEIGHT, SRC, DST, "__cs", "__cd").alias("__e")
+            incident = live.select(F.col("__cs").alias("__c"), pick).unionByName(
+                live.select(F.col("__cd").alias("__c"), pick)
+            )
+            chosen = (
+                incident.groupBy("__c")
+                .agg(F.min("__e").alias("__e"))
+                .select("__e.*")
+                # one edge may be the minimum of both its endpoints
+                .distinct()
+                .localCheckpoint()
+            )
+
+            picked = chosen.select(SRC, DST, WEIGHT)
+            forest = (
+                picked
+                if forest is None
+                else forest.unionByName(picked).localCheckpoint()
+            )
+
+            # contract: CC over the picked component-graph (≤ #components
+            # edges, shrinking geometrically), then relabel
+            cgraph = Graph(
+                comp.select(F.col(COMPONENT).alias(ID)).distinct(),
+                chosen.select(
+                    F.col("__cs").alias(SRC), F.col("__cd").alias(DST)
+                ),
+                directed=False,
+                indexed=True,
+            )
+            mapping = AlternatingConnectedComponents(
+                max_iterations=self.max_iterations
+            ).run(cgraph)
+            comp = (
+                comp.join(
+                    mapping.select(
+                        F.col(ID).alias(COMPONENT),
+                        F.col(COMPONENT).alias("__new"),
+                    ),
+                    on=COMPONENT,
+                )
+                .select(ID, F.col("__new").alias(COMPONENT))
+                .localCheckpoint()
+            )
+
+        if forest is None:
+            return g.edges.select(SRC, DST, w).limit(0)
+        return forest

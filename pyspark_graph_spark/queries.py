@@ -5576,6 +5576,84 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mst_minmax_sql(rounds: int) -> str:
+    """Cycle-rule MST oracle. Under the strict total edge order
+    ``(weight, src, dst)`` the minimum spanning forest is unique, and an
+    edge of rank r belongs to it iff NO path between its endpoints has a
+    smaller bottleneck rank — i.e. iff the min-max-rank path closure
+    between them bottoms out at r (the edge itself). The closure is
+    computed by ``rounds`` doubling steps of (min, max) matrix squaring,
+    covering paths of up to 2^rounds edges — ≥ V-1 at gate scale, so the
+    closure is exact. Independent arithmetic path from Borůvka: a
+    contraction bug on the Spark side cannot reproduce here."""
+    ctes = [
+        "m0 AS MATERIALIZED ("
+        "SELECT src, dst, MIN(r) AS b FROM sym0 GROUP BY src, dst)"
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"m{i} AS MATERIALIZED (SELECT src, dst, MIN(b) AS b FROM ("
+            f"SELECT src, dst, b FROM m{i-1} "
+            f"UNION ALL "
+            f"SELECT a.src, c.dst, GREATEST(a.b, c.b) AS b "
+            f"FROM m{i-1} a JOIN m{i-1} c ON a.dst = c.src"
+            f") GROUP BY src, dst)"
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+wedges AS (
+    SELECT CAST(e.src AS BIGINT) AS src, CAST(e.dst AS BIGINT) AS dst,
+           CAST((e.src * 7 + e.dst * 13) % 97 + 1 AS BIGINT) AS weight
+    FROM supplier_edges e
+),
+rk AS (
+    SELECT src, dst, weight,
+           ROW_NUMBER() OVER (ORDER BY weight, src, dst) AS r
+    FROM wedges
+),
+sym0 AS (
+    SELECT src, dst, r FROM rk
+    UNION ALL
+    SELECT dst AS src, src AS dst, r FROM rk
+),
+{joined}
+SELECT rk.src, rk.dst, rk.weight
+FROM rk
+JOIN m{rounds} p ON p.src = rk.src AND p.dst = rk.dst AND p.b = rk.r
+"""
+
+
+@query("mst_forest", oracle=_mst_minmax_sql(rounds=7))
+def q_mst_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the supplier co-occurrence graph under
+    deterministic synthetic weights ``(src*7 + dst*13) % 97 + 1``.
+    Distributed Borůvka: per-component min-edge selection is a map-side-
+    combined struct-min aggregate (skew-immune), contraction reuses the
+    O(log n) star-contraction CC, so rounds ≤ log2(V) at any scale. The
+    oracle derives the same unique forest through the cycle rule instead
+    (min-max path closure) — two independent algorithms, one answer."""
+    from pyspark_graph_spark.operators.mst import BoruvkaMST
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    edges = (
+        g.edges.select(
+            F.col(SRC).cast("long").alias(SRC),
+            F.col(DST).cast("long").alias(DST),
+        )
+        .withColumn(
+            "weight", (F.col(SRC) * 7 + F.col(DST) * 13) % 97 + 1
+        )
+    )
+    wg = Graph(
+        g.vertices.select(F.col(ID).cast("long").alias(ID)),
+        edges,
+        directed=False,
+        indexed=True,
+    )
+    return BoruvkaMST().run(wg)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
