@@ -11,6 +11,8 @@ from pyspark_graph_spark.operators.connected_components import (
 from pyspark_graph_spark.operators.katz import KatzIndex
 from pyspark_graph_spark.operators.kcore import KCore, core_numbers
 from pyspark_graph_spark.operators.mis import MaximalIndependentSet, greedy_coloring
+from pyspark_graph_spark.operators.bipartite import BipartiteCheck
+from pyspark_graph_spark.operators.dag import TopologicalLayers
 from pyspark_graph_spark.operators.mst import BoruvkaMST
 from pyspark_graph_spark.operators.pagerank import PageRank
 from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
@@ -40,8 +42,10 @@ __all__ = [
     "AggregateMessages",
     "AlternatingConnectedComponents",
     "BetweennessCentrality",
+    "BipartiteCheck",
     "BoruvkaMST",
     "BreadthFirstSearch",
+    "TopologicalLayers",
     "ConnectedComponents",
     "JaccardSimilarity",
     "KCore",

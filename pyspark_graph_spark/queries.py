@@ -5654,6 +5654,87 @@ def q_mst_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return BoruvkaMST().run(wg)
 
 
+@query(
+    "bipartite_check",
+    oracle=f"""
+WITH RECURSIVE {BIPARTITE_EDGES_CTE.strip()},
+cover_edges AS (
+    SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM bipartite_edges
+    UNION ALL
+    SELECT dst * 2 AS src, src * 2 + 1 AS dst FROM bipartite_edges
+),
+cover_sym AS (
+    SELECT src, dst FROM cover_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM cover_edges
+),
+verts AS (
+    SELECT c_custkey * 2 AS id FROM customer
+    UNION
+    SELECT s_suppkey * 2 + 1 AS id FROM supplier
+),
+cverts AS (
+    SELECT id * 2 AS id FROM verts
+    UNION
+    SELECT id * 2 + 1 AS id FROM verts
+),
+reach(id, r) AS (
+    SELECT id, id FROM cverts
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN cover_sym e ON e.src = reach.id
+),
+cc AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+evens AS (SELECT id // 2 AS id, comp AS ce FROM cc WHERE id % 2 = 0),
+odds  AS (SELECT (id - 1) // 2 AS id, comp AS co FROM cc WHERE id % 2 = 1)
+SELECT CAST(e.id AS BIGINT) AS id,
+       CAST(LEAST(ce, co) // 2 AS BIGINT) AS component,
+       ce <> co AS bipartite,
+       CASE WHEN ce <> co
+            THEN (CASE WHEN ce < co THEN 0 ELSE 1 END)
+       END AS color
+FROM evens e JOIN odds o ON e.id = o.id
+""",
+)
+def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartiteness + proper 2-coloring of the customer-supplier graph via
+    the double cover: one CC run on the doubled graph, no parity BFS. The
+    oracle replays the reduction with a recursive-CTE CC — the coloring is
+    derived from min-member component labels, so both engines agree
+    bit-for-bit. (This graph IS bipartite by construction; the odd-cycle
+    negative path is exercised in tests.)"""
+    from pyspark_graph_spark.operators.bipartite import BipartiteCheck
+
+    g = customer_supplier_graph(spark, sf_dir)
+    out = BipartiteCheck().run(g)
+    return out.select(
+        ID, "component", "bipartite", F.col("color").cast("int").alias("color")
+    )
+
+
+@query(
+    "topological_layers",
+    oracle=f"""
+WITH RECURSIVE {NATION_EDGES_CTE.strip()},
+d(id, depth) AS (
+    SELECT CAST(n_nationkey AS BIGINT) AS id, 0 AS depth FROM nation
+    UNION
+    SELECT e.dst, d.depth + 1 FROM d JOIN nation_edges e ON e.src = d.id
+)
+SELECT id, CAST(MAX(depth) AS INT) AS layer FROM d GROUP BY id
+""",
+)
+def q_topological_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path topological layering of the canonical (src < dst)
+    nation DAG via level-synchronous Kahn peeling — rounds equal DAG
+    depth. Oracle: recursive-CTE longest path ending at each vertex
+    (extending any path backward to a source never shortens it, so the
+    two definitions coincide)."""
+    from pyspark_graph_spark.operators.dag import TopologicalLayers
+
+    g = nation_graph(spark, sf_dir)
+    return TopologicalLayers(max_iterations=30).run(g)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

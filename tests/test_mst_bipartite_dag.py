@@ -108,3 +108,110 @@ def test_mst_ties_resolved_by_src_dst_order(spark):
         for r in BoruvkaMST().run(g).collect()
     )
     assert got == py_kruskal(n, wedges)
+
+
+# ---------------------------------------------------------------------------
+# BipartiteCheck (double cover)
+# ---------------------------------------------------------------------------
+
+from pyspark_graph_spark.operators.bipartite import BipartiteCheck
+from pyspark_graph_spark.operators.dag import TopologicalLayers
+
+
+def _bip(spark, edges, n):
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph(v, e, directed=False, indexed=True)
+    return {r["id"]: r for r in BipartiteCheck().run(g).collect()}
+
+
+def test_bipartite_even_cycle(spark):
+    rows = _bip(spark, [(0, 1), (1, 2), (2, 3), (3, 0)], 4)
+    assert all(rows[i]["bipartite"] for i in range(4))
+    # proper coloring: adjacent vertices differ
+    for u, v in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+        assert rows[u]["color"] != rows[v]["color"]
+    assert {rows[i]["component"] for i in range(4)} == {0}
+
+
+def test_bipartite_odd_cycle_rejected(spark):
+    rows = _bip(spark, [(0, 1), (1, 2), (2, 0)], 3)
+    assert not any(rows[i]["bipartite"] for i in range(3))
+    assert all(rows[i]["color"] is None for i in range(3))
+
+
+def test_bipartite_self_loop_is_odd_cycle(spark):
+    rows = _bip(spark, [(0, 1), (1, 1)], 2)
+    assert not rows[0]["bipartite"] and not rows[1]["bipartite"]
+
+
+def test_bipartite_mixed_components(spark):
+    # component {0,1}: bipartite edge; component {2,3,4}: triangle
+    rows = _bip(spark, [(0, 1), (2, 3), (3, 4), (4, 2)], 5)
+    assert rows[0]["bipartite"] and rows[1]["bipartite"]
+    assert rows[0]["color"] != rows[1]["color"]
+    assert not rows[2]["bipartite"]
+    assert rows[0]["component"] == 0 and rows[2]["component"] == 2
+    # isolated-free: every vertex reported exactly once
+    assert len(rows) == 5
+
+
+def test_bipartite_isolated_vertex_is_bipartite(spark):
+    rows = _bip(spark, [(0, 1)], 3)
+    assert rows[2]["bipartite"] and rows[2]["component"] == 2
+
+
+# ---------------------------------------------------------------------------
+# TopologicalLayers (Kahn peel)
+# ---------------------------------------------------------------------------
+
+
+def _layers(spark, edges, n, max_iterations=30):
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph(v, e, directed=True, indexed=True)
+    out = TopologicalLayers(max_iterations=max_iterations).run(g)
+    return {r["id"]: r["layer"] for r in out.collect()}
+
+
+def test_layers_diamond_dag(spark):
+    #    0 -> 1 -> 3,  0 -> 2 -> 3, 2 -> 4
+    got = _layers(spark, [(0, 1), (0, 2), (1, 3), (2, 3), (2, 4)], 5)
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 2}
+
+
+def test_layers_longest_path_not_shortest(spark):
+    # 0->3 direct, but 0->1->2->3 forces layer(3)=3
+    got = _layers(spark, [(0, 3), (0, 1), (1, 2), (2, 3)], 4)
+    assert got[3] == 3
+
+
+def test_layers_cycle_marked_null(spark):
+    # 0 -> 1 -> 2 -> 1 cycle; 3 isolated
+    got = _layers(spark, [(0, 1), (1, 2), (2, 1)], 4)
+    assert got[0] == 0 and got[3] == 0
+    assert got[1] is None and got[2] is None
+
+
+def test_layers_self_loop_null_downstream_too(spark):
+    got = _layers(spark, [(0, 0), (0, 1)], 2)
+    assert got[0] is None and got[1] is None
+
+
+def test_layers_matches_python_dp(spark):
+    rng = random.Random(7)
+    n = 20
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(u + 1, n)
+        if rng.random() < 0.15
+    ]
+    got = _layers(spark, edges, n)
+    # python longest-path DP over the topological (natural) order
+    depth = [0] * n
+    for u in range(n):
+        for a, b in edges:
+            if a == u:
+                depth[b] = max(depth[b], depth[u] + 1)
+    assert got == {i: depth[i] for i in range(n)}
