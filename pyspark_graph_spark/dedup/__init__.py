@@ -4,6 +4,7 @@ from pyspark_graph_spark.dedup.incremental import IncrementalDedup
 from pyspark_graph_spark.dedup.minhash import MinHashLSH
 from pyspark_graph_spark.dedup.ngram import NgramJaccardDedup
 from pyspark_graph_spark.dedup.simhash import SimHashDedup
+from pyspark_graph_spark.dedup.spans import duplicate_spans
 
 __all__ = [
     "EmbeddingDedup",
@@ -12,4 +13,5 @@ __all__ = [
     "MinHashLSH",
     "NgramJaccardDedup",
     "SimHashDedup",
+    "duplicate_spans",
 ]

@@ -21,8 +21,10 @@ from pyspark_graph_spark.functions.sketch import (
     cms_estimate,
     cms_sketch,
     histogram_quantiles,
+    hll_estimate,
     kmv_distinct,
 )
+from pyspark_graph_spark.functions.dsir import dsir_weights
 from pyspark_graph_spark.functions.bpe import apply_bpe, learn_bpe_merges
 from pyspark_graph_spark.functions.layout import zorder_write, zvalue
 from pyspark_graph_spark.functions.lm import unigram_counts
@@ -37,6 +39,8 @@ __all__ = [
     "assign_shards",
     "write_shards",
     "kmv_distinct",
+    "hll_estimate",
+    "dsir_weights",
     "cms_estimate",
     "cms_sketch",
     "histogram_quantiles",

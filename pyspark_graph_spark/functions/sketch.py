@@ -223,3 +223,65 @@ def histogram_quantiles(
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+def hll_estimate(
+    df: DataFrame, col: str, b: int = 6, round_to: int = 4
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate — deterministic and mergeable.
+
+    The third classic mergeable sketch next to KMV (distinct) and count-min
+    (frequency) above: m = 2^b registers, each keeping the maximum
+    "leading-zero rank" of the hashes routed to it (Flajolet et al. 2007).
+    Per-register max is a map-side-combinable aggregation, registers from
+    disjoint partitions/days merge by element-wise max, and state is m
+    small integers regardless of input size.
+
+    Everything is engine-portable on purpose: the hash is the cross-engine
+    60-bit md5 fold, the register index its low b bits, and the rank is
+    derived from the *length of the binary string* of the remaining
+    (60-b)-bit value — ``bin()`` exists in both Spark and DuckDB and
+    avoids float log2 edge cases at powers of two. Small cardinalities use
+    the standard linear-counting correction; both engines compute the same
+    registers, so the estimate matches to float rounding.
+
+    Returns one row: ``(m, nonzero_registers, estimate)``.
+    """
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+
+    m = 1 << b
+    width = 60 - b  # bits in the rank field
+    alpha = 0.7213 / (1 + 1.079 / m)
+
+    h = md5_hash60(F.col(col).cast("string"))
+    # h >> b via integer shift — a double division would round the 60-bit
+    # hash at the 53-bit mantissa boundary
+    q = F.shiftright(h, b)
+    # rank = leading zeros in the width-bit field + 1; bin(q) drops leading
+    # zeros so its length is the bit length of q (and '0' for q == 0)
+    rank = F.when(q == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(q))
+    )
+    regs = (
+        df.select(
+            F.pmod(h, F.lit(m)).alias("reg"), rank.alias("rank")
+        )
+        .groupBy("reg")
+        .agg(F.max("rank").alias("mx"))
+    )
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("nz"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+    )
+    raw = F.lit(alpha) * m * m / (F.col("s") + (m - F.col("nz")))
+    # linear counting when the raw estimate is small and empty registers
+    # remain (standard small-range correction)
+    est = F.when(
+        (raw <= 2.5 * m) & (F.col("nz") < m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / (m - F.col("nz"))),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).alias("m"),
+        F.col("nz").cast("long").alias("nonzero_registers"),
+        F.round(est, round_to).alias("estimate"),
+    )

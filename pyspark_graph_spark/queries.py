@@ -5735,6 +5735,157 @@ def q_topological_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TopologicalLayers(max_iterations=30).run(g)
 
 
+def _dup_spans_sql(n: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    # the fold inside md5_hash60_sql binds a lambda variable `i`, which
+    # would capture a same-named outer column — use a distinct name
+    h = md5_hash60_sql(f"array_to_string(t[s0:s0+{n-1}], ' ')")
+    return rf"""
+WITH {_TOKS_CTE.strip()},
+grams AS (
+    SELECT doc_id, s0 AS start, {h} AS h
+    FROM toks CROSS JOIN UNNEST(range(1, len(t) - {n} + 2)) AS g(s0)
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT DISTINCT g.doc_id, g.start FROM grams g JOIN dup USING (h)),
+covered AS (
+    SELECT DISTINCT doc_id, start + o AS pos
+    FROM occ CROSS JOIN UNNEST(range(0, {n})) AS c(o)
+),
+tokpos AS (
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM toks CROSS JOIN UNNEST(range(1, len(t) + 1)) AS p(i)
+),
+kept AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM tokpos tp
+    LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+    WHERE c.doc_id IS NULL
+),
+cleanfp AS (
+    SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fingerprint
+    FROM kept GROUP BY doc_id
+),
+dc AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM covered GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(dc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN len(t.t) > 0
+            THEN ROUND(COALESCE(dc.dup_tokens, 0) / len(t.t), 6)
+            ELSE 0.0 END AS dup_ratio,
+       COALESCE(cf.clean_fingerprint, md5('')) AS clean_fingerprint
+FROM toks t
+LEFT JOIN dc USING (doc_id)
+LEFT JOIN cleanfp cf USING (doc_id)
+"""
+
+
+@query("dup_spans", oracle=_dup_spans_sql(n=8))
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication (Lee et al. 2022): tokens covered by any
+    8-gram whose hash recurs across documents, plus the fingerprint of the
+    document with those spans stripped. The duplicate-hash vocabulary is
+    output-sized (only genuinely repeated text) and broadcasts back onto
+    the occurrence stream; no all-pairs stage anywhere."""
+    from pyspark_graph_spark.dedup.spans import duplicate_spans
+    from pyspark_graph_spark.sources.tables import load_table
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), n=8)
+
+
+def _dsir_sql(buckets: int, target_pred: str) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql("token")
+    return rf"""
+WITH {_TOKS_CTE.strip()},
+tokb AS (
+    SELECT tok.doc_id, ({h}) % {buckets} AS bucket, d.lang
+    FROM (SELECT doc_id, unnest(t) AS token FROM toks) tok
+    JOIN documents d USING (doc_id)
+),
+corpus AS (SELECT bucket, COUNT(*) AS c_raw FROM tokb GROUP BY bucket),
+tgt AS (
+    SELECT bucket, COUNT(*) AS c_tgt FROM tokb
+    WHERE {target_pred} GROUP BY bucket
+),
+model AS (
+    SELECT c.bucket, c.c_raw, COALESCE(t.c_tgt, 0) AS c_tgt
+    FROM corpus c LEFT JOIN tgt t USING (bucket)
+),
+tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM model)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(log2(((c_tgt + 1) / (t_tgt + {buckets}))
+                    / ((c_raw + 1) / (t_raw + {buckets})))), 6)
+         AS dsir_weight
+FROM tokb JOIN model USING (bucket) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+@query("dsir_weights", oracle=_dsir_sql(1024, "lang = 'en'"))
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) of every document against
+    the English subset as the target distribution: hashed-unigram bag-of-
+    words likelihood ratio, add-one smoothed over 1024 feature buckets.
+    Two bucket-count aggregations produce broadcast-sized models; the
+    token stream itself is only aggregated, never joined wide."""
+    from pyspark_graph_spark.functions.dsir import dsir_weights
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, target=F.col("lang") == "en", buckets=1024)
+
+
+def _hll_sql(b: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    m = 1 << b
+    width = 60 - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = md5_hash60_sql("CAST(l_partkey * 100000 + l_suppkey AS VARCHAR)")
+    return f"""
+WITH hashes AS (SELECT ({h}) AS h FROM lineitem),
+rr AS (
+    SELECT h % {m} AS reg,
+           CASE WHEN (h >> {b}) = 0 THEN {width + 1}
+                ELSE {width + 1} - LENGTH(bin(h >> {b})) END AS rank
+    FROM hashes
+),
+regs AS (SELECT reg, MAX(rank) AS mx FROM rr GROUP BY reg),
+agg AS (
+    SELECT COUNT(*) AS nz, SUM(POWER(2.0, -mx)) AS s FROM regs
+)
+SELECT CAST({m} AS INT) AS m,
+       CAST(nz AS BIGINT) AS nonzero_registers,
+       ROUND(CASE WHEN CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s + ({m} - nz))
+                        <= 2.5 * {m}
+                   AND nz < {m}
+                  THEN {m}.0 * ln({m}.0 / ({m} - nz))
+                  ELSE CAST({alpha!r} AS DOUBLE) * {m} * {m}
+                       / (s + ({m} - nz)) END,
+             4) AS estimate
+FROM agg
+"""
+
+
+@query("hll_distinct", oracle=_hll_sql(b=6))
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog estimate of distinct (partkey, suppkey) pairs in
+    lineitem — 64 integer registers, map-side-combinable, mergeable by
+    element-wise max. Register ranks use bin()-length bit arithmetic (no
+    float log2), so the oracle rebuilds the identical registers and the
+    estimate matches to rounding."""
+    from pyspark_graph_spark.functions.sketch import hll_estimate
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 100000 + F.col("l_suppkey")).alias("key")
+    )
+    return hll_estimate(li, "key", b=6)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
