@@ -3,6 +3,11 @@ from pyspark_graph_spark.multimodal.audio_ops import (
     audio_stats,
     decode_audio,
 )
+from pyspark_graph_spark.multimodal.gif_ops import (
+    attach_gif_media,
+    decode_gif,
+    encode_gif,
+)
 from pyspark_graph_spark.multimodal.binary_ops import (
     MEDIA_SCHEMA,
     attach_fake_media,
@@ -21,6 +26,9 @@ __all__ = [
     "attach_fake_media",
     "attach_pgm_media",
     "attach_png_media",
+    "attach_gif_media",
+    "decode_gif",
+    "encode_gif",
     "attach_pgm_video",
     "attach_wav_media",
     "audio_stats",

@@ -214,6 +214,10 @@ def _decode_any(media: bytes, meta) -> np.ndarray:
         return _decode_bmp(media)
     if bytes(media[:8]) == b"\x89PNG\r\n\x1a\n":
         return _decode_png(media)
+    if bytes(media[:4]) == b"GIF8":
+        from pyspark_graph_spark.multimodal.gif_ops import decode_gif
+
+        return decode_gif(bytes(media))
     if meta["format"] == "fake":
         return _fake_decode(media, meta["width"], meta["height"])
     if _PIL_Image is not None:  # pragma: no cover - pillow not in container

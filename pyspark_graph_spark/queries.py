@@ -5886,6 +5886,36 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(li, "key", b=6)
 
 
+@query(
+    "multimodal_decode_gif",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(doc_id % 24 + 8 AS INT) AS width,
+       CAST(doc_id % 16 + 8 AS INT) AS height,
+       CAST(list_sum(list_transform(
+                range(0, (doc_id % 24 + 8) * (doc_id % 16 + 8)),
+                k -> ((doc_id + k) % 4) * 85))
+            // ((doc_id % 24 + 8) * (doc_id % 16 + 8)) AS BIGINT)
+         AS mean_intensity
+FROM documents
+""",
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end: standards-conforming GIF87a streams
+    (4-color palette, genuine variable-width LZW with dictionary resets)
+    are synthesized per document id, then parsed back — container, color
+    table, sub-blocks, LZW — inside Arrow-batched mapInPandas. Pixel k has
+    palette index (id+k)%4 → intensity index*85, so the oracle recomputes
+    every feature with integer arithmetic; a wrong LZW width transition or
+    palette lookup shows up as a value mismatch."""
+    from pyspark_graph_spark.multimodal import decode_images
+    from pyspark_graph_spark.multimodal.gif_ops import attach_gif_media
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_gif_media(docs, "doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
