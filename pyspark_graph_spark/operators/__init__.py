@@ -17,6 +17,7 @@ from pyspark_graph_spark.operators.mst import BoruvkaMST
 from pyspark_graph_spark.operators.pagerank import PageRank
 from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
 from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
+from pyspark_graph_spark.operators.simrank import SimRank
 from pyspark_graph_spark.operators.label_propagation import LabelPropagation
 from pyspark_graph_spark.operators.shortest_paths import ShortestPaths
 from pyspark_graph_spark.operators.pregel import Pregel
@@ -61,6 +62,7 @@ __all__ = [
     "HITS",
     "PageRank",
     "Pregel",
+    "SimRank",
     "RandomWalks",
     "Louvain",
     "modularity",

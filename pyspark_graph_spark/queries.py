@@ -5916,6 +5916,51 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_gif_media(docs, "doc_id"))
 
 
+def _simrank_sql(c: float, rounds: int) -> str:
+    """SimRank fixpoint unrolled: each round joins the previous pair
+    scores through in-edges twice, exactly as the operator does. Float
+    literals are cast to DOUBLE so DuckDB doesn't route the arithmetic
+    through DECIMAL (whose rounding differs from IEEE doubles)."""
+    ctes = ["s0 AS (SELECT id AS a, id AS b, CAST(1 AS DOUBLE) AS s FROM verts)"]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""s{i} AS (
+    SELECT e1.dst AS a, e2.dst AS b,
+           CAST({c!r} AS DOUBLE) * SUM(s{i-1}.s) / (d1.d * d2.d) AS s
+    FROM s{i-1}
+    JOIN nation_sym e1 ON e1.src = s{i-1}.a
+    JOIN nation_sym e2 ON e2.src = s{i-1}.b
+    JOIN deg d1 ON d1.id = e1.dst
+    JOIN deg d2 ON d2.id = e2.dst
+    WHERE e1.dst <> e2.dst
+    GROUP BY e1.dst, e2.dst, d1.d, d2.d
+    UNION ALL
+    SELECT id, id, CAST(1 AS DOUBLE) FROM verts
+)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {NATION_EDGES_CTE.strip()},
+verts AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+deg AS (SELECT dst AS id, COUNT(*) AS d FROM nation_sym GROUP BY dst),
+{joined}
+SELECT a, b, ROUND(s, 6) AS simrank
+FROM s{rounds} WHERE a < b AND s > 0
+"""
+
+
+@query("simrank", oracle=_simrank_sql(c=0.8, rounds=3))
+def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration exact SimRank on the nation graph (C = 0.8). The pair-
+    score frame is the iteration state — support grows from the diagonal
+    through in-edge joins, so nothing all-pairs is materialized up front;
+    the oracle unrolls the identical fixpoint."""
+    from pyspark_graph_spark.operators.simrank import SimRank
+
+    g = nation_graph(spark, sf_dir)
+    return SimRank(c=0.8, max_iterations=3).run(g)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
