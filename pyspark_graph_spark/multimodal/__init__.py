@@ -3,6 +3,7 @@ from pyspark_graph_spark.multimodal.audio_ops import (
     audio_stats,
     decode_audio,
 )
+from pyspark_graph_spark.multimodal.audio_ops import spectral_features
 from pyspark_graph_spark.multimodal.gif_ops import (
     attach_gif_media,
     decode_gif,
@@ -27,6 +28,7 @@ __all__ = [
     "attach_pgm_media",
     "attach_png_media",
     "attach_gif_media",
+    "spectral_features",
     "decode_gif",
     "encode_gif",
     "attach_pgm_video",

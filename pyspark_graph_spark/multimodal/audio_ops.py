@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StructField,
@@ -198,3 +199,53 @@ def audio_stats(media_df: DataFrame) -> DataFrame:
             / F.col("meta.sample_rate")
         ).alias("duration_sec"),
     )
+
+
+def spectral_features(
+    media_df: DataFrame, frame: int = 64, bins: tuple = (0, 1, 4, 8)
+) -> DataFrame:
+    """Framed DFT-bin power spectrum — the audio feature-extraction stage.
+
+    Decodes the WAV payload (really: ``_decode_wav`` walks the RIFF
+    chunks), splits samples into non-overlapping ``frame``-sample windows
+    (trailing remainder dropped), and for each requested DFT bin ``b``
+    accumulates per-frame power
+
+        P_b = Σ_frames [ (Σ_k x_k cos(2πbk/N))² + (Σ_k x_k sin(2πbk/N))² ]
+
+    — a direct Goertzel-style projection, vectorized in NumPy inside one
+    Arrow-batched ``mapInPandas`` hop. A handful of named bins (DC, low,
+    mid, high) is the classic cheap spectral fingerprint for corpus
+    filtering; full FFTs only pay off once you need every bin.
+
+    Trig arguments are formed left-associatively (``2π·b·k / N``) so an
+    external engine evaluating the identical expression reproduces each
+    term bit-for-bit; power sums are stable to ~1e-7 relative across
+    summation orders and are rounded to 4 decimals.
+
+    Returns ``(media_id, n_frames, p<b>...)``.
+    """
+    fields = [
+        StructField("media_id", LongType()),
+        StructField("n_frames", IntegerType()),
+    ] + [StructField(f"p{b}", DoubleType()) for b in bins]
+    schema = StructType(fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(frame)
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _sr, x = _decode_wav(bytes(row.media))
+                nfr = len(x) // frame
+                xf = x[: nfr * frame].astype(np.float64).reshape(nfr, frame)
+                rec = [int(row.media_id), int(nfr)]
+                for b in bins:
+                    ang = 2 * np.pi * b * k / frame
+                    c = (xf * np.cos(ang)).sum(axis=1)
+                    s = (xf * np.sin(ang)).sum(axis=1)
+                    rec.append(round(float((c * c + s * s).sum()), 4))
+                out.append(tuple(rec))
+            yield pd.DataFrame(out, columns=[f.name for f in fields])
+
+    return media_df.mapInPandas(run, schema)

@@ -5961,6 +5961,59 @@ def q_simrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SimRank(c=0.8, max_iterations=3).run(g)
 
 
+def _audio_spectral_sql(bins: tuple) -> str:
+    """Replays decode-free: the WAV payload formula (sample g =
+    (id*31 + g*7) % 201 - 100, n = id%192 + 64 — attach_wav_media's
+    contract) is projected onto each DFT bin with the same left-
+    associative trig arguments the NumPy side uses. Output is log10-
+    compressed before rounding so cross-engine summation-order drift
+    (~1e-7 relative on the raw powers) sits ~6 orders of magnitude below
+    the 6-dp rounding grid instead of adjacent to a 4-dp one."""
+    n = "(doc_id % 192 + 64)"
+    x = "CAST((doc_id*31 + (f*64 + k)*7) % 201 - 100 AS DOUBLE)"
+    cols = []
+    for b in bins:
+        c = f"list_sum(list_transform(range(0, 64), k -> {x} * cos(2*pi()*{b}*k/64)))"
+        s = f"list_sum(list_transform(range(0, 64), k -> {x} * sin(2*pi()*{b}*k/64)))"
+        p = (
+            f"list_sum(list_transform(range(0, {n} // 64), f -> "
+            f"power({c}, 2) + power({s}, 2)))"
+        )
+        cols.append(f"ROUND(log10(1 + ROUND({p}, 4)), 6) AS lp{b}")
+    cols_sql = ",\n       ".join(cols)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST({n} // 64 AS INT) AS n_frames,
+       {cols_sql}
+FROM documents
+"""
+
+
+@query("audio_spectral", oracle=_audio_spectral_sql(bins=(0, 1, 4, 8)))
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed DFT-bin spectral fingerprints of REAL PCM16 WAV streams:
+    RIFF container parsed from bytes, 64-sample frames, power at the DC /
+    low / mid / high bins — the cheap spectral feature stage of an audio
+    corpus pipeline, one Arrow hop. Oracle recomputes every projection
+    from the payload formula."""
+    from pyspark_graph_spark.multimodal.audio_ops import (
+        attach_wav_media,
+        spectral_features,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = spectral_features(attach_wav_media(docs, "doc_id"))
+    return out.select(
+        "media_id",
+        "n_frames",
+        *[
+            F.round(F.log10(1 + F.col(f"p{b}")), 6).alias(f"lp{b}")
+            for b in (0, 1, 4, 8)
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

@@ -311,3 +311,48 @@ def test_png_rejects_interlaced_and_16bit(spark):
         _decode_png(png_with(16, 0, 0))
     with _pytest.raises(NotImplementedError, match="color=6"):
         _decode_png(png_with(8, 6, 0))
+
+
+def test_spectral_features_pure_tone(spark):
+    """A synthesized pure cosine at bin 4 puts (almost) all power there."""
+    import struct as _struct
+
+    import numpy as np
+
+    from pyspark_graph_spark.multimodal.audio_ops import spectral_features
+
+    n = 128
+    k = np.arange(n)
+    x = np.round(1000 * np.cos(2 * np.pi * 4 * k / 64)).astype(np.int16)
+    header = (
+        b"RIFF" + _struct.pack("<I", 36 + 2 * n) + b"WAVEfmt "
+        + _struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + _struct.pack("<I", 2 * n)
+    )
+    media = header + x.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(media), ("wav", n, 8000))],
+        "media_id long, media binary, meta struct<format:string,n_samples:int,sample_rate:int>",
+    )
+    row = spectral_features(df, frame=64, bins=(0, 1, 4, 8)).first()
+    assert row["n_frames"] == 2
+    # bin 4 dominates every other bin by orders of magnitude
+    assert row["p4"] > 100 * max(row["p0"], row["p1"], row["p8"])
+    # and matches the analytic value (N/2 * A)^2 per frame within rounding
+    expect = 2 * (64 / 2 * 1000) ** 2
+    assert abs(row["p4"] - expect) / expect < 0.01
+
+
+def test_spectral_features_remainder_dropped(spark):
+    from pyspark_graph_spark.multimodal.audio_ops import (
+        attach_wav_media,
+        spectral_features,
+    )
+
+    df = spark.range(3).selectExpr("id AS doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in spectral_features(attach_wav_media(df, "doc_id")).collect()
+    }
+    for mid in range(3):
+        assert rows[mid]["n_frames"] == (mid % 192 + 64) // 64
