@@ -6014,6 +6014,117 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "four_cycles",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+cn AS (
+    SELECT a.src AS u, b.src AS v, COUNT(*) AS c
+    FROM supplier_sym a
+    JOIN supplier_sym b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT CAST(SUM(c * (c - 1) / 2) // 2 AS BIGINT) AS four_cycles FROM cn
+""",
+)
+def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle census of the supplier graph — the next graphlet up
+    from the triangle count, via the opposite-corner identity
+    C4 = ½ Σ_{{u<v}} C(codeg(u,v), 2): one wedge self-join keyed on the
+    shared middle vertex (output O(Σ deg²), the same shape the Jaccard
+    operator already carries at this scale), one aggregation, no 4-way
+    join ever materialized."""
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    sym = g.symmetric_edges.select(SRC, DST)
+    a = sym.alias("a")
+    b = sym.alias("b")
+    cn = (
+        a.join(
+            b,
+            on=[
+                F.col("a.dst") == F.col("b.dst"),
+                F.col("a.src") < F.col("b.src"),
+            ],
+        )
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Σ C(c,2) counts every 4-cycle at both diagonal pairs → exact halves
+    return cn.agg(
+        F.floor(F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2)
+        .cast("long")
+        .alias("four_cycles")
+    )
+
+
+@query(
+    "rich_club",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM supplier_sym GROUP BY src),
+ks AS (SELECT CAST(UNNEST([5, 10, 20]) AS BIGINT) AS k),
+club AS (SELECT k, id FROM ks JOIN deg ON deg.d > ks.k),
+nk AS (SELECT k, COUNT(*) AS n_k FROM club GROUP BY k),
+ek AS (
+    SELECT c1.k, COUNT(*) AS e_k
+    FROM supplier_edges e
+    JOIN club c1 ON c1.id = e.src
+    JOIN club c2 ON c2.id = e.dst AND c2.k = c1.k
+    GROUP BY c1.k
+)
+SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+       CASE WHEN nk.n_k > 1
+            THEN ROUND(2.0 * COALESCE(ek.e_k, 0)
+                       / (nk.n_k * (nk.n_k - 1)), 6)
+            ELSE 0.0 END AS phi
+FROM nk LEFT JOIN ek ON ek.k = nk.k
+""",
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient φ(k) of the supplier graph at k ∈ {5,10,20}:
+    edge density among vertices of degree > k — the standard diagnostic
+    for whether hubs preferentially interconnect (and therefore whether
+    hub-salting will pay off on the big joins). Degree table is tiny and
+    broadcasts onto the edge list twice."""
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    deg = g.symmetric_edges.groupBy(F.col(SRC).alias(ID)).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,)], ["k"])
+    club = ks.join(deg, on=deg["d"] > ks["k"]).select("k", ID)
+    nk = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
+    edges = g.edges.select(SRC, DST)
+    ek = (
+        edges.join(club.select(F.col(ID).alias(SRC), "k"), on=SRC)
+        .join(
+            club.select(F.col(ID).alias(DST), F.col("k").alias("k2")),
+            on=DST,
+        )
+        .filter(F.col("k") == F.col("k2"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        nk.join(ek, on="k", how="left")
+        .select(
+            "k",
+            "n_k",
+            F.coalesce("e_k", F.lit(0)).alias("e_k"),
+            F.when(
+                F.col("n_k") > 1,
+                F.round(
+                    2.0
+                    * F.coalesce("e_k", F.lit(0))
+                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("phi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

@@ -215,3 +215,39 @@ def test_layers_matches_python_dp(spark):
             if a == u:
                 depth[b] = max(depth[b], depth[u] + 1)
     assert got == {i: depth[i] for i in range(n)}
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle census invariants (gate logic tested on known graphs)
+# ---------------------------------------------------------------------------
+
+
+def _c4_count(spark, edges):
+    from pyspark.sql import functions as F
+
+    sym = spark.createDataFrame(edges, ["src", "dst"])
+    sym = sym.unionByName(sym.selectExpr("dst AS src", "src AS dst")).distinct()
+    a, b = sym.alias("a"), sym.alias("b")
+    cn = (
+        a.join(b, on=[F.col("a.dst") == F.col("b.dst"),
+                      F.col("a.src") < F.col("b.src")])
+        .groupBy(F.col("a.src"), F.col("b.src"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cn.agg(
+        F.floor(F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2)
+        .cast("long").alias("c4")
+    ).first()["c4"]
+
+
+def test_four_cycles_known_graphs(spark):
+    # a single square has exactly one 4-cycle
+    assert _c4_count(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]) == 1
+    # K4: 3 distinct 4-cycles
+    k4 = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    assert _c4_count(spark, k4) == 3
+    # K5: C(5,4) * 3 = 15
+    k5 = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    assert _c4_count(spark, k5) == 15
+    # triangle has none
+    assert _c4_count(spark, [(0, 1), (1, 2), (2, 0)]) == 0
