@@ -27,7 +27,7 @@ from pyspark_graph_spark.operators.similarity import (
     OverlapCoefficient,
 )
 from pyspark_graph_spark.operators.triangle_count import TriangleCount
-from pyspark_graph_spark.operators.walks import RandomWalks
+from pyspark_graph_spark.operators.walks import Node2VecWalks, RandomWalks
 from pyspark_graph_spark.operators.weighted_paths import WeightedShortestPaths
 from pyspark_graph_spark.operators.wl_kernel import WLKernel
 from pyspark_graph_spark.operators.louvain import Louvain, modularity
@@ -64,6 +64,7 @@ __all__ = [
     "Pregel",
     "SimRank",
     "RandomWalks",
+    "Node2VecWalks",
     "Louvain",
     "modularity",
     "NeighborSampler",

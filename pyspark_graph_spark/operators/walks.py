@@ -102,3 +102,134 @@ class RandomWalks:
         for f in finished:
             out = out.unionByName(f)
         return out
+
+
+class Node2VecWalks(RandomWalks):
+    """Second-order (node2vec) biased walks, deterministic and integer-
+    weighted.
+
+    Grover & Leskovec's search bias weights the next hop by where it sits
+    relative to the PREVIOUS vertex: ``w_return`` for stepping back,
+    ``w_common`` for a neighbor shared with the previous vertex (BFS-ish),
+    ``w_far`` for everything else (DFS-ish) — these are the un-normalized
+    1/p, 1, 1/q, kept as integers so the cumulative-weight selection is
+    exact integer arithmetic and an external SQL oracle can replay every
+    step bit-for-bit (float-weighted sampling would hinge on cross-engine
+    float comparisons).
+
+    Selection: ``r = hash(walk_id, step, seed) mod totalweight``; the hop
+    is the first neighbor whose cumulative weight exceeds r, computed with
+    an ``aggregate`` fold over the (sorted, deterministic) adjacency array
+    — row-local, no extra shuffle beyond RandomWalks' per-step adjacency
+    join plus one more join for the previous vertex's neighbor set. The
+    first step (no previous vertex) is uniform, matching RandomWalks.
+    """
+
+    def __init__(
+        self,
+        length: int = 10,
+        walks_per_vertex: int = 1,
+        seed: int = 42,
+        hash_mode: str = "xxhash64",
+        w_return: int = 1,
+        w_common: int = 2,
+        w_far: int = 4,
+    ):
+        super().__init__(length, walks_per_vertex, seed, hash_mode)
+        if min(w_return, w_common, w_far) < 1:
+            raise ValueError("weights must be positive integers")
+        self.w_return = int(w_return)
+        self.w_common = int(w_common)
+        self.w_far = int(w_far)
+
+    def run(self, g: Graph) -> DataFrame:
+        adj = g.adjacency.filter(F.size(ADJ) > 0).localCheckpoint()
+
+        starts = g.vertices.select(ID)
+        idx = F.explode(
+            F.sequence(F.lit(0), F.lit(self.walks_per_vertex - 1))
+        ).alias("__w")
+        active = starts.select(ID, idx).select(
+            self._h(ID, F.col("__w"), F.lit(self.seed)).alias("walk_id"),
+            F.col(ID).alias("start"),
+            F.lit(None).cast("long").alias("__prev"),
+            F.col(ID).alias("__cur"),
+            F.array(ID).alias("path"),
+        ).localCheckpoint()
+        finished = []
+
+        empty = F.array().cast("array<bigint>")
+        for step in range(1, self.length):
+            joined = active.join(
+                adj.withColumnsRenamed({ID: "__cur", ADJ: "__nbrs"}),
+                on="__cur",
+                how="left",
+            )
+            ended = joined.filter(F.col("__nbrs").isNull()).select(
+                "walk_id", "start", "path"
+            )
+            finished.append(ended.localCheckpoint())
+            live = joined.filter(F.col("__nbrs").isNotNull()).join(
+                adj.withColumnsRenamed({ID: "__prev", ADJ: "__pnbrs"}),
+                on="__prev",
+                how="left",
+            )
+            pn = F.coalesce(F.col("__pnbrs"), empty)
+            weights = F.when(
+                F.col("__prev").isNull(),
+                F.transform(
+                    F.col("__nbrs"), lambda c: F.lit(1).cast("long")
+                ),
+            ).otherwise(
+                F.transform(
+                    F.col("__nbrs"),
+                    lambda c: F.when(
+                        c == F.col("__prev"),
+                        F.lit(self.w_return).cast("long"),
+                    )
+                    .when(
+                        F.array_contains(pn, c),
+                        F.lit(self.w_common).cast("long"),
+                    )
+                    .otherwise(F.lit(self.w_far).cast("long")),
+                )
+            )
+            live = live.withColumn("__wt", weights).withColumn(
+                "__r",
+                F.pmod(
+                    self._h("walk_id", F.lit(step), F.lit(self.seed)),
+                    F.aggregate(
+                        "__wt", F.lit(0).cast("long"), lambda a, x: a + x
+                    ),
+                ),
+            )
+            sel = F.aggregate(
+                F.col("__wt"),
+                F.struct(
+                    F.lit(0).cast("long").alias("cum"),
+                    F.lit(-1).alias("sel"),
+                    F.lit(0).alias("idx"),
+                ),
+                lambda acc, w: F.struct(
+                    (acc["cum"] + w).alias("cum"),
+                    F.when(acc["sel"] >= 0, acc["sel"])
+                    .when(acc["cum"] + w > F.col("__r"), acc["idx"])
+                    .otherwise(F.lit(-1))
+                    .alias("sel"),
+                    (acc["idx"] + 1).alias("idx"),
+                ),
+            )["sel"]
+            nxt = F.get(F.col("__nbrs"), sel)
+            active = live.select(
+                "walk_id",
+                "start",
+                F.col("__cur").alias("__prev"),
+                nxt.alias("__cur"),
+                F.array_append("path", nxt).alias("path"),
+            ).localCheckpoint()
+            if active.isEmpty():
+                break
+        out = active.select("walk_id", "start", "path")
+        for f in finished:
+            out = out.unionByName(f)
+        return out

@@ -6125,6 +6125,88 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _node2vec_sql(length: int, seed: int, wr: int, wc: int, wf: int) -> str:
+    """Replays the biased walks step-for-step: sorted adjacency, integer
+    node2vec weights (return/common/far), cumulative-weight pick at
+    r = h60(walk_id, step, seed) mod Σw. All-integer, so the replay is
+    exact — no float sampling comparisons cross engines."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h0 = md5_hash60_sql(f"CAST(id AS VARCHAR) || ',0,{seed}'")
+    ctes = [
+        "adj AS MATERIALIZED (SELECT src AS id, "
+        "list_sort(list(DISTINCT dst)) AS nbrs FROM nation_sym GROUP BY src)",
+        "verts AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation)",
+        f"s1 AS MATERIALIZED (SELECT {h0} AS walk_id, id AS start, "
+        "CAST(NULL AS BIGINT) AS prev, id AS cur, "
+        "CAST(id AS VARCHAR) AS path FROM verts)",
+    ]
+    for t in range(1, length):
+        h = md5_hash60_sql(f"CAST(walk_id AS VARCHAR) || ',{t},{seed}'")
+        wt = (
+            "CASE WHEN p.prev IS NULL THEN "
+            "list_transform(a.nbrs, c -> CAST(1 AS BIGINT)) "
+            "ELSE list_transform(a.nbrs, c -> CAST("
+            f"CASE WHEN c = p.prev THEN {wr} "
+            "WHEN list_contains(COALESCE(ap.nbrs, CAST([] AS BIGINT[])), c) "
+            f"THEN {wc} ELSE {wf} END AS BIGINT)) END"
+        )
+        ctes.append(
+            f"s{t+1} AS MATERIALIZED (\n"
+            "  SELECT walk_id, start, cur AS prev, nbrs[sel] AS cur,\n"
+            "         path || ',' || CAST(nbrs[sel] AS VARCHAR) AS path\n"
+            "  FROM (\n"
+            "    SELECT *, list_filter(range(1, len(nbrs) + 1),\n"
+            "                          i -> list_sum(wt[1:i]) > r)[1] AS sel\n"
+            "    FROM (\n"
+            f"      SELECT walk_id, start, cur, path, nbrs, wt,\n"
+            f"             ({h}) % list_sum(wt) AS r\n"
+            "      FROM (\n"
+            "        SELECT p.walk_id, p.start, p.cur, p.path, a.nbrs,\n"
+            f"               {wt} AS wt\n"
+            f"        FROM s{t} p\n"
+            "        JOIN adj a ON p.cur = a.id\n"
+            "        LEFT JOIN adj ap ON p.prev = ap.id\n"
+            "      )\n"
+            "    )\n"
+            "  )\n"
+            ")"
+        )
+    joined = ",\n".join(ctes)
+    return (
+        f"WITH {NATION_EDGES_CTE.strip()},\n{joined}\n"
+        f"SELECT walk_id, start, path FROM s{length}"
+    )
+
+
+@query(
+    "node2vec_walks",
+    oracle=_node2vec_sql(length=5, seed=7, wr=1, wc=2, wf=4),
+)
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec walk corpus on the nation graph — integer
+    return/common/far bias weights (1/2/4 ≈ p=4, q=0.25: DFS-leaning),
+    md5 hash mode so the oracle replays every cumulative-weight pick
+    exactly."""
+    from pyspark_graph_spark.operators.walks import Node2VecWalks
+
+    g = nation_graph(spark, sf_dir)
+    out = Node2VecWalks(
+        length=5,
+        walks_per_vertex=1,
+        seed=7,
+        hash_mode="md5",
+        w_return=1,
+        w_common=2,
+        w_far=4,
+    ).run(g)
+    return out.select(
+        "walk_id",
+        "start",
+        F.array_join(F.col("path").cast("array<string>"), ",").alias("path"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

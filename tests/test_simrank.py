@@ -88,3 +88,106 @@ def test_simrank_eps_prunes(spark):
     # surviving pairs keep sensible scores (pruning only removes mass)
     for k, s in pruned.items():
         assert s <= full[k] + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Node2VecWalks (second-order biased walks)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _h60(*parts):
+    s = ",".join(str(p) for p in parts)
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_node2vec(n, edges, length, seed, wr, wc, wf):
+    adj = {i: set() for i in range(n)}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    walks = {}
+    for s0 in range(n):
+        wid = _h60(s0, 0, seed)
+        path, prev, cur = [s0], None, s0
+        for t in range(1, length):
+            nbrs = adj[cur]
+            if not nbrs:
+                break
+            if prev is None:
+                w = [1] * len(nbrs)
+            else:
+                pn = set(adj[prev])
+                w = [wr if c == prev else wc if c in pn else wf
+                     for c in nbrs]
+            r = _h60(wid, t, seed) % sum(w)
+            cum, sel = 0, None
+            for i, x in enumerate(w):
+                cum += x
+                if cum > r:
+                    sel = i
+                    break
+            prev, cur = cur, nbrs[sel]
+            path.append(cur)
+        walks[wid] = (s0, path)
+    return walks
+
+
+def test_node2vec_matches_python_replay(spark):
+    from pyspark_graph_spark.operators.walks import Node2VecWalks
+
+    rng = random.Random(13)
+    n = 12
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.35]
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph(v, e, directed=False, indexed=True)
+    out = Node2VecWalks(
+        length=6, seed=3, hash_mode="md5", w_return=1, w_common=2, w_far=4
+    ).run(g)
+    got = {r["walk_id"]: (r["start"], list(r["path"])) for r in out.collect()}
+    want = py_node2vec(n, edges, length=6, seed=3, wr=1, wc=2, wf=4)
+    assert got == want
+
+
+def test_node2vec_unit_weights_equal_first_order(spark):
+    """With all weights 1 the cumulative pick reduces to index r — i.e.
+    exactly RandomWalks' next-hop rule — so the corpora must coincide."""
+    from pyspark_graph_spark.operators.walks import Node2VecWalks, RandomWalks
+
+    rng = random.Random(21)
+    n = 10
+    edges = [(u, v) for u in range(n) for v in range(u + 1, n)
+             if rng.random() < 0.4]
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph(v, e, directed=False, indexed=True)
+    a = {r["walk_id"]: list(r["path"]) for r in RandomWalks(
+        length=5, seed=11, hash_mode="md5").run(g).collect()}
+    b = {r["walk_id"]: list(r["path"]) for r in Node2VecWalks(
+        length=5, seed=11, hash_mode="md5",
+        w_return=1, w_common=1, w_far=1).run(g).collect()}
+    assert a == b
+
+
+def test_node2vec_return_bias_oscillates(spark):
+    """Overwhelming return weight on a path graph pins the walk to
+    oscillating between its first two vertices."""
+    from pyspark_graph_spark.operators.walks import Node2VecWalks
+
+    v = spark.createDataFrame([(i,) for i in range(5)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    g = Graph(v, e, directed=False, indexed=True)
+    out = Node2VecWalks(
+        length=8, seed=1, hash_mode="md5",
+        w_return=10**6, w_common=1, w_far=1,
+    ).run(g)
+    for r in out.collect():
+        p = list(r["path"])
+        # from step 2 on, overwhelmingly likely each hop returns
+        assert all(p[i] == p[i + 2] for i in range(len(p) - 2))
