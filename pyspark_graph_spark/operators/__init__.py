@@ -14,6 +14,7 @@ from pyspark_graph_spark.operators.mis import MaximalIndependentSet, greedy_colo
 from pyspark_graph_spark.operators.bipartite import BipartiteCheck
 from pyspark_graph_spark.operators.dag import TopologicalLayers
 from pyspark_graph_spark.operators.mst import BoruvkaMST
+from pyspark_graph_spark.operators.neighborhood import NeighborhoodFunction
 from pyspark_graph_spark.operators.pagerank import PageRank
 from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
 from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
@@ -65,6 +66,7 @@ __all__ = [
     "SimRank",
     "RandomWalks",
     "Node2VecWalks",
+    "NeighborhoodFunction",
     "Louvain",
     "modularity",
     "NeighborSampler",

@@ -1,0 +1,97 @@
+"""Neighborhood function N(h) via mergeable per-vertex HLL registers.
+
+The neighborhood function — how many (vertex, vertex) pairs are within h
+hops of each other — is the basis of effective-diameter and centrality
+estimates on graphs where exact all-pairs BFS is unthinkable. The scale
+trick (ANF, Palmer et al. 2002; HyperANF, Boldi et al. 2011): give every
+vertex a tiny mergeable distinct-count sketch of its ball, and let one
+round of "merge my neighbors' sketches into mine" grow every ball by one
+hop simultaneously.
+
+Representation here is relational rather than array-packed: a sketch is m
+``(id, reg, mx)`` rows, so the per-hop update is
+
+    regs ← (regs ∪ π_{dst←src}(edges ⋈ regs)).groupBy(id, reg).max(mx)
+
+— one key-partitioned join plus one map-side-combinable max aggregation
+per hop, no UDFs, no driver state, checkpointed. Register arithmetic is
+the same integer ``bin()``-length construction as
+:func:`pyspark_graph_spark.functions.sketch.hll_estimate`, so an external
+SQL oracle rebuilds every register and estimate exactly.
+
+``run`` returns ``(hop, n_pairs)`` for hop ∈ [0, hops]: the summed
+per-vertex ball-size estimates (N(0) ≈ V, N(∞) → Σ component²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.constants import DST, ID, SRC
+from pyspark_graph_spark.functions.hashing import md5_hash60
+from pyspark_graph_spark.graph import Graph
+
+
+class NeighborhoodFunction:
+    def __init__(self, hops: int = 3, b: int = 4):
+        self.hops = hops
+        self.b = b
+
+    def _estimate(self, regs: DataFrame, hop: int) -> DataFrame:
+        m = 1 << self.b
+        alpha = 0.7213 / (1 + 1.079 / m)
+        per_v = regs.groupBy(ID).agg(
+            F.count(F.lit(1)).alias("nz"),
+            F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+        )
+        raw = F.lit(alpha) * m * m / (F.col("s") + (m - F.col("nz")))
+        est = F.when(
+            (raw <= 2.5 * m) & (F.col("nz") < m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / (m - F.col("nz"))),
+        ).otherwise(raw)
+        return per_v.agg(
+            F.lit(hop).alias("hop"),
+            F.round(F.sum(est), 2).alias("n_pairs"),
+        )
+
+    def run(self, g: Graph) -> DataFrame:
+        b, m = self.b, 1 << self.b
+        width = 60 - b
+        h = md5_hash60(F.col(ID).cast("string"))
+        q = F.shiftright(h, b)
+        rank = F.when(q == 0, F.lit(width + 1)).otherwise(
+            F.lit(width + 1) - F.length(F.bin(q))
+        )
+        regs = (
+            g.vertices.select(
+                ID,
+                F.pmod(h, F.lit(m)).alias("reg"),
+                rank.cast("long").alias("mx"),
+            )
+            .localCheckpoint()
+        )
+        # balls are reachability-by-ignoring-direction: always symmetrize
+        # (symmetric_edges leaves directed graphs as-is by contract)
+        e = g.edges.select(SRC, DST)
+        sym = (
+            e.unionByName(
+                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+
+        out = self._estimate(regs, 0)
+        for hop in range(1, self.hops + 1):
+            contrib = sym.join(
+                regs.withColumnRenamed(ID, SRC), on=SRC
+            ).select(F.col(DST).alias(ID), "reg", "mx")
+            regs = (
+                regs.unionByName(contrib)
+                .groupBy(ID, "reg")
+                .agg(F.max("mx").alias("mx"))
+                .localCheckpoint()
+            )
+            out = out.unionByName(self._estimate(regs, hop))
+        return out

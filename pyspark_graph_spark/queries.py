@@ -6207,6 +6207,64 @@ def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neighborhood_sql(hops: int, b: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    m = 1 << b
+    width = 60 - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = md5_hash60_sql("CAST(id AS VARCHAR)")
+    raw = f"CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s + ({m} - nz))"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND nz < {m} "
+        f"THEN {m}.0 * ln({m}.0 / ({m} - nz)) ELSE {raw} END"
+    )
+    ctes = [
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM bipartite_edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM bipartite_edges))",
+        "verts AS (SELECT c_custkey * 2 AS id FROM customer "
+        "UNION SELECT s_suppkey * 2 + 1 AS id FROM supplier)",
+        f"r0 AS MATERIALIZED (SELECT id, h % {m} AS reg, "
+        f"CAST(CASE WHEN (h >> {b}) = 0 THEN {width + 1} "
+        f"ELSE {width + 1} - LENGTH(bin(h >> {b})) END AS BIGINT) AS mx "
+        f"FROM (SELECT id, ({h}) AS h FROM verts))",
+    ]
+    selects = []
+    for hop in range(hops + 1):
+        if hop > 0:
+            ctes.append(
+                f"r{hop} AS MATERIALIZED (SELECT id, reg, MAX(mx) AS mx "
+                f"FROM (SELECT id, reg, mx FROM r{hop-1} UNION ALL "
+                f"SELECT e.dst AS id, r.reg, r.mx FROM sym e "
+                f"JOIN r{hop-1} r ON r.id = e.src) GROUP BY id, reg)"
+            )
+        selects.append(
+            f"SELECT CAST({hop} AS INT) AS hop, ROUND(SUM(est), 2) AS n_pairs "
+            f"FROM (SELECT {est} AS est FROM (SELECT id, COUNT(*) AS nz, "
+            f"SUM(POWER(2.0, -mx)) AS s FROM r{hop} GROUP BY id))"
+        )
+    joined = ",\n".join(ctes)
+    union = "\nUNION ALL\n".join(selects)
+    return f"WITH {BIPARTITE_EDGES_CTE.strip()},\n{joined}\n{union}"
+
+
+@query("neighborhood_function", oracle=_neighborhood_sql(hops=3, b=4))
+def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF-style neighborhood function N(h) of the customer-supplier
+    graph: every vertex carries a 16-register HLL sketch of its ball, one
+    join + max-aggregation per hop merges neighbor sketches — the
+    effective-diameter machinery that replaces all-pairs BFS at scale.
+    Registers are integer bin()-length constructions, so the oracle
+    rebuilds every sketch and estimate exactly."""
+    from pyspark_graph_spark.operators.neighborhood import (
+        NeighborhoodFunction,
+    )
+
+    g = customer_supplier_graph(spark, sf_dir)
+    return NeighborhoodFunction(hops=3, b=4).run(g)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
