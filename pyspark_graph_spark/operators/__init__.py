@@ -8,7 +8,12 @@ from pyspark_graph_spark.operators.connected_components import (
     AlternatingConnectedComponents,
     ConnectedComponents,
 )
+from pyspark_graph_spark.operators.communities import (
+    attribute_assortativity,
+    conductance,
+)
 from pyspark_graph_spark.operators.katz import KatzIndex
+from pyspark_graph_spark.operators.link_prediction import LinkPrediction
 from pyspark_graph_spark.operators.kcore import KCore, core_numbers
 from pyspark_graph_spark.operators.mis import MaximalIndependentSet, greedy_coloring
 from pyspark_graph_spark.operators.bipartite import BipartiteCheck
@@ -54,7 +59,10 @@ __all__ = [
     "KTruss",
     "KatzIndex",
     "LabelPropagation",
+    "LinkPrediction",
     "LocalClusteringCoefficient",
+    "attribute_assortativity",
+    "conductance",
     "MaximalIndependentSet",
     "NeighborhoodContainment",
     "ShortestPaths",

@@ -6265,6 +6265,174 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NeighborhoodFunction(hops=3, b=4).run(g)
 
 
+@query(
+    "link_prediction",
+    oracle="""
+WITH bulk AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_quantity >= 48
+),
+sym AS (
+    SELECT src, dst FROM bulk
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM bulk
+),
+deg AS (SELECT src AS id, COUNT(*) AS d FROM sym GROUP BY src),
+cn AS (
+    SELECT a.src AS u, b.src AS v, COUNT(*) AS c,
+           SUM(1.0 / dm.d) AS ra
+    FROM sym a
+    JOIN sym b ON a.dst = b.dst AND a.src < b.src
+    JOIN deg dm ON dm.id = a.dst
+    GROUP BY a.src, b.src
+    HAVING COUNT(*) >= 3
+),
+missing AS (
+    SELECT cn.* FROM cn
+    WHERE NOT EXISTS (
+        SELECT 1 FROM bulk e WHERE e.src = cn.u AND e.dst = cn.v
+    )
+)
+SELECT u, v, c AS common_neighbors,
+       du.d * dv.d AS preferential_attachment,
+       ROUND(ra, 6) AS resource_allocation,
+       ROUND(CAST(c AS DOUBLE) / (du.d + dv.d - c), 6) AS jaccard
+FROM missing
+JOIN deg du ON du.id = u
+JOIN deg dv ON dv.id = v
+""",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank the missing edges of the bulk-order bipartite graph by the
+    classic link-prediction scores (common neighbors, preferential
+    attachment, resource allocation, Jaccard) — one wedge join keyed on
+    the shared middle vertex plus an anti-join against existing edges;
+    min_common=3 prunes the quadratic 1-common-neighbor tail before the
+    degree joins. (The unipartite supplier co-occurrence graph is near-
+    complete at small SF — every 2-hop pair already an edge — so the gate
+    runs on the sparse quantity-filtered graph instead.)"""
+    from pyspark_graph_spark.operators.link_prediction import LinkPrediction
+    from pyspark_graph_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_orderkey", "l_suppkey")
+    )
+    e = (
+        orders.join(li, on=orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias(SRC),
+            (F.col("l_suppkey") * 2 + 1).alias(DST),
+        )
+        .distinct()
+    )
+    vertices = (
+        e.select(F.col(SRC).alias(ID))
+        .unionByName(e.select(F.col(DST).alias(ID)))
+        .distinct()
+    )
+    g = Graph(vertices, e, directed=False, indexed=True)
+    return LinkPrediction(min_common=3).run(g)
+
+
+# supplier id -> nation label CTE shared by the community-metric oracles
+_SUPPLIER_LABELLED_CTE = """
+lab AS (
+    SELECT CAST(s_suppkey AS BIGINT) AS id, s_nationkey AS label
+    FROM supplier
+),
+le AS (
+    SELECT ls.label AS lsrc, ld.label AS ldst
+    FROM supplier_sym e
+    JOIN lab ls ON ls.id = e.src
+    JOIN lab ld ON ld.id = e.dst
+)
+"""
+
+
+@query(
+    "community_conductance",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+{_SUPPLIER_LABELLED_CTE.strip()},
+per AS (
+    SELECT lsrc AS label, COUNT(*) AS volume,
+           CAST(SUM(CASE WHEN lsrc <> ldst THEN 1 ELSE 0 END) AS BIGINT)
+               AS cut
+    FROM le GROUP BY lsrc
+),
+tot AS (SELECT SUM(volume) AS t FROM per)
+SELECT label, volume, cut,
+       CASE WHEN LEAST(volume, t - volume) > 0
+            THEN ROUND(CAST(cut AS DOUBLE) / LEAST(volume, t - volume), 6)
+            ELSE 0.0 END AS conductance
+FROM per, tot
+""",
+)
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of each ground-truth community (the supplier's nation)
+    on the supplier co-occurrence graph: cut / min(vol, total-vol) per
+    label — the standard "how leaky is this partition" readout used to
+    sanity-check Louvain/LPA output. Two vertex-keyed label joins + one
+    label-keyed aggregation; the final table is communities-sized."""
+    from pyspark_graph_spark.operators.communities import conductance
+    from pyspark_graph_spark.sources.tables import load_table
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        F.col("s_nationkey").alias("label"),
+    )
+    return conductance(g, labels)
+
+
+@query(
+    "attribute_assortativity",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+{_SUPPLIER_LABELLED_CTE.strip()},
+m AS (SELECT lsrc, ldst, COUNT(*) AS c FROM le GROUP BY lsrc, ldst),
+tot AS (SELECT SUM(c) AS t FROM m),
+frac AS (SELECT lsrc, ldst, CAST(c AS DOUBLE) / t AS e FROM m, tot),
+tr AS (
+    SELECT COALESCE(SUM(e), 0) AS tr FROM frac WHERE lsrc = ldst
+),
+a AS (SELECT lsrc AS k, SUM(e) AS a FROM frac GROUP BY lsrc),
+b AS (SELECT ldst AS k, SUM(e) AS b FROM frac GROUP BY ldst),
+ab AS (
+    SELECT COALESCE(SUM(a.a * b.b), 0) AS ab
+    FROM a JOIN b ON a.k = b.k
+)
+SELECT CASE WHEN ab < 1.0
+            THEN ROUND((tr - ab) / (1.0 - ab), 6)
+            ELSE 1.0 END AS assortativity
+FROM tr, ab
+""",
+)
+def q_attribute_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman categorical assortativity of the supplier graph over the
+    supplier's nation: do co-occurrence edges preferentially connect
+    same-nation suppliers? Label-label edge fractions are a tiny
+    aggregate (|nations|² rows); everything upstream is the shared edge
+    list."""
+    from pyspark_graph_spark.operators.communities import (
+        attribute_assortativity,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        F.col("s_nationkey").alias("label"),
+    )
+    return attribute_assortativity(g, labels)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
