@@ -6433,6 +6433,179 @@ def q_attribute_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribute_assortativity(g, labels)
 
 
+@query(
+    "shipping_priority",
+    oracle="""
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_s,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shape shipping priority: top-10 unshipped BUILDING-segment
+    orders by pending revenue. Segment + both date predicates push into
+    the parquet scans; customer is a broadcast dim; the only shuffle is
+    the orders⋈lineitem orderkey join + the per-order aggregate. Revenue
+    sums in DECIMAL for cross-engine exactness, cast to double at the
+    edge; (revenue DESC, orderkey) makes the top-10 deterministic."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    cutoff = "1998-01-01"
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            # NTZ -> epoch seconds (session tz is UTC) for engine-portable
+            # output typing; the driver hashes strings, not timestamps
+            (
+                F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                / 1_000_000
+            )
+            .cast("long")
+            .alias("orderdate_s"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+        .select("orderkey", "revenue", "orderdate_s", "orderpriority")
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shape local supplier volume: 1996 revenue where the
+    supplier and customer share an ASIA nation. All four dimension
+    tables broadcast; the date filter pushes into the orders scan; the
+    local-supplier predicate (c_nationkey = s_nationkey) rides the
+    existing join keys, so the plan stays one orderkey shuffle wide.
+    DECIMAL sums, double at the edge."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    c = F.broadcast(load_table(spark, sf_dir, "customer"))
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "order_priority",
+    oracle="""
+SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape order priority check: Q1-1996 orders with at least
+    one lineitem shipped more than 90 days after order date (the dataset
+    has no commit/receipt dates, so lateness is ship-vs-order + 90d),
+    counted per priority. The EXISTS is a LEFT SEMI join on the orderkey
+    — one shuffle, no duplicate-row inflation, late-date predicate
+    evaluated inside the join."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        on=[
+            o.o_orderkey == li.l_orderkey,
+            li.l_shipdate
+            > o.o_orderdate + F.expr("INTERVAL 90 DAYS"),
+        ],
+        how="semi",
+    )
+    return late.groupBy(
+        F.col("o_orderpriority").alias("orderpriority")
+    ).agg(F.count(F.lit(1)).alias("order_count"))
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
