@@ -6606,6 +6606,195 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("order_count"))
 
 
+@query(
+    "winnow_dedup",
+    oracle=r"""
+WITH norm AS (
+    SELECT doc_id,
+           substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                  1, 512) AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(t) - 15, 0) + 1),
+                          i -> md5(substr(t, CAST(i AS INT), 16))) AS hs
+    FROM norm
+),
+sel AS (
+    SELECT DISTINCT doc_id, u.fp
+    FROM grams,
+         UNNEST(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 7, 0) + 1),
+             i -> list_min(hs[i:i+7])))) AS u(fp)
+)
+SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared_fps
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""",
+)
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) substring-level duplicate detection: md5 every
+    16-char window of the normalized prefix, keep the min of each run of
+    8 consecutive hashes (guarantees any shared substring >= 23 chars
+    surfaces an identical fingerprint in both docs), then match docs
+    through the inverted fingerprint index — a bucketed equi-join, never
+    all-pairs. Complements MinHash (whole-doc resemblance) with
+    contiguous-substring evidence."""
+    from pyspark_graph_spark.dedup.winnow import winnow_matches
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return winnow_matches(docs, k=16, w=8, min_shared=3)
+
+
+@query(
+    "dataset_card",
+    oracle=r"""
+WITH d AS (
+    SELECT source, lang, n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS toks,
+           md5(text) AS fp
+    FROM documents
+)
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT fp) AS distinct_docs,
+       ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+           AS dup_rate,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS mean_chars
+FROM d
+GROUP BY source, lang
+""",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup per (source, lang): doc / char / whitespace-
+    token counts, exact-duplicate rate via md5 content fingerprints, and
+    mean length — the summary block every training-data release ships.
+    One hash aggregation keyed on the (source, lang) pair; the distinct-
+    fingerprint count is a partial-aggregatable approx-free two-level
+    agg. All counts integer-exact across engines."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+        F.md5(F.col("text")).alias("fp"),
+    )
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        F.countDistinct("fp").alias("distinct_docs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("fp") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 6).alias(
+            "mean_chars"
+        ),
+    )
+
+
+@query(
+    "trending_topk",
+    oracle="""
+WITH w AS (
+    SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT)
+               AS bucket_start_s,
+           event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT bucket_start_s, event_type, n, CAST(rnk AS INT) AS rnk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY bucket_start_s ORDER BY n DESC, event_type
+    ) AS rnk
+    FROM w
+)
+WHERE rnk <= 3
+""",
+)
+def q_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 trending event types per 1-hour tumbling window — the
+    windowed-leaderboard shape (count per (window, key), then a
+    per-window rank). The count is a map-side-combinable aggregation;
+    the rank window partitions by bucket so its state is the per-window
+    distinct-key set, never the event stream. Deterministic (count DESC,
+    key) ordering."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            (
+                F.floor(F.unix_micros("ts") / 3_600_000_000) * 3600
+            )
+            .cast("long")
+            .alias("bucket_start_s"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("bucket_start_s").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+    )
+    return (
+        w.select("bucket_start_s", "event_type", "n", rnk.alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@query(
+    "anomaly_zscore",
+    oracle="""
+WITH stats AS (
+    SELECT event_type, AVG(value) AS mu, stddev_pop(value) AS sigma
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) AS value,
+       ROUND((e.value - s.mu) / s.sigma, 4) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE s.sigma > 0 AND abs(ROUND((e.value - s.mu) / s.sigma, 4)) > 3
+""",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| > 3) over the event value stream —
+    the baseline anomaly detector. The stats table is |event types| rows
+    and broadcasts onto the stream; the filter compares the ROUNDED
+    z on both engines so IEEE summation-order noise in mean/stddev can
+    never flip a boundary row."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        ev.join(F.broadcast(stats), on="event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            z.alias("z"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
