@@ -311,6 +311,63 @@ def resize_images(media_df: DataFrame, target: int = 16) -> DataFrame:
     return media_df.mapInPandas(resize, schema)
 
 
+def thumbnail_images(media_df: DataFrame, target: int = 4) -> DataFrame:
+    """Nearest-neighbor thumbnail in the decode pass: sample the pixel at
+    (floor(i*h/T), floor(j*w/T)) for each thumbnail cell — the stride
+    arithmetic every image-resize pipeline stage gets wrong first.
+
+    Returns (media_id, width, height, thumb_sum, top_left, bottom_right):
+    integer features of the T×T thumbnail (sum of sampled pixels + the two
+    corner samples), so an integer-only oracle can replay the exact picks.
+    One Arrow hop; pixels never return to the JVM.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("thumb_sum", LongType()),
+            StructField("top_left", IntegerType()),
+            StructField("bottom_right", IntegerType()),
+        ]
+    )
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = _decode_any(bytes(row.media), row.meta)
+                if px.ndim == 3:  # RGB(A): first channel, keeps ints exact
+                    px = px[:, :, 0]
+                h, w = px.shape[0], px.shape[1]
+                rows = [(i * h) // target for i in range(target)]
+                cols = [(j * w) // target for j in range(target)]
+                small = px[np.ix_(rows, cols)]
+                out.append(
+                    (
+                        row.media_id,
+                        w,
+                        h,
+                        int(small.sum()),
+                        int(small[0, 0]),
+                        int(small[-1, -1]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "thumb_sum",
+                    "top_left",
+                    "bottom_right",
+                ],
+            )
+
+    return media_df.mapInPandas(thumb, schema)
+
+
 def frame_sample(media_df: DataFrame, every_n: int = 2) -> DataFrame:
     """Video-style frame sampling: JVM-side sequence expansion (frame index
     column) — the decode of *selected* frames would then go through

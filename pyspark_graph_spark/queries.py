@@ -6795,6 +6795,88 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_thumbnail",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(doc_id % 48 + 16 AS INT) AS width,
+       CAST(doc_id % 32 + 16 AS INT) AS height,
+       CAST(list_sum(list_transform(range(0, 16),
+            t -> (doc_id
+                  + (((t // 4) * (doc_id % 32 + 16)) // 4)
+                      * (doc_id % 48 + 16)
+                  + (((t % 4) * (doc_id % 48 + 16)) // 4)) % 256))
+           AS BIGINT) AS thumb_sum,
+       CAST(doc_id % 256 AS INT) AS top_left,
+       CAST((doc_id
+             + ((3 * (doc_id % 32 + 16)) // 4) * (doc_id % 48 + 16)
+             + ((3 * (doc_id % 48 + 16)) // 4)) % 256 AS INT)
+           AS bottom_right
+FROM documents
+""",
+)
+def q_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 4×4 thumbnailing of REAL decoded PGM streams in
+    one Arrow hop: the oracle replays the exact strided pixel picks
+    (pixel(r,c) = (id + r*w + c) % 256) with integer arithmetic, so a
+    wrong stride, axis order, or off-by-one in the resize indexing shows
+    up as a value mismatch — the resize plumbing proof for the multimodal
+    pipeline."""
+    from pyspark_graph_spark.multimodal import attach_pgm_media
+    from pyspark_graph_spark.multimodal.binary_ops import thumbnail_images
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return thumbnail_images(attach_pgm_media(docs, "doc_id"), target=4)
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled greedy farthest-point selection (k rounds) in DuckDB SQL,
+    replaying ann/kcenter.py exactly: same index-order double summation,
+    same (ROUND(d,6) DESC, id) argmax."""
+    d2 = (
+        "list_sum(list_transform(range(1, len(p.v)+1), "
+        "i -> (p.v[i]-c.v[i])*(p.v[i]-c.v[i])))"
+    )
+    ctes = [
+        "pts AS (SELECT vec_id AS id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings)",
+        "c0 AS (SELECT id, v FROM pts ORDER BY id LIMIT 1)",
+        f"s1 AS (SELECT p.id, p.v, {d2} AS mind FROM pts p, c0 c)",
+    ]
+    sel = ["SELECT 0 AS step, id AS vec_id, 0.0 AS dist FROM c0"]
+    for s in range(1, k):
+        ctes.append(
+            f"c{s} AS (SELECT id, v, mind FROM s{s} "
+            f"ORDER BY ROUND(mind, 6) DESC, id LIMIT 1)"
+        )
+        sel.append(
+            f"SELECT {s} AS step, id AS vec_id, ROUND(mind, 6) AS dist "
+            f"FROM c{s}"
+        )
+        if s < k - 1:
+            ctes.append(
+                f"s{s + 1} AS (SELECT p.id, p.v, "
+                f"LEAST(p.mind, {d2}) AS mind FROM s{s} p, c{s} c)"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@query("kcenter_select", oracle=_kcenter_sql(k=4))
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over the
+    embedding corpus — the diverse-sampling primitive for curation
+    pipelines (Gonzalez 2-approximation). k chained argmax + broadcast
+    stages, no collect, no driver loop over data; distances replayed
+    bit-exactly by the unrolled oracle."""
+    from pyspark_graph_spark.ann.kcenter import KCenterSelection
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return KCenterSelection(k=4).run(emb)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
