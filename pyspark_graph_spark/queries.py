@@ -6877,6 +6877,44 @@ def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return KCenterSelection(k=4).run(emb)
 
 
+@query(
+    "set_similarity_join",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT common.a, common.b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.a = sa.doc_id
+JOIN sizes sb ON common.b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+""",
+)
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join: exact bigram-set
+    Jaccard >= 0.5 pairs where candidates come ONLY from shared
+    rarest-first prefix tokens (|s| - ceil(t·|s|) + 1 of them), then get
+    exact-verified over the full index. The oracle is the BRUTE all-pairs
+    computation — an independent algorithm — so a prefix-filter false
+    negative would fail the row-count match, not just a value hash."""
+    from pyspark_graph_spark.dedup.setjoin import PrefixFilterSetJoin
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return PrefixFilterSetJoin(threshold=0.5, n=2).run(docs)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
