@@ -19,7 +19,7 @@ of state per group.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.functions.hashing import md5_hash60
@@ -284,4 +284,68 @@ def hll_estimate(
         F.lit(m).alias("m"),
         F.col("nz").cast("long").alias("nonzero_registers"),
         F.round(est, round_to).alias("estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership sketch
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(c: Column, m: int = 1024, k: int = 3) -> Column:
+    """array<long> of the k salted bit positions for a value (j-th hash =
+    md5_hash60 of "j:value" mod m) — deterministic and replayable in SQL."""
+    return F.array(
+        *[
+            md5_hash60(F.concat(F.lit(f"{j}:"), c.cast("string"))) % m
+            for j in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    m: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Per-group Bloom filter as a sorted array of set bit positions
+    (equivalent to the bit vector, mergeable by array union / further
+    ``collect_set``). One explode + one grouped collect_set — map-side
+    combinable; sketch size is bounded by m regardless of group size,
+    which is the entire point at corpus scale."""
+    pos = df.select(
+        *group_cols,
+        F.explode(
+            bloom_positions(F.col(value_col), m=m, k=k)
+        ).alias("__p"),
+    )
+    return pos.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_set("__p")).alias("bloom")
+    )
+
+
+def bloom_probe(
+    bloom_df: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    m: int = 1024,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-probe: for every (probe value, group) pair, ``bloom_hit`` is
+    true iff ALL k positions are set — the no-false-negative membership
+    test. The bloom table is |groups| rows and broadcasts; the probe side
+    streams. (False positives are the m/k trade-off; pair with an exact
+    check on the hit subset when exactness matters.)"""
+    p = probes.select(
+        F.col(probe_col).alias("probe"),
+        bloom_positions(F.col(probe_col), m=m, k=k).alias("__pp"),
+    )
+    return p.crossJoin(F.broadcast(bloom_df)).select(
+        "probe",
+        *[c for c in bloom_df.columns if c != "bloom"],
+        F.forall(
+            F.col("__pp"), lambda x: F.array_contains(F.col("bloom"), x)
+        ).alias("bloom_hit"),
     )

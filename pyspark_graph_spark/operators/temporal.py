@@ -202,3 +202,60 @@ def windowed_graph_metrics(
             .alias("density"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Join interval rows to interval rows that OVERLAP them
+    (half-open: ``l_start < r_end AND r_start < l_end``) — the
+    interval×interval counterpart of ``range_join_points_intervals``,
+    with the same bin-explode trick turning a theta join into an
+    equi-join on the time bin.
+
+    Each overlapping pair is emitted exactly once: only in the bin
+    containing ``max(l_start, r_start)`` (the first bin the pair shares).
+    Column names must not collide across sides. ``bin_width`` is in the
+    units of the start/end columns; choose it near the typical interval
+    length — per-row bin fan-out is interval_length/bin_width + 1, while
+    bucket population (the shuffle skew bound) grows with bin_width.
+    """
+    b = int(bin_width)
+    lb = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_start) / b).cast("long"),
+                F.floor(F.col(l_end) / b).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / b).cast("long"),
+                F.floor(F.col(r_end) / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bin")
+        .filter(
+            (F.col(l_start) < F.col(r_end))
+            & (F.col(r_start) < F.col(l_end))
+            & (
+                F.col("__bin")
+                == F.floor(
+                    F.greatest(F.col(l_start), F.col(r_start)) / b
+                ).cast("long")
+            )
+        )
+        .drop("__bin")
+    )

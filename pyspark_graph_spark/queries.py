@@ -6090,8 +6090,8 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = g.symmetric_edges.groupBy(F.col(SRC).alias(ID)).agg(
         F.count(F.lit(1)).alias("d")
     )
-    ks = spark.createDataFrame([(5,), (10,), (20,)], ["k"])
-    club = ks.join(deg, on=deg["d"] > ks["k"]).select("k", ID)
+    ks = F.broadcast(spark.createDataFrame([(5,), (10,), (20,)], ["k"]))
+    club = deg.join(ks, on=deg["d"] > ks["k"]).select("k", ID)
     nk = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_k"))
     edges = g.edges.select(SRC, DST)
     ek = (
@@ -6913,6 +6913,139 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     return PrefixFilterSetJoin(threshold=0.8, n=2).run(docs)
+
+
+_BLOOM_FOLD = (
+    "list_reduce(list_transform(range(1,16), "
+    "i -> CAST(strpos('0123456789abcdef', "
+    "substr(md5(CAST(j AS VARCHAR) || ':' || f), i, 1)) - 1 AS BIGINT)), "
+    "(a,b) -> a*16+b)"
+)
+
+
+@query(
+    "bloom_membership",
+    oracle=rf"""
+WITH fp AS (
+    SELECT doc_id, source,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+    FROM documents
+),
+pos AS (
+    SELECT DISTINCT source, {_BLOOM_FOLD} % 1024 AS p
+    FROM fp CROSS JOIN UNNEST([0, 1, 2]) AS t(j)
+),
+probes AS (SELECT DISTINCT f FROM fp WHERE doc_id < 40),
+ppos AS (
+    SELECT f, j, {_BLOOM_FOLD} % 1024 AS p
+    FROM probes CROSS JOIN UNNEST([0, 1, 2]) AS t(j)
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+hits AS (
+    SELECT pp.f, s.source,
+           COUNT(DISTINCT CASE WHEN pos.p IS NOT NULL THEN pp.j END)
+               AS matched
+    FROM ppos pp
+    CROSS JOIN srcs s
+    LEFT JOIN pos ON pos.source = s.source AND pos.p = pp.p
+    GROUP BY 1, 2
+)
+SELECT h.f AS probe, h.source, h.matched = 3 AS bloom_hit,
+       EXISTS(SELECT 1 FROM fp
+              WHERE fp.f = h.f AND fp.source = h.source) AS present
+FROM hits h
+""",
+)
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch: per-source Bloom filters (m=1024,
+    k=3 salted md5 positions, represented as the sorted set-bit array —
+    mergeable, bounded by m regardless of corpus size) probed with the
+    fingerprints of the first 40 docs against EVERY source. bloom_hit
+    vs present exhibits the no-false-negative guarantee and the
+    false-positive trade-off in one gate; the oracle replays every bit
+    position."""
+    from pyspark_graph_spark.functions.sketch import bloom_build, bloom_probe
+    from pyspark_graph_spark.functions.text import content_fingerprint
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", content_fingerprint(F.col("text")).alias("f")
+    )
+    bloom = bloom_build(fp, "f", ["source"], m=1024, k=3)
+    probes = fp.filter(F.col("doc_id") < 40).select("f").distinct()
+    probed = bloom_probe(bloom, probes, "f", m=1024, k=3)
+    truth = (
+        fp.select("source", "f")
+        .distinct()
+        .withColumn("__present", F.lit(True))
+    )
+    return (
+        probed.join(
+            truth,
+            on=[
+                probed.probe == truth.f,
+                probed.source == truth.source,
+            ],
+            how="left",
+        )
+        .select(
+            "probe",
+            probed.source.alias("source"),
+            "bloom_hit",
+            F.coalesce("__present", F.lit(False)).alias("present"),
+        )
+    )
+
+
+@query(
+    "concurrent_sessions",
+    oracle=f"""
+WITH {_SESSION_CTE.strip()},
+iv AS (
+    SELECT user_id, session_id,
+           MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) + 1 AS e
+    FROM sess2 GROUP BY user_id, session_id
+)
+SELECT a.user_id, CAST(a.session_id AS BIGINT) AS session_id,
+       a.s AS start_us, COUNT(*) AS n_concurrent
+FROM iv a JOIN iv b
+  ON a.s < b.e AND b.s < a.e AND a.user_id <> b.user_id
+GROUP BY 1, 2, 3
+""",
+)
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: for every 30-min-gap session, how
+    many OTHER users' sessions were active at the same time. The operator
+    bin-explodes both interval sides onto a day grid and equi-joins on
+    the bin (each pair meets exactly once, in the bin of the later
+    start) — the scale-safe replacement for the theta join the oracle
+    runs directly; matching outputs prove the binning emits each
+    overlapping pair exactly once."""
+    from pyspark_graph_spark.operators.temporal import interval_overlap_join
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming import session_stats
+
+    sess = session_stats(
+        load_table(spark, sf_dir, "events"), gap_minutes=30
+    ).select(
+        "user_id",
+        "session_id",
+        "start_us",
+        (F.col("end_us") + 1).alias("end_us_x"),
+    )
+    other = sess.select(
+        F.col("user_id").alias("b_user"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us_x").alias("b_end"),
+    )
+    day_us = 86_400_000_000
+    joined = interval_overlap_join(
+        sess, other, "start_us", "end_us_x", "b_start", "b_end", day_us
+    ).filter(F.col("user_id") != F.col("b_user"))
+    return joined.groupBy("user_id", "session_id", "start_us").agg(
+        F.count(F.lit(1)).alias("n_concurrent")
+    )
 
 
 # ---------------------------------------------------------------------------
