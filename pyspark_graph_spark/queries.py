@@ -7048,6 +7048,128 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "trend_detection",
+    oracle="""
+WITH pts AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) / 86400000000.0 AS DOUBLE) AS x,
+           value AS y
+    FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 4) AS slope,
+       ROUND((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                        / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)))
+                       * SUM(x)) / COUNT(*), 4) AS intercept
+FROM pts GROUP BY event_type
+""",
+)
+def q_trend_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key OLS trend over the event value stream (closed-form slope +
+    intercept on day-scaled time) — the is-this-metric-drifting primitive.
+    One map-side-combinable aggregation per key; no window, no sort.
+    Coefficients rounded to 4 decimals so cross-engine summation-order
+    noise in the Σxy/Σx² terms cannot flip hashes."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / 86_400_000_000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    intercept = (F.sum("y") - slope * F.sum("x")) / n
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )
+
+
+@query(
+    "abandoned_events",
+    oracle="""
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us
+FROM events p
+WHERE p.event_type = 'view'
+  AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = p.user_id
+        AND c.event_type = 'purchase'
+        AND c.ts > p.ts
+        AND epoch_us(c.ts) - epoch_us(p.ts) <= 3600000000
+  )
+""",
+)
+def q_abandoned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sequence pattern — views NOT followed by a purchase from
+    the same user within an hour (the abandoned-cart shape). A LEFT ANTI
+    join on the user key with the time bound evaluated inside the join:
+    one shuffle, no row inflation, and the anti side prunes to purchases
+    before shuffling."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_ts_us"),
+    )
+    return views.join(
+        purchases,
+        on=[
+            views.user_id == purchases.p_user,
+            purchases.p_ts_us > views.ts_us,
+            purchases.p_ts_us - views.ts_us <= 3_600_000_000,
+        ],
+        how="anti",
+    )
+
+
+@query(
+    "sorted_neighborhood",
+    oracle=r"""
+WITH keyed AS (
+    SELECT doc_id,
+           substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                  1, 24) AS k
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r
+    FROM keyed
+)
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(b.r - a.r AS INT) AS gap
+FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 2
+""",
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking: rank the corpus by a 24-char
+    normalized prefix key and emit every pair within a 3-wide sliding
+    window of the sort order — O(N·w) candidates, zero token explosion.
+    The global rank is two-phase (per-range-bucket window + broadcast
+    offsets), never a single-task sort; the oracle ranks with one
+    ROW_NUMBER and must produce identical pairs, proving the phase split
+    changes nothing."""
+    from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        1,
+        24,
+    )
+    return sorted_neighborhood_pairs(docs, key, window=3)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

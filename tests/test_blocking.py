@@ -1,0 +1,56 @@
+"""Sorted-neighborhood blocking (dedup/blocking.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+
+
+def _docs(spark, keys):
+    return spark.createDataFrame(
+        list(enumerate(keys)), ["doc_id", "text"]
+    )
+
+
+def _expected(keys, window):
+    order = sorted(range(len(keys)), key=lambda i: (keys[i], i))
+    out = set()
+    for i, a in enumerate(order):
+        for g in range(1, window):
+            if i + g < len(order):
+                out.add((a, order[i + g], g))
+    return out
+
+
+@pytest.mark.parametrize("bucket_chars", [1, 2])
+def test_pairs_follow_sort_order_regardless_of_bucketing(
+    spark, bucket_chars
+):
+    keys = ["banana", "apple", "apricot", "cherry", "avocado", "blueberry"]
+    docs = _docs(spark, keys)
+    got = {
+        (r["a"], r["b"], r["gap"])
+        for r in sorted_neighborhood_pairs(
+            docs, F.col("text"), window=3, bucket_chars=bucket_chars
+        ).collect()
+    }
+    assert got == _expected(keys, 3)
+
+
+def test_window_two_gives_adjacent_only(spark):
+    keys = ["d", "a", "c", "b"]
+    docs = _docs(spark, keys)
+    got = sorted(
+        (r["a"], r["b"])
+        for r in sorted_neighborhood_pairs(
+            docs, F.col("text"), window=2
+        ).collect()
+    )
+    # sort order: a(1) b(3) c(2) d(0)
+    assert got == sorted([(1, 3), (3, 2), (2, 0)])
+
+
+def test_rejects_bad_window(spark):
+    docs = _docs(spark, ["x"])
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(docs, F.col("text"), window=1)
