@@ -81,3 +81,67 @@ class TopologicalLayers:
         return out.withColumn(LAYER, F.col(LAYER).cast("int")).unionByName(
             leftover
         )
+
+
+DIST = "critical_path"
+
+
+class CriticalPath:
+    """Longest WEIGHTED path ending at each vertex of a DAG (max-plus DP).
+
+    dist(v) = max(0, max over in-edges (dist(u) + w(u,v))) — the critical-
+    path metric of scheduling/lineage graphs. Level-synchronous Bellman
+    relaxation with max instead of min: each round joins the current
+    distances onto the edge list and takes a per-vertex max; on a DAG the
+    fixpoint arrives after ``depth`` rounds (early-stopped by a changed-
+    row count, one action per round, same as every iterative operator
+    here). Cycles with positive weights would never converge — the round
+    budget is the guard, and a non-converged run raises.
+
+    Scale: one edge join + one map-side-combinable max aggregation per
+    round over V rows of state; rounds = DAG depth.
+    """
+
+    def __init__(self, weight_col: str = "weight", max_iterations: int = 30):
+        self.weight_col = weight_col
+        self.max_iterations = max_iterations
+
+    def run(self, g: Graph) -> DataFrame:
+        w = self.weight_col
+        edges = (
+            g.edges.select(SRC, DST, F.col(w).cast("long").alias("__w"))
+            .filter(F.col(SRC) != F.col(DST))
+            .localCheckpoint()
+        )
+        dist = g.vertices.select(
+            ID, F.lit(0).cast("long").alias(DIST)
+        ).localCheckpoint()
+        for _ in range(self.max_iterations):
+            cand = edges.join(
+                dist.select(F.col(ID).alias(SRC), F.col(DIST).alias("__d")),
+                on=SRC,
+            ).select(
+                F.col(DST).alias(ID),
+                (F.col("__d") + F.col("__w")).alias(DIST),
+            )
+            new = (
+                dist.unionByName(cand)
+                .groupBy(ID)
+                .agg(F.max(DIST).alias(DIST))
+                .localCheckpoint()
+            )
+            changed = (
+                new.join(
+                    dist.select(ID, F.col(DIST).alias("__old")), on=ID
+                )
+                .filter(F.col(DIST) != F.col("__old"))
+                .limit(1)
+                .count()
+            )
+            dist = new
+            if changed == 0:
+                return dist
+        raise ValueError(
+            "CriticalPath did not converge within max_iterations — "
+            "cyclic input or depth budget too small"
+        )

@@ -7170,6 +7170,129 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(docs, key, window=3)
 
 
+@query(
+    "ctfidf_topics",
+    oracle=r"""
+WITH toks AS (
+    SELECT source,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term
+),
+cdf AS (SELECT term, COUNT(*) AS cdf FROM tf GROUP BY term),
+c AS (SELECT COUNT(DISTINCT source) AS c FROM documents),
+scored AS (
+    SELECT tf.source, tf.term, tf.tf,
+           tf.tf * (ln((c.c + 1.0) / (cdf.cdf + 1.0)) + 1.0) AS score
+    FROM tf JOIN cdf ON tf.term = cdf.term CROSS JOIN c
+),
+ranked AS (
+    SELECT source, term, tf, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY score DESC, term
+           ) AS rk
+    FROM scored
+)
+SELECT source, term, tf, ROUND(score, 6) AS ctfidf, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5
+""",
+)
+def q_ctfidf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF (the BERTopic trick): pool every source's docs
+    into one super-document, score terms by in-class frequency × idf over
+    CLASSES, and keep the top-5 most *distinctive* terms per source — the
+    topic-labeling stage of a clustering pipeline, runnable against any
+    class column (swap source for a k-means cluster id). Two skinny
+    aggregations + one term join + a per-class rank whose state is the
+    class vocabulary, never the corpus."""
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.functions.text import tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tok_fn(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    c = docs.agg(F.countDistinct("source").alias("c"))
+    scored = (
+        tf.join(cdf, on="term")
+        .crossJoin(F.broadcast(c))
+        .select(
+            "source",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (
+                    F.log((F.col("c") + 1.0) / (F.col("cdf") + 1.0))
+                    + 1.0
+                )
+            ).alias("score"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round("score", 6).alias("ctfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@query(
+    "critical_path",
+    oracle=f"""
+WITH RECURSIVE {NATION_EDGES_CTE.strip()},
+d(id, dist) AS (
+    SELECT CAST(n_nationkey AS BIGINT), CAST(0 AS BIGINT) FROM nation
+    UNION
+    SELECT e.dst, d.dist + e.src + e.dst
+    FROM d JOIN nation_edges e ON e.src = d.id
+)
+SELECT id, MAX(dist) AS critical_path FROM d GROUP BY id
+""",
+)
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted critical path (longest path ending at each vertex, max-
+    plus DP) over the canonical nation DAG with integer edge weights
+    src+dst — the scheduling-graph metric. One edge join + per-vertex max
+    per round, rounds = DAG depth, early-stopped. Oracle: recursive-CTE
+    enumeration of every path."""
+    from pyspark_graph_spark.operators.dag import CriticalPath
+    from pyspark_graph_spark.sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    a, b = nation.alias("a"), nation.alias("b")
+    edges = a.join(
+        b,
+        on=[
+            F.col("a.n_regionkey") == F.col("b.n_regionkey"),
+            F.col("a.n_nationkey") < F.col("b.n_nationkey"),
+        ],
+    ).select(
+        F.col("a.n_nationkey").cast("long").alias(SRC),
+        F.col("b.n_nationkey").cast("long").alias(DST),
+        (
+            F.col("a.n_nationkey").cast("long")
+            + F.col("b.n_nationkey").cast("long")
+        ).alias("weight"),
+    )
+    vertices = nation.select(F.col("n_nationkey").cast("long").alias(ID))
+    g = Graph(vertices, edges, directed=True, indexed=True)
+    return CriticalPath(weight_col="weight", max_iterations=30).run(g)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

@@ -251,3 +251,38 @@ def test_four_cycles_known_graphs(spark):
     assert _c4_count(spark, k5) == 15
     # triangle has none
     assert _c4_count(spark, [(0, 1), (1, 2), (2, 0)]) == 0
+
+
+# --------------------------------------------------------------------------
+# CriticalPath (max-plus DP)
+# --------------------------------------------------------------------------
+
+
+def test_critical_path_diamond(spark):
+    from pyspark_graph_spark import Graph
+    from pyspark_graph_spark.operators.dag import CriticalPath
+
+    # diamond 0 -> {1, 2} -> 3 with asymmetric weights: the long arm wins
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 10), (1, 3, 1), (2, 3, 1)],
+        ["src", "dst", "weight"],
+    )
+    g = Graph(v, e, directed=True, indexed=True)
+    out = {r["id"]: r["critical_path"] for r in CriticalPath().run(g).collect()}
+    assert out == {0: 0, 1: 1, 2: 10, 3: 11}
+
+
+def test_critical_path_raises_on_cycle(spark):
+    import pytest as _pytest
+
+    from pyspark_graph_spark import Graph
+    from pyspark_graph_spark.operators.dag import CriticalPath
+
+    v = spark.createDataFrame([(i,) for i in range(2)], ["id"])
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 1)], ["src", "dst", "weight"]
+    )
+    g = Graph(v, e, directed=True, indexed=True)
+    with _pytest.raises(ValueError):
+        CriticalPath(max_iterations=5).run(g)
