@@ -7293,6 +7293,101 @@ def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CriticalPath(weight_col="weight", max_iterations=30).run(g)
 
 
+@query(
+    "burst_windows",
+    oracle="""
+WITH w AS (
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000) * 86400 AS BIGINT)
+               AS bucket_start_s,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, AVG(n) AS mu, stddev_pop(n) AS sigma
+    FROM w GROUP BY event_type
+)
+SELECT w.event_type, w.bucket_start_s, w.n,
+       ROUND((w.n - s.mu) / s.sigma, 4) AS z
+FROM w JOIN stats s ON w.event_type = s.event_type
+WHERE s.sigma > 0 AND ROUND((w.n - s.mu) / s.sigma, 4) > 2
+""",
+)
+def q_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: daily event-count windows whose volume sits more
+    than 2σ above that type's mean window — rate anomalies, where
+    anomaly_zscore flags value anomalies. Two map-side-combinable
+    aggregations + a broadcast of the |types|-row stats table; the
+    boundary compares the ROUNDED z on both engines."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_micros("ts") / 86_400_000_000) * 86400)
+        .cast("long")
+        .alias("bucket_start_s"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = w.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        w.join(F.broadcast(stats), on="event_type")
+        .filter((F.col("sigma") > 0) & (z > 2))
+        .select("event_type", "bucket_start_s", "n", z.alias("z"))
+    )
+
+
+@query(
+    "weighted_sample",
+    oracle=r"""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ROUND(
+             -ln(
+                (list_reduce(list_transform(range(1,16),
+                    i -> CAST(strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)||':ws'),
+                                     i, 1)) - 1 AS BIGINT)),
+                    (a,b) -> a*16+b) + 1.0)
+                / 1152921504606846977.0
+             ) / n_chars, 9) AS k
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, k
+FROM keyed
+ORDER BY k, doc_id
+LIMIT 50
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): per-doc exponential key
+    -ln(u)/w with u hash-uniform from md5(doc_id) and w = n_chars; the 50
+    smallest keys ARE the weighted sample. Fully distributed top-k (no
+    collect, map-side combinable), reproducible on any engine — the
+    quality-weighted corpus subsampling primitive. Keys rounded to 9
+    decimals so libm ulp differences cannot reorder the cut."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    u = (
+        md5_hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":ws")))
+        + 1.0
+    ) / float((1 << 60) + 1)
+    key = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
