@@ -7518,6 +7518,39 @@ def q_bilateral_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "transitive_closure",
+    oracle=f"""
+WITH RECURSIVE {NATION_EDGES_CTE.strip()},
+r(src, dst) AS (
+    SELECT src, dst FROM nation_edges
+    UNION
+    SELECT r.src, e.dst FROM r JOIN nation_edges e ON e.src = r.dst
+)
+SELECT src, dst FROM r WHERE src <> dst
+""",
+)
+def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive datalog (semi-naive fixpoint): the full reachability
+    closure R(x,z) :- E(x,z) | R(x,y),E(y,z) of the canonical nation DAG.
+    Each round joins only the new delta against the edge list and
+    anti-joins the known closure — work per round tracks NEW facts. The
+    reference's datalog is non-recursive; this is the fixpoint operator
+    on the same premise algebra."""
+    from pyspark_graph_spark.datalog import TransitiveClosure
+
+    g = nation_graph(spark, sf_dir)
+    # nation_graph is undirected-symmetric; closure over the canonical
+    # DAG orientation (src < dst) keeps the result finite and acyclic
+    canon = Graph(
+        g.vertices,
+        g.edges.filter(F.col(SRC) < F.col(DST)),
+        directed=True,
+        indexed=True,
+    )
+    return TransitiveClosure(max_iterations=10).apply(canon)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

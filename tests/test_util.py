@@ -58,3 +58,33 @@ def test_order_edges(spark):
     )
     out = sorted((r["src"], r["dst"]) for r in order_edges(edges).collect())
     assert out == [(1, 2), (4, 5)]
+
+
+# --------------------------------------------------------------------------
+# TransitiveClosure (recursive datalog, semi-naive)
+# --------------------------------------------------------------------------
+
+
+def test_transitive_closure_chain(spark):
+    from pyspark_graph_spark import Graph
+    from pyspark_graph_spark.datalog import TransitiveClosure
+
+    v = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    g = Graph(v, e, directed=True, indexed=True)
+    got = sorted(
+        (r["src"], r["dst"]) for r in TransitiveClosure().apply(g).collect()
+    )
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def test_transitive_closure_cycle_converges(spark):
+    from pyspark_graph_spark import Graph
+    from pyspark_graph_spark.datalog import TransitiveClosure
+
+    v = spark.createDataFrame([(i,) for i in range(3)], ["id"])
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], ["src", "dst"])
+    g = Graph(v, e, directed=True, indexed=True)
+    got = {(r["src"], r["dst"]) for r in TransitiveClosure().apply(g).collect()}
+    # every ordered pair of distinct vertices is reachable on a 3-cycle
+    assert got == {(a, b) for a in range(3) for b in range(3) if a != b}
