@@ -38,7 +38,9 @@ class KCenterSelection:
 
     ``run(df)`` returns (step, vec_id, dist): the selection order and the
     (rounded) squared distance of each pick to the previously selected
-    set (0.0 for the seed).
+    set (0.0 for the seed). Selected points leave the candidate state
+    (1-row broadcast anti-join per round), so a corpus with fewer than k
+    points yields min(k, n) rows instead of repeating a center.
     """
 
     def __init__(self, k: int = 4, id_col: str = "vec_id",
@@ -62,11 +64,17 @@ class KCenterSelection:
                 F.lit(0.0).alias("dist"),
             )
         ]
-        state = pts.crossJoin(
-            F.broadcast(
-                seed.select(F.col("v").alias("__cv"))
+        state = (
+            pts.join(
+                F.broadcast(seed.select("id")), on="id", how="anti"
             )
-        ).select("id", "v", _sq_l2(F.col("v"), F.col("__cv")).alias("__mind"))
+            .crossJoin(
+                F.broadcast(seed.select(F.col("v").alias("__cv")))
+            )
+            .select(
+                "id", "v", _sq_l2(F.col("v"), F.col("__cv")).alias("__mind")
+            )
+        )
         for s in range(1, self.k):
             nxt = state.orderBy(
                 F.round("__mind", 6).desc(), F.col("id").asc()
@@ -78,14 +86,20 @@ class KCenterSelection:
                     F.round("__mind", 6).alias("dist"),
                 )
             )
-            state = state.crossJoin(
-                F.broadcast(nxt.select(F.col("v").alias("__cv")))
-            ).select(
-                "id",
-                "v",
-                F.least(
-                    F.col("__mind"), _sq_l2(F.col("v"), F.col("__cv"))
-                ).alias("__mind"),
+            state = (
+                state.join(
+                    F.broadcast(nxt.select("id")), on="id", how="anti"
+                )
+                .crossJoin(
+                    F.broadcast(nxt.select(F.col("v").alias("__cv")))
+                )
+                .select(
+                    "id",
+                    "v",
+                    F.least(
+                        F.col("__mind"), _sq_l2(F.col("v"), F.col("__cv"))
+                    ).alias("__mind"),
+                )
             )
         out = selected[0]
         for sel in selected[1:]:

@@ -35,3 +35,10 @@ def test_k_equals_one_returns_seed_only(spark):
 def test_rejects_bad_k():
     with pytest.raises(ValueError):
         KCenterSelection(k=0)
+
+
+def test_k_exceeding_corpus_returns_each_point_once(spark):
+    df = _pts(spark, [(1, [0.0, 1.0]), (2, [5.0, 5.0])])
+    rows = KCenterSelection(k=4).run(df).collect()
+    assert sorted(r["vec_id"] for r in rows) == [1, 2]
+    assert len(rows) == 2  # min(k, n), no repeated centers
