@@ -218,6 +218,8 @@ def _decode_any(media: bytes, meta) -> np.ndarray:
         from pyspark_graph_spark.multimodal.gif_ops import decode_gif
 
         return decode_gif(bytes(media))
+    if bytes(media[:4]) in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(bytes(media))
     if meta["format"] == "fake":
         return _fake_decode(media, meta["width"], meta["height"])
     if _PIL_Image is not None:  # pragma: no cover - pillow not in container
@@ -681,3 +683,137 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
             )
 
     return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline gray8, uncompressed, little-endian) — real IFD container
+# ---------------------------------------------------------------------------
+
+
+def _le16(x):
+    """Little-endian u16 hex string of an int column."""
+    hx = F.lpad(F.hex(x), 4, "0")
+    return F.concat(F.substring(hx, 3, 2), F.substring(hx, 1, 2))
+
+
+def _le32(x):
+    """Little-endian u32 hex string of an int column."""
+    hx = F.lpad(F.hex(x), 8, "0")
+    return F.concat(
+        F.substring(hx, 7, 2),
+        F.substring(hx, 5, 2),
+        F.substring(hx, 3, 2),
+        F.substring(hx, 1, 2),
+    )
+
+
+def _ifd_entry(tag: int, typ: int, value):
+    """One 12-byte IFD entry (count=1) as a hex string; SHORT values sit
+    in the low 2 bytes of the 4-byte value slot (little-endian)."""
+    val = (
+        F.concat(_le16(value), F.lit("0000"))
+        if typ == 3
+        else _le32(value)
+    )
+    return F.concat(
+        _le16(F.lit(tag)), _le16(F.lit(typ)), _le32(F.lit(1)), val
+    )
+
+
+def attach_tiff_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL little-endian baseline TIFF streams JVM-side:
+    ``II*\\0`` header, pixel strip at offset 8 (byte k = (id+k) % 256, the
+    same closed form as the PGM twin), and a 9-entry IFD (width, length,
+    bits=8, compression=1, photometric=1, strip offset/bytecount,
+    rows-per-strip, samples=1) AFTER the strip. Every multi-byte integer
+    is hand-assembled little-endian from hex — the decoder must walk the
+    IFD for real."""
+    i = F.col(id_col).cast("long")
+    w = (F.pmod(i, F.lit(40)) + 16).cast("int")
+    h = (F.pmod(i, F.lit(24)) + 16).cast("int")
+    n = (w * h).cast("long")
+    ifd_off = (n + 8).cast("long")
+    payload_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: F.lpad(F.hex(F.pmod(i + k, F.lit(256))), 2, "0"),
+        ),
+        "",
+    )
+    entries = [
+        _ifd_entry(256, 3, w),            # ImageWidth
+        _ifd_entry(257, 3, h),            # ImageLength
+        _ifd_entry(258, 3, F.lit(8)),     # BitsPerSample
+        _ifd_entry(259, 3, F.lit(1)),     # Compression = none
+        _ifd_entry(262, 3, F.lit(1)),     # Photometric = BlackIsZero
+        _ifd_entry(273, 4, F.lit(8)),     # StripOffsets
+        _ifd_entry(277, 3, F.lit(1)),     # SamplesPerPixel
+        _ifd_entry(278, 3, h),            # RowsPerStrip
+        _ifd_entry(279, 4, n),            # StripByteCounts
+    ]
+    ifd_hex = F.concat(
+        _le16(F.lit(len(entries))), *entries, F.lit("00000000")
+    )
+    stream_hex = F.concat(
+        F.lit("49492A00"),  # II, 42
+        _le32(ifd_off),
+        payload_hex,
+        ifd_hex,
+    )
+    return df.select(
+        i.alias("media_id"),
+        F.unhex(stream_hex).alias("media"),
+        F.struct(
+            F.lit("tiff").alias("format"),
+            w.alias("width"),
+            h.alias("height"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _decode_tiff(media: bytes) -> np.ndarray:
+    """Real baseline-TIFF decode: byte order, IFD walk, tag table, strip
+    read. Supports single-strip uncompressed 8-bit grayscale (both byte
+    orders); anything else raises the documented codec boundary."""
+    import struct
+
+    bo = bytes(media[:2])
+    if bo == b"II":
+        end = "<"
+    elif bo == b"MM":
+        end = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+    (magic,) = struct.unpack(end + "H", media[2:4])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack(end + "I", media[4:8])
+    (n_entries,) = struct.unpack(
+        end + "H", media[ifd_off : ifd_off + 2]
+    )
+    tags: dict[int, int] = {}
+    for e in range(n_entries):
+        off = ifd_off + 2 + 12 * e
+        tag, typ, cnt = struct.unpack(end + "HHI", media[off : off + 8])
+        if cnt != 1:
+            raise NotImplementedError("multi-value TIFF tags unsupported")
+        if typ == 3:  # SHORT in the low half of the value slot
+            (val,) = struct.unpack(end + "H", media[off + 8 : off + 10])
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack(end + "I", media[off + 8 : off + 12])
+        else:
+            raise NotImplementedError(f"TIFF tag type {typ} unsupported")
+        tags[tag] = val
+    if tags.get(259, 1) != 1:
+        raise NotImplementedError("compressed TIFF unsupported")
+    if tags.get(258, 8) != 8 or tags.get(277, 1) != 1:
+        raise NotImplementedError("only 8-bit single-sample TIFF supported")
+    w, h = tags[256], tags[257]
+    s_off, s_cnt = tags[273], tags[279]
+    if s_cnt != w * h:
+        raise ValueError("strip byte count does not match dimensions")
+    px = np.frombuffer(
+        bytes(media[s_off : s_off + s_cnt]), dtype=np.uint8
+    )
+    return px.reshape(h, w).astype(np.int64)

@@ -7551,6 +7551,38 @@ def q_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TransitiveClosure(max_iterations=10).apply(canon)
 
 
+@query(
+    "multimodal_decode_tiff",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(doc_id % 40 + 16 AS INT) AS width,
+       CAST(doc_id % 24 + 16 AS INT) AS height,
+       CAST(list_sum(list_transform(
+                range(0, (doc_id % 40 + 16) * (doc_id % 24 + 16)),
+                k -> (doc_id + k) % 256))
+            // ((doc_id % 40 + 16) * (doc_id % 24 + 16)) AS BIGINT)
+         AS mean_intensity
+FROM documents
+""",
+)
+def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode end-to-end: standards-conforming little-endian
+    baseline TIFF streams (pixel strip + hand-assembled 9-entry IFD) are
+    synthesized JVM-side, then the pure-NumPy decoder walks the byte
+    order, magic, IFD offset, tag table, and strip pointers inside Arrow
+    mapInPandas. Payload byte k is (id + k) % 256, so the integer oracle
+    recomputes every feature — a wrong endianness, tag type, or strip
+    offset fails the hash."""
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        attach_tiff_media,
+        decode_images,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_tiff_media(docs, "doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

@@ -356,3 +356,85 @@ def test_spectral_features_remainder_dropped(spark):
     }
     for mid in range(3):
         assert rows[mid]["n_frames"] == (mid % 192 + 64) // 64
+
+
+# --------------------------------------------------------------------------
+# TIFF (baseline gray8) decode
+# --------------------------------------------------------------------------
+
+
+def _build_tiff(w, h, pixels, byte_order="<"):
+    import struct
+
+    bo = b"II" if byte_order == "<" else b"MM"
+    strip = bytes(pixels)
+    ifd_off = 8 + len(strip)
+    head = bo + struct.pack(byte_order + "H", 42) + struct.pack(
+        byte_order + "I", ifd_off
+    )
+    entries = [
+        (256, 3, w), (257, 3, h), (258, 3, 8), (259, 3, 1), (262, 3, 1),
+        (273, 4, 8), (277, 3, 1), (278, 3, h), (279, 4, w * h),
+    ]
+    ifd = struct.pack(byte_order + "H", len(entries))
+    for tag, typ, val in entries:
+        ifd += struct.pack(byte_order + "HHI", tag, typ, 1)
+        if typ == 3:
+            ifd += struct.pack(byte_order + "H", val) + b"\x00\x00"
+        else:
+            ifd += struct.pack(byte_order + "I", val)
+    ifd += b"\x00\x00\x00\x00"
+    return head + strip + ifd
+
+
+def test_tiff_decode_both_byte_orders():
+    from pyspark_graph_spark.multimodal.binary_ops import _decode_tiff
+
+    pix = list(range(12))
+    for bo in ("<", ">"):
+        px = _decode_tiff(_build_tiff(4, 3, pix, bo))
+        assert px.shape == (3, 4)
+        assert px[0, 0] == 0 and px[2, 3] == 11
+
+
+def test_tiff_rejects_compressed():
+    import struct
+
+    import pytest as _pytest
+
+    from pyspark_graph_spark.multimodal.binary_ops import _decode_tiff
+
+    raw = bytearray(_build_tiff(4, 3, list(range(12))))
+    # flip the Compression tag value (entry 4, SHORT) to 5 (LZW)
+    ifd_off = 8 + 12
+    entry_off = ifd_off + 2 + 12 * 3 + 8
+    raw[entry_off : entry_off + 2] = struct.pack("<H", 5)
+    with _pytest.raises(NotImplementedError):
+        _decode_tiff(bytes(raw))
+
+
+def test_tiff_rejects_garbage():
+    import pytest as _pytest
+
+    from pyspark_graph_spark.multimodal.binary_ops import _decode_tiff
+
+    with _pytest.raises(ValueError):
+        _decode_tiff(b"XX notatiff")
+
+
+def test_tiff_attach_decode_roundtrip(spark):
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        attach_tiff_media,
+        decode_images,
+    )
+
+    df = spark.range(4).toDF("doc_id")
+    out = {
+        r["media_id"]: r
+        for r in decode_images(attach_tiff_media(df, "doc_id")).collect()
+    }
+    for i in range(4):
+        w, h = i % 40 + 16, i % 24 + 16
+        assert (out[i]["width"], out[i]["height"]) == (w, h)
+        expect = sum((i + k) % 256 for k in range(w * h)) // (w * h)
+        assert out[i]["mean_intensity"] == expect
