@@ -7583,6 +7583,160 @@ def q_multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_tiff_media(docs, "doc_id"))
 
 
+@query(
+    "triangle_estimate",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+sampled AS (
+    SELECT src, dst FROM supplier_edges
+    WHERE list_reduce(list_transform(range(1,16),
+            i -> CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(src AS VARCHAR) || '-' ||
+                                 CAST(dst AS VARCHAR)), i, 1)) - 1
+                 AS BIGINT)), (a,b) -> a*16+b)
+          % 100 < 50
+),
+tri AS (
+    SELECT COUNT(*) AS t
+    FROM sampled e1
+    JOIN sampled e2 ON e2.src = e1.dst
+    JOIN sampled e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    WHERE e1.src < e1.dst AND e2.src < e2.dst
+)
+SELECT t AS sampled_triangles,
+       CAST(ROUND(t * 8.0) AS BIGINT) AS estimated_triangles
+FROM tri
+""",
+)
+def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled triangle ESTIMATOR (Doulion/TRIÈST family): keep each
+    canonical edge iff a deterministic hash lands below p=0.5, count
+    triangles on the subgraph, scale by 1/p³ = 8. At corpus scale this
+    cuts the wedge join's Σdeg² budget by p² while the estimate stays
+    unbiased; determinism (md5 edge hash) makes the estimate itself
+    exactly oracle-checkable — compare with the exact `triangle_count`
+    gate on the same graph."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+    from pyspark_graph_spark.sources.tables import load_table
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    canon = g.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST))
+    keep = (
+        md5_hash60(
+            F.concat(
+                F.col(SRC).cast("string"),
+                F.lit("-"),
+                F.col(DST).cast("string"),
+            )
+        )
+        % 100
+        < 50
+    )
+    sampled = canon.filter(keep).localCheckpoint()
+    sym = sampled.unionByName(
+        sampled.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    e1 = sampled.alias("e1")
+    e2 = sym.alias("e2")
+    e3 = sampled.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .filter(F.col("e2.src") < F.col("e2.dst"))
+        .agg(F.count(F.lit(1)).alias("sampled_triangles"))
+    )
+    return tri.select(
+        "sampled_triangles",
+        F.round(F.col("sampled_triangles") * 8.0)
+        .cast("long")
+        .alias("estimated_triangles"),
+    )
+
+
+@query(
+    "k_anonymity",
+    oracle="""
+WITH g AS (
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           CAST(floor(c_acctbal / 2000) AS INT) AS balance_band,
+           COUNT(*) AS group_size
+    FROM customer GROUP BY 1, 2, 3
+)
+SELECT nationkey, mktsegment, balance_band, group_size
+FROM g WHERE group_size < 5
+""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the (nation, market segment, balance band)
+    quasi-identifier: equivalence classes smaller than k=5 — the rows a
+    privacy review would generalize or suppress before release. One hash
+    aggregation on the quasi-identifier tuple."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.floor(F.col("c_acctbal") / 2000)
+            .cast("int")
+            .alias("balance_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+@query(
+    "daily_type_pivot",
+    oracle="""
+SELECT CAST(floor(epoch_us(ts) / 86400000000) * 86400 AS BIGINT)
+           AS day_s,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+           AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT)
+           AS view,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT)
+           AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+           AS error
+FROM events GROUP BY 1
+""",
+)
+def q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via ``groupBy().pivot()`` with explicit pivot values —
+    days × event types. Naming the pivot values keeps the plan a single
+    pass (no extra distinct-values job) and the output schema stable,
+    which is the pivot contract any BI layer needs."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(
+            (F.floor(F.unix_micros("ts") / 86_400_000_000) * 86400)
+            .cast("long")
+            .alias("day_s")
+        )
+        .pivot(
+            "event_type", ["click", "view", "purchase", "signup", "error"]
+        )
+        .count()
+    )
+    return out.select(
+        "day_s",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ["click", "view", "purchase", "signup", "error"]
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
