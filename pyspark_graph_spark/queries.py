@@ -7737,6 +7737,43 @@ def q_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hilbert_oracle() -> str:
+    from pyspark_graph_spark.functions.layout import hilbert_sql_ctes
+
+    ctes = hilbert_sql_ctes(
+        "(SELECT event_id, user_id % 256 AS x, event_id % 256 AS y "
+        "FROM events WHERE event_id < 2000)",
+        "x",
+        "y",
+        bits=8,
+    )
+    return f"WITH {ctes}\nSELECT event_id, x, y, hd AS hilbert FROM h8"
+
+
+@query("hilbert_key", oracle=_hilbert_oracle())
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout keys on the (user % 256, event % 256) grid —
+    the Z-order upgrade (consecutive indices are always grid-adjacent,
+    so range reads touch compact 2-D regions and min/max file skipping
+    tightens). One chained projection per level, collapsed by Catalyst
+    into a single codegen pass; the oracle replays every rotate/reflect
+    level in chained CTEs."""
+    from pyspark_graph_spark.functions.layout import with_hilbert_key
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            (F.col("user_id") % 256).alias("x"),
+            (F.col("event_id") % 256).alias("y"),
+        )
+    )
+    out = with_hilbert_key(ev, "x", "y", bits=8)
+    return out.select("event_id", "x", "y", "hilbert")
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

@@ -116,3 +116,54 @@ def test_cc_on_rmat_matches_union_find(spark):
             parent[ra] = rb
     expect = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Hilbert curve keys
+# --------------------------------------------------------------------------
+
+
+def _xy2d_ref(order, x, y):
+    d = 0
+    s = order // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_reference_and_is_a_space_filling_curve(spark):
+    from pyspark_graph_spark.functions.layout import with_hilbert_key
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], ["id", "x", "y"]
+    )
+    got = {
+        (r["x"], r["y"]): r["hilbert"]
+        for r in with_hilbert_key(df, "x", "y", bits=4).collect()
+    }
+    assert all(got[(x, y)] == _xy2d_ref(16, x, y) for x, y in pts)
+    # bijective onto 0..255 and consecutive indices are grid-adjacent
+    inv = {d: p for p, d in got.items()}
+    assert len(inv) == 256
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(255)
+    )
+
+
+def test_hilbert_rejects_bad_bits(spark):
+    import pytest as _pytest
+
+    from pyspark_graph_spark.functions.layout import with_hilbert_key
+
+    df = spark.createDataFrame([(1, 2, 3)], ["id", "x", "y"])
+    with _pytest.raises(ValueError):
+        with_hilbert_key(df, "x", "y", bits=0)
