@@ -7774,6 +7774,126 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "x", "y", "hilbert")
 
 
+@query(
+    "frequent_itemsets",
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+    SELECT a.l_suppkey AS i1, b2.l_suppkey AS i2, COUNT(*) AS support
+    FROM b a JOIN b b2
+      ON a.l_orderkey = b2.l_orderkey AND a.l_suppkey < b2.l_suppkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 30
+),
+tri_cand AS (
+    SELECT p1.i1, p1.i2, p2.i2 AS i3
+    FROM pairs p1
+    JOIN pairs p2 ON p1.i1 = p2.i1 AND p1.i2 < p2.i2
+    JOIN pairs p3 ON p3.i1 = p1.i2 AND p3.i2 = p2.i2
+),
+tri AS (
+    SELECT t.i1, t.i2, t.i3, COUNT(*) AS support
+    FROM tri_cand t
+    JOIN b x ON x.l_suppkey = t.i1
+    JOIN b y ON y.l_orderkey = x.l_orderkey AND y.l_suppkey = t.i2
+    JOIN b z ON z.l_orderkey = x.l_orderkey AND z.l_suppkey = t.i3
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+)
+SELECT CAST(i1 AS VARCHAR) || ',' || CAST(i2 AS VARCHAR) AS itemset,
+       2 AS size, support FROM pairs
+UNION ALL
+SELECT CAST(i1 AS VARCHAR) || ',' || CAST(i2 AS VARCHAR) || ','
+           || CAST(i3 AS VARCHAR) AS itemset,
+       3 AS size, support FROM tri
+""",
+)
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori frequent itemsets over order baskets: pairs of suppliers
+    co-appearing in >= 30 orders, and triples (support >= 5) whose
+    candidates come ONLY from frequent pairs — the downward-closure prune
+    that collapses the triple space from O(items³) to a self-join of the
+    small frequent-pair relation. Support counts are basket-keyed
+    map-side-combinable aggregations."""
+    from pyspark_graph_spark.functions.itemsets import (
+        frequent_pairs,
+        frequent_triples,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    pairs = frequent_pairs(li, "l_orderkey", "l_suppkey", 30).localCheckpoint()
+    tri = frequent_triples(li, pairs, "l_orderkey", "l_suppkey", 5)
+    p_out = pairs.select(
+        F.concat_ws(",", F.col("i1"), F.col("i2")).alias("itemset"),
+        F.lit(2).alias("size"),
+        "support",
+    )
+    t_out = tri.select(
+        F.concat_ws(",", F.col("i1"), F.col("i2"), F.col("i3")).alias(
+            "itemset"
+        ),
+        F.lit(3).alias("size"),
+        "support",
+    )
+    return p_out.unionByName(t_out)
+
+
+@query(
+    "event_transitions",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+c AS (
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n) AS t FROM c GROUP BY event_type)
+SELECT c.event_type, c.next_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / tot.t, 6) AS p
+FROM c JOIN tot ON c.event_type = tot.event_type
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimates over per-user event
+    sequences: P(next type | current type) from a lead window partitioned
+    by user (state bounded per user) and two |types|²-sized aggregates —
+    the behavioral-model primitive for session simulation and anomaly
+    scoring."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy(F.col("event_type").alias("__et")).agg(
+        F.sum("n").alias("t")
+    )
+    return (
+        c.join(F.broadcast(tot), on=c.event_type == tot["__et"])
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("t"), 6).alias("p"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
