@@ -30,7 +30,17 @@ from pyspark_graph_spark.functions.layout import zorder_write, zvalue
 from pyspark_graph_spark.functions.lm import unigram_counts
 from pyspark_graph_spark.functions.mixture import mixture_plan, skew_report
 
+from pyspark_graph_spark.functions.itemsets import frequent_pairs, frequent_triples
+from pyspark_graph_spark.functions.layout import hilbert_sql_ctes, with_hilbert_key
+from pyspark_graph_spark.functions.sketch import bloom_build, bloom_positions, bloom_probe
 __all__ = [
+    "bloom_probe",
+    "bloom_positions",
+    "bloom_build",
+    "with_hilbert_key",
+    "hilbert_sql_ctes",
+    "frequent_triples",
+    "frequent_pairs",
     "content_fingerprint",
     "unigram_scores",
     "deterministic_sample",

@@ -45,7 +45,11 @@ from pyspark_graph_spark.operators.temporal import (
     windowed_graph_metrics,
 )
 
+from pyspark_graph_spark.operators.dag import CriticalPath
+from pyspark_graph_spark.operators.temporal import interval_overlap_join
 __all__ = [
+    "interval_overlap_join",
+    "CriticalPath",
     "AggregateMessages",
     "AlternatingConnectedComponents",
     "BetweennessCentrality",

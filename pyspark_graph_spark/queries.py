@@ -7894,6 +7894,46 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "running_cusum",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id,
+           list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vs) AS BIGINT) AS n_events,
+       ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+             (acc, x) -> greatest(CAST(0 AS DOUBLE),
+                                  acc + (x - CAST(60 AS DOUBLE)))), 6)
+           AS cusum,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), vs),
+             (acc, x) -> greatest(CAST(0 AS DOUBLE),
+                                  acc + (x - CAST(60 AS DOUBLE))))
+           > 200 AS drift
+FROM ordered
+""",
+)
+def q_running_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift statistic s = max(0, s + v - 60)
+    folded in (ts, event_id) order with a drift alarm at 200 — streaming
+    change-point detection, the second custom-state operator next to the
+    running EMA (state = two scalars per key). Gate runs the
+    applyInPandas batch twin; the oracle replays the identical IEEE left
+    fold with list_reduce seeded by a prepended 0."""
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming.stateful import running_cusum_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return running_cusum_batch(events).select(
+        "user_id",
+        "n_events",
+        F.round("cusum", 6).alias("cusum"),
+        "drift",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StructField,
@@ -161,4 +162,106 @@ def running_ema_stream(
         stream = stream.withWatermark("ts", watermark)
     return stream.groupBy("user_id").applyInPandasWithState(
         update, _OUT_SCHEMA, _STATE_SCHEMA, "update", timeout
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — the second custom-state operator
+# ---------------------------------------------------------------------------
+
+CUSUM_TARGET = 50.0
+CUSUM_SLACK = 10.0
+CUSUM_THRESHOLD = 200.0
+
+_CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("cusum", DoubleType()),
+        StructField("drift", BooleanType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ]
+)
+
+
+def _fold_cusum(
+    pdf: pd.DataFrame, target: float, slack: float, n0: int, s0: float
+) -> tuple[int, float]:
+    """One-sided CUSUM fold s = max(0, s + v - target - slack) in
+    (ts, event_id) order — recursive, hence custom state."""
+    pdf = pdf.sort_values(["ts", "event_id"])
+    n, s = n0, s0
+    for v in pdf["value"].astype(float):
+        s = max(0.0, s + (v - target - slack))
+        n += 1
+    return n, s
+
+
+def running_cusum_batch(
+    events: DataFrame,
+    target: float = CUSUM_TARGET,
+    slack: float = CUSUM_SLACK,
+    threshold: float = CUSUM_THRESHOLD,
+) -> DataFrame:
+    """Batch twin of the streaming CUSUM drift detector: per user, the
+    one-sided cumulative-sum statistic after folding every event in
+    event-time order, and whether it crossed the drift threshold —
+    the classic change-point alarm for 'this key's metric has shifted
+    upward'. Same IEEE left fold the streaming state converges to."""
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        n, s = _fold_cusum(pdf, target, slack, 0, 0.0)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "cusum": [s],
+                "drift": [s > threshold],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandas(fold, _CUSUM_OUT_SCHEMA)
+
+
+def running_cusum_stream(
+    events: DataFrame,
+    target: float = CUSUM_TARGET,
+    slack: float = CUSUM_SLACK,
+    threshold: float = CUSUM_THRESHOLD,
+) -> DataFrame:
+    """Streaming CUSUM via ``applyInPandasWithState``: per trigger, fold
+    the new rows into (n, s) state and emit the updated statistic for
+    every key seen — state is two scalars per key, the minimal
+    change-detection memory."""
+
+    def update(key, pdfs, state):
+        n, s = (0, 0.0) if not state.exists else state.get
+        for pdf in pdfs:
+            n, s = _fold_cusum(pdf, target, slack, n, s)
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cusum": [s],
+                "drift": [s > threshold],
+            }
+        )
+
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        update,
+        _CUSUM_OUT_SCHEMA,
+        _CUSUM_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )

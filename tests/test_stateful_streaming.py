@@ -191,3 +191,65 @@ def test_stream_event_time_timeout_evicts_idle_state(spark, tmp_path):
     # fold — (1, 90.0) is only possible if user 7's state was evicted
     assert (1, 4.0) in emas
     assert (1, 90.0) in emas
+
+
+# --------------------------------------------------------------------------
+# CUSUM drift detector
+# --------------------------------------------------------------------------
+
+
+def test_cusum_batch_matches_python_fold(spark):
+    from pyspark_graph_spark.streaming.stateful import running_cusum_batch
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, 100.0),
+        (2, "2024-01-01 00:01:00", 7, 100.0),
+        (3, "2024-01-01 00:02:00", 7, 10.0),
+        (4, "2024-01-01 00:00:00", 8, 5.0),
+    ]
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(a, datetime.fromisoformat(b), c, d) for a, b, c, d in rows],
+        EVENTS_SCHEMA,
+    )
+    out = {r.user_id: r for r in running_cusum_batch(df).collect()}
+    # user 7: s = max(0,0+40)=40 -> 80 -> max(0, 80-50)=30
+    assert out[7].cusum == 30.0 and out[7].drift is False
+    assert out[8].cusum == 0.0 and out[8].n_events == 1
+
+
+def test_cusum_stream_equals_batch_twin(spark, sf_dir, tmp_path):
+    from pyspark_graph_spark.sources.tables import load_table
+    from pyspark_graph_spark.streaming import read_events_stream
+    from pyspark_graph_spark.streaming.stateful import (
+        running_cusum_batch,
+        running_cusum_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    q = (
+        running_cusum_stream(read_events_stream(spark, str(tmp_path)))
+        .writeStream.format("memory")
+        .queryName("cusum_replay")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    streamed = {
+        r.user_id: (r.n_events, round(r.cusum, 9), r.drift)
+        for r in spark.sql("SELECT * FROM cusum_replay").collect()
+    }
+    batch = {
+        r.user_id: (r.n_events, round(r.cusum, 9), r.drift)
+        for r in running_cusum_batch(events).collect()
+    }
+    assert streamed == batch
