@@ -7934,6 +7934,77 @@ def q_running_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "table_profile",
+    oracle="""
+SELECT 'o_custkey' AS col, COUNT(*) AS n,
+       COUNT(*) - COUNT(o_custkey) AS nulls,
+       COUNT(DISTINCT o_custkey) AS distincts,
+       CAST(MIN(o_custkey) AS DOUBLE) AS min_v,
+       CAST(MAX(o_custkey) AS DOUBLE) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6),
+       ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority), NULL, NULL
+FROM orders
+""",
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling audit (the data-quality report every ingestion
+    pipeline runs first): row/null/distinct counts and numeric ranges
+    per column, computed in ONE pass over the table — all profiles are
+    aggregates of the same scan, so Spark reads the parquet once and
+    every statistic is map-side combinable."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("d_ck"),
+        F.min("o_custkey").cast("double").alias("min_ck"),
+        F.max("o_custkey").cast("double").alias("max_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("d_tp"),
+        F.round(F.min("o_totalprice").cast("double"), 6).alias("min_tp"),
+        F.round(F.max("o_totalprice").cast("double"), 6).alias("max_tp"),
+        F.count("o_orderpriority").alias("nn_op"),
+        F.countDistinct("o_orderpriority").alias("d_op"),
+    )
+    rows = [
+        ("o_custkey", "nn_ck", "d_ck", "min_ck", "max_ck"),
+        ("o_totalprice", "nn_tp", "d_tp", "min_tp", "max_tp"),
+        ("o_orderpriority", "nn_op", "d_op", None, None),
+    ]
+    parts = []
+    for col, nn, d, mn, mx in rows:
+        parts.append(
+            prof.select(
+                F.lit(col).alias("col"),
+                F.col("n").alias("n"),
+                (F.col("n") - F.col(nn)).alias("nulls"),
+                F.col(d).alias("distincts"),
+                (
+                    F.col(mn) if mn else F.lit(None).cast("double")
+                ).alias("min_v"),
+                (
+                    F.col(mx) if mx else F.lit(None).cast("double")
+                ).alias("max_v"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
