@@ -38,7 +38,8 @@ class NeighborhoodFunction:
         self.hops = hops
         self.b = b
 
-    def _estimate(self, regs: DataFrame, hop: int) -> DataFrame:
+    def _per_vertex(self, regs: DataFrame) -> DataFrame:
+        """(id, est) — per-vertex HLL ball-size estimate."""
         m = 1 << self.b
         alpha = 0.7213 / (1 + 1.079 / m)
         per_v = regs.groupBy(ID).agg(
@@ -50,9 +51,12 @@ class NeighborhoodFunction:
             (raw <= 2.5 * m) & (F.col("nz") < m),
             F.lit(float(m)) * F.log(F.lit(float(m)) / (m - F.col("nz"))),
         ).otherwise(raw)
-        return per_v.agg(
+        return per_v.select(ID, est.alias("est"))
+
+    def _estimate(self, regs: DataFrame, hop: int) -> DataFrame:
+        return self._per_vertex(regs).agg(
             F.lit(hop).alias("hop"),
-            F.round(F.sum(est), 2).alias("n_pairs"),
+            F.round(F.sum("est"), 2).alias("n_pairs"),
         )
 
     def run(self, g: Graph) -> DataFrame:
@@ -94,4 +98,61 @@ class NeighborhoodFunction:
                 .localCheckpoint()
             )
             out = out.unionByName(self._estimate(regs, hop))
+        return out
+
+    def run_per_vertex(self, g: Graph) -> DataFrame:
+        """(id, hop, ball) — per-vertex ball-size estimates for every hop.
+
+        The per-vertex view of the same register evolution, from which
+        the classic ANF derivatives fall out as projections: approximate
+        closeness (Boldi–Vigna) is Σ_h h·(ball_h − ball_{h−1}); effective
+        eccentricity is the first h where the ball stops growing. Same
+        one-join + max-agg per hop; the estimate per (vertex, hop) is
+        rounded to 4 decimals so the derived arithmetic is replayable
+        bit-for-bit by a SQL oracle."""
+        b, m = self.b, 1 << self.b
+        width = 60 - b
+        h = md5_hash60(F.col(ID).cast("string"))
+        q = F.shiftright(h, b)
+        rank = F.when(q == 0, F.lit(width + 1)).otherwise(
+            F.lit(width + 1) - F.length(F.bin(q))
+        )
+        regs = g.vertices.select(
+            ID,
+            F.pmod(h, F.lit(m)).alias("reg"),
+            rank.cast("long").alias("mx"),
+        ).localCheckpoint()
+        e = g.edges.select(SRC, DST)
+        sym = (
+            e.unionByName(
+                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        frames = [
+            self._per_vertex(regs).select(
+                ID, F.lit(0).alias("hop"), F.round("est", 4).alias("ball")
+            )
+        ]
+        for hop in range(1, self.hops + 1):
+            contrib = sym.join(
+                regs.withColumnRenamed(ID, SRC), on=SRC
+            ).select(F.col(DST).alias(ID), "reg", "mx")
+            regs = (
+                regs.unionByName(contrib)
+                .groupBy(ID, "reg")
+                .agg(F.max("mx").alias("mx"))
+                .localCheckpoint()
+            )
+            frames.append(
+                self._per_vertex(regs).select(
+                    ID,
+                    F.lit(hop).alias("hop"),
+                    F.round("est", 4).alias("ball"),
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
         return out

@@ -8005,6 +8005,102 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _approx_closeness_sql(hops: int, b: int) -> str:
+    """Per-vertex HyperANF balls (rounded 4) joined across hops; Boldi-
+    Vigna approximate closeness from the ball differences."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    m = 1 << b
+    width = 60 - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = md5_hash60_sql("CAST(id AS VARCHAR)")
+    raw = f"CAST({alpha!r} AS DOUBLE) * {m} * {m} / (s + ({m} - nz))"
+    est = (
+        f"CASE WHEN {raw} <= 2.5 * {m} AND nz < {m} "
+        f"THEN {m}.0 * ln({m}.0 / ({m} - nz)) ELSE {raw} END"
+    )
+    ctes = [
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM bipartite_edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM bipartite_edges))",
+        "verts AS (SELECT c_custkey * 2 AS id FROM customer "
+        "UNION SELECT s_suppkey * 2 + 1 AS id FROM supplier)",
+        f"r0 AS MATERIALIZED (SELECT id, h % {m} AS reg, "
+        f"CAST(CASE WHEN (h >> {b}) = 0 THEN {width + 1} "
+        f"ELSE {width + 1} - LENGTH(bin(h >> {b})) END AS BIGINT) AS mx "
+        f"FROM (SELECT id, ({h}) AS h FROM verts))",
+    ]
+    for hop in range(1, hops + 1):
+        ctes.append(
+            f"r{hop} AS MATERIALIZED (SELECT id, reg, MAX(mx) AS mx "
+            f"FROM (SELECT id, reg, mx FROM r{hop-1} UNION ALL "
+            f"SELECT e.dst AS id, r.reg, r.mx FROM sym e "
+            f"JOIN r{hop-1} r ON r.id = e.src) GROUP BY id, reg)"
+        )
+    for hop in range(hops + 1):
+        ctes.append(
+            f"pv{hop} AS (SELECT id, ROUND({est}, 4) AS ball "
+            f"FROM (SELECT id, COUNT(*) AS nz, SUM(POWER(2.0, -mx)) AS s "
+            f"FROM r{hop} GROUP BY id))"
+        )
+    dist = " + ".join(
+        f"{hop} * (pv{hop}.ball - pv{hop-1}.ball)"
+        for hop in range(1, hops + 1)
+    )
+    joins = " ".join(
+        f"JOIN pv{hop} ON pv{hop}.id = pv0.id"
+        for hop in range(1, hops + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""WITH {BIPARTITE_EDGES_CTE.strip()},
+{joined}
+SELECT pv0.id, ROUND({dist}, 4) AS dist_sum,
+       CASE WHEN ({dist}) > 0
+            THEN ROUND((pv{hops}.ball - 1) / ({dist}), 6)
+            ELSE 0.0 END AS closeness
+FROM pv0 {joins}"""
+
+
+@query("approx_closeness", oracle=_approx_closeness_sql(hops=3, b=4))
+def q_approx_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate closeness centrality for EVERY vertex from the
+    per-vertex HyperANF balls (Boldi-Vigna): dist_sum ≈ Σ_h h·(ball_h −
+    ball_{h−1}), closeness = (reachable−1)/dist_sum — the all-vertices
+    closeness the landmark-sampled exact operator cannot afford,
+    composed from the same mergeable register machinery as
+    neighborhood_function. Oracle rebuilds every register, ball, and
+    difference."""
+    from pyspark_graph_spark.operators.neighborhood import (
+        NeighborhoodFunction,
+    )
+
+    g = customer_supplier_graph(spark, sf_dir)
+    hops = 3
+    pv = NeighborhoodFunction(hops=hops, b=4).run_per_vertex(g)
+    wide = pv.groupBy(ID).agg(
+        *[
+            F.max(F.when(F.col("hop") == h, F.col("ball"))).alias(
+                f"b{h}"
+            )
+            for h in range(hops + 1)
+        ]
+    )
+    dist = sum(
+        (F.col(f"b{h}") - F.col(f"b{h-1}")) * h
+        for h in range(1, hops + 1)
+    )
+    return wide.select(
+        ID,
+        F.round(dist, 4).alias("dist_sum"),
+        F.when(
+            dist > 0,
+            F.round((F.col(f"b{hops}") - 1) / dist, 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("closeness"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
