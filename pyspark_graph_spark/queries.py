@@ -8101,6 +8101,45 @@ def q_approx_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "effective_diameter",
+    oracle=f"""
+WITH nf AS ({_neighborhood_sql(hops=3, b=4).replace(chr(10), ' ')}),
+mx AS (SELECT MAX(n_pairs) AS nmax FROM nf),
+tgt AS (SELECT 0.9 * nmax AS t FROM mx),
+lo AS (
+    SELECT MAX(hop) AS h FROM nf, tgt WHERE n_pairs < t
+)
+SELECT CAST(COALESCE(lo.h, -1) + 1 AS INT) AS eff_diameter_hop,
+       ROUND((SELECT t FROM tgt), 2) AS target_pairs
+FROM lo
+""",
+)
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% effective diameter from the HyperANF neighborhood function:
+    the smallest hop count h where N(h) reaches 90% of the plateau — the
+    'how many hops is this graph wide' readout that replaces all-pairs
+    BFS at scale. Derived entirely from the (hops+1)-row N(h) table, so
+    the only graph work is the shared register evolution."""
+    from pyspark_graph_spark.operators.neighborhood import (
+        NeighborhoodFunction,
+    )
+
+    g = customer_supplier_graph(spark, sf_dir)
+    nf = NeighborhoodFunction(hops=3, b=4).run(g)
+    mx = nf.agg(F.max("n_pairs").alias("nmax"))
+    tgt = mx.select((F.lit(0.9) * F.col("nmax")).alias("t"))
+    lo = nf.crossJoin(F.broadcast(tgt)).filter(
+        F.col("n_pairs") < F.col("t")
+    ).agg(F.max("hop").alias("h"))
+    return lo.crossJoin(F.broadcast(tgt)).select(
+        (F.coalesce(F.col("h"), F.lit(-1)) + 1)
+        .cast("int")
+        .alias("eff_diameter_hop"),
+        F.round("t", 2).alias("target_pairs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
