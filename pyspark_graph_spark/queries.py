@@ -8151,6 +8151,13 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # previously-green round-1/2 window plus a deliberate 14-query tail (each
 # with a driver-green sibling of the same family) follows and rotates back
 # in a later round.
+#
+# ROUND-4 ROTATION PLAN: after CORRECTNESS_r03 lands, 74 queries remain
+# never-driver-verified (round-2 leftovers from `reciprocity` onward plus
+# every round-3 addition — the list is exactly
+#   [n for n in QUERIES if n not in r1r2_keys and n not in GATE_PRIORITY]).
+# Replace GATE_PRIORITY with the first 50 of those (chronological), keep
+# the rest for round 5. All are green under tools/check_oracle.py locally.
 GATE_PRIORITY: list[str] = [
     # graph algorithms added in round 2
     "kcore",
