@@ -8140,6 +8140,78 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _densest_sql(rounds: int, eps: float) -> str:
+    """Unrolled parallel-peeling rounds: degrees, 1-row summary, density
+    threshold, semi-join survivors — identical arithmetic per round."""
+    ctes = [
+        f"""e0 AS MATERIALIZED ({{base}})""",
+    ]
+    selects = []
+    for r in range(rounds):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT id, COUNT(*) AS d FROM ("
+            f"SELECT src AS id FROM e{r} UNION ALL SELECT dst FROM e{r}"
+            f") GROUP BY id)"
+        )
+        selects.append(
+            f"SELECT {r} AS round, COUNT(*) AS n_vertices, "
+            f"CAST(SUM(d) / 2 AS BIGINT) AS n_edges, "
+            f"ROUND(SUM(d) / 2.0 / COUNT(*), 6) AS density "
+            f"FROM d{r} HAVING COUNT(*) > 0"
+        )
+        if r < rounds - 1:
+            ctes.append(
+                f"t{r} AS (SELECT {2.0 * (1.0 + eps)!r} * (SUM(d) / 2.0) "
+                f"/ COUNT(*) AS thr FROM d{r})"
+            )
+            ctes.append(
+                f"k{r} AS (SELECT id FROM d{r}, t{r} WHERE d >= thr)"
+            )
+            ctes.append(
+                f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e "
+                f"JOIN k{r} a ON a.id = e.src "
+                f"JOIN k{r} b ON b.id = e.dst)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+def _densest_base_sql() -> str:
+    from pyspark_graph_spark.sources.generators import rmat_edges_sql
+
+    return (
+        f"SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst "
+        f"FROM ({rmat_edges_sql(scale=8, n_edges=4096)}) WHERE src <> dst"
+    )
+
+
+@query(
+    "densest_subgraph",
+    oracle=_densest_sql(rounds=6, eps=0.1).format(base=_densest_base_sql()),
+)
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph by Bahmani-et-al parallel peeling on the
+    hash-deterministic R-MAT power-law graph: every round removes ALL
+    vertices with degree < 2(1+ε)·density — the canonical sequential-
+    greedy → batch-peel transformation giving a 2(1+ε) approximation in
+    O(log n) rounds (4 real rounds here; the uniform co-occurrence
+    graphs collapse in one). Returns the per-round (vertices, edges,
+    density) trace; the max-density round is the answer. Oracle unrolls
+    every round's degrees, threshold, and survivor semi-joins."""
+    from pyspark_graph_spark.operators.densest import DensestSubgraph
+    from pyspark_graph_spark.sources.generators import rmat_edges
+
+    e = rmat_edges(spark, scale=8, n_edges=4096)
+    vertices = (
+        e.select(F.col(SRC).alias(ID))
+        .unionByName(e.select(F.col(DST).alias(ID)))
+        .distinct()
+    )
+    g = Graph(vertices, e, directed=False, indexed=True)
+    return DensestSubgraph(epsilon=0.1, max_iterations=6).run(g)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
