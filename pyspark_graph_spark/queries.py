@@ -8212,6 +8212,60 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DensestSubgraph(epsilon=0.1, max_iterations=6).run(g)
 
 
+@query(
+    "disorder_profile",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS high_water
+    FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ts_us < high_water THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_late,
+       CAST(COALESCE(MAX(CASE WHEN ts_us < high_water
+                               THEN high_water - ts_us END), 0)
+            AS BIGINT) AS max_disorder_us
+FROM seq GROUP BY user_id
+""",
+)
+def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder audit: per user, how many events arrive (in
+    event_id = arrival order) BEHIND the running event-time high-water
+    mark, and by how much — the measurement that justifies a streaming
+    watermark delay instead of guessing it. One running-max window per
+    user + one aggregation; max_disorder_us is the per-key lower bound
+    on a loss-free watermark."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("high_water"),
+    )
+    late = F.when(F.col("ts_us") < F.col("high_water"), 1).otherwise(0)
+    disorder = F.when(
+        F.col("ts_us") < F.col("high_water"),
+        F.col("high_water") - F.col("ts_us"),
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(late).cast("long").alias("n_late"),
+        F.coalesce(F.max(disorder), F.lit(0))
+        .cast("long")
+        .alias("max_disorder_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
