@@ -457,3 +457,135 @@ def test_greedy_coloring_proper(spark, seed):
     for a, b in edges:
         if a != b:
             assert colors[a] != colors[b], f"edge ({a},{b}) monochromatic"
+
+
+# --------------------------------------------------------------------------
+# Round-3 operators vs pure-Python oracles on random graphs
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_transitive_closure_matches_python(spark, seed):
+    from pyspark_graph_spark.datalog import TransitiveClosure
+
+    g, n, edges = random_graph(spark, seed)
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+    want = set()
+    for s in range(n):
+        seen, q = set(), deque(adj[s])
+        while q:
+            v = q.popleft()
+            if v in seen:
+                continue
+            seen.add(v)
+            q.extend(adj[v])
+        want |= {(s, t) for t in seen if t != s}
+    got = {
+        (r["src"], r["dst"])
+        for r in TransitiveClosure(max_iterations=20).apply(g).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_critical_path_matches_python_dp(spark, seed):
+    from pyspark_graph_spark.operators.dag import CriticalPath
+
+    rng = random.Random(seed)
+    n = 12
+    # random DAG: edges only a -> b for a < b, weight = a + b + 1
+    edges = [
+        (a, b, a + b + 1)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.25
+    ] or [(0, 1, 2)]
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    g = Graph(v, e, directed=True, indexed=True)
+    want = {i: 0 for i in range(n)}
+    for a in range(n):  # topological order = numeric order by construction
+        for x, y, w in edges:
+            if x == a:
+                want[y] = max(want[y], want[a] + w)
+    got = {
+        r["id"]: r["critical_path"]
+        for r in CriticalPath(max_iterations=25).run(g).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_link_prediction_matches_python(spark, seed):
+    from pyspark_graph_spark.operators.link_prediction import LinkPrediction
+
+    # undirected: symmetric_edges leaves directed graphs as-is by contract
+    _, n, edges = random_graph(spark, seed)
+    g = Graph(
+        spark.createDataFrame([(i,) for i in range(n)], ["id"]),
+        spark.createDataFrame(edges, ["src", "dst"]),
+        directed=False,
+        indexed=True,
+    )
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = {}
+    for u in range(n):
+        for v2 in range(u + 1, n):
+            common = adj[u] & adj[v2]
+            if common and v2 not in adj[u]:
+                want[(u, v2)] = (
+                    len(common),
+                    len(adj[u]) * len(adj[v2]),
+                    round(sum(1.0 / len(adj[w]) for w in common), 6),
+                )
+    got = {
+        (r["u"], r["v"]): (
+            r["common_neighbors"],
+            r["preferential_attachment"],
+            r["resource_allocation"],
+        )
+        for r in LinkPrediction().run(g).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_densest_trace_matches_python_peeling(spark, seed):
+    from pyspark_graph_spark.operators.densest import DensestSubgraph
+
+    _, n, edges = random_graph(spark, seed, n=16, p=0.3)
+    g = Graph(
+        spark.createDataFrame([(i,) for i in range(n)], ["id"]),
+        spark.createDataFrame(edges, ["src", "dst"]),
+        directed=False,
+        indexed=True,
+    )
+    E = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    eps = 0.25
+    want = []
+    r = 0
+    while E and r < 12:
+        deg = defaultdict(int)
+        for a, b in E:
+            deg[a] += 1
+            deg[b] += 1
+        V, ne = len(deg), len(E)
+        want.append((r, V, ne, round(ne / V, 6)))
+        thr = 2 * (1 + eps) * ne / V
+        keep = {v for v, d in deg.items() if d >= thr}
+        E = {(a, b) for a, b in E if a in keep and b in keep}
+        r += 1
+    got = sorted(
+        (r["round"], r["n_vertices"], r["n_edges"], r["density"])
+        for r in DensestSubgraph(epsilon=eps, max_iterations=12)
+        .run(g)
+        .collect()
+    )
+    assert got == sorted(want)
