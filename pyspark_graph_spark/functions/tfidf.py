@@ -203,3 +203,48 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, cosine) doc pairs whose TF-IDF vectors have cosine >=
+    threshold — SPARSE-vector similarity join via the inverted term
+    index: dot products accumulate only over SHARED terms (one term-keyed
+    equi-join + a pair-keyed aggregation), norms are per-doc aggregates
+    joined at the end. The sparse counterpart of the dense
+    embedding-cosine dedup: no vector materialization, cost tracks
+    co-occurring terms (cap df as the skew valve, same as dedup/ngram).
+    Cosine rounded to 6 so summation-order noise cannot flip hashes."""
+    w = tfidf(docs, id_col, text_col).select(
+        F.col("doc_id").alias("id"), "term", F.col("score").alias("w")
+    )
+    # the weight table feeds three consumers: materialize once
+    w = w.localCheckpoint()
+    nrm = w.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("__n")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            on=[
+                F.col("a.term") == F.col("b.term"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("__dot"))
+    )
+    na = nrm.select(F.col("id").alias("a"), F.col("__n").alias("__na"))
+    nb = nrm.select(F.col("id").alias("b"), F.col("__n").alias("__nb"))
+    cos = F.col("__dot") / (F.col("__na") * F.col("__nb"))
+    return (
+        dots.join(na, on="a")
+        .join(nb, on="b")
+        .filter(F.round(cos, 6) >= threshold)
+        .select("a", "b", F.round(cos, 6).alias("cosine"))
+    )

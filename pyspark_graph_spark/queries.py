@@ -8266,6 +8266,52 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tfidf_cosine_pairs",
+    oracle=r"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              t -> t <> '')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nn FROM w GROUP BY doc_id),
+dots AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, SUM(a.w * b.w) AS dot
+    FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT dots.a, dots.b,
+       ROUND(dot / (na.nn * nb.nn), 6) AS cosine
+FROM dots
+JOIN nrm na ON na.doc_id = dots.a
+JOIN nrm nb ON nb.doc_id = dots.b
+WHERE ROUND(dot / (na.nn * nb.nn), 6) >= 0.9
+""",
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector similarity join: TF-IDF cosine >= 0.9 doc pairs via
+    the inverted term index — dot products accumulate only over SHARED
+    terms (term-keyed join + pair-keyed agg), norms join at the end. The
+    sparse counterpart of dedup_embedding's dense cosine; no vectors
+    ever materialize."""
+    from pyspark_graph_spark.functions.tfidf import tfidf_cosine_pairs
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return tfidf_cosine_pairs(docs, threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
