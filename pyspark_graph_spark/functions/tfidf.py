@@ -210,17 +210,51 @@ def tfidf_cosine_pairs(
     threshold: float = 0.9,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df_frac: float = 0.2,
+    max_df_abs: int = 1000,
 ) -> DataFrame:
     """(a, b, cosine) doc pairs whose TF-IDF vectors have cosine >=
     threshold — SPARSE-vector similarity join via the inverted term
     index: dot products accumulate only over SHARED terms (one term-keyed
     equi-join + a pair-keyed aggregation), norms are per-doc aggregates
     joined at the end. The sparse counterpart of the dense
-    embedding-cosine dedup: no vector materialization, cost tracks
-    co-occurring terms (cap df as the skew valve, same as dedup/ngram).
-    Cosine rounded to 6 so summation-order noise cannot flip hashes."""
-    w = tfidf(docs, id_col, text_col).select(
-        F.col("doc_id").alias("id"), "term", F.col("score").alias("w")
+    embedding-cosine dedup: no vector materialization.
+
+    The df cap is NOT optional at scale, and it is TWO-SIDED: terms in
+    more than ``max_df_frac`` of the corpus OR more than ``max_df_abs``
+    documents are dropped from the vectors entirely (the stop-word
+    contract — near-zero idf weight, Σdf² join cost). The absolute cap
+    is what actually bounds the inverted-index join: Σdf² cost is set by
+    absolute posting-list length, and a fraction-only cap stops binding
+    whenever corpus growth outpaces df growth (measured: the 10× corpus
+    took >10 min under a fraction-only cap because its per-shard
+    stop-words sat below 0.2N; the absolute cap restored linear
+    scaling). Cosine rounded to 6 so summation-order noise cannot flip
+    hashes."""
+    tf = term_frequencies(docs, id_col, text_col)
+    dfreq = doc_frequencies(tf)
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") <= F.col("n") * max_df_frac)
+            & (F.col("df") <= max_df_abs)
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            "term",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
     )
     # the weight table feeds three consumers: materialize once
     w = w.localCheckpoint()

@@ -8282,6 +8282,7 @@ w AS (
     SELECT tf.doc_id, tf.term,
            tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0) AS w
     FROM tf JOIN dfq USING (term) CROSS JOIN n
+    WHERE dfq.df <= n.n * 0.2 AND dfq.df <= 1000
 ),
 nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nn FROM w GROUP BY doc_id),
 dots AS (
@@ -8300,7 +8301,10 @@ WHERE ROUND(dot / (na.nn * nb.nn), 6) >= 0.9
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse-vector similarity join: TF-IDF cosine >= 0.9 doc pairs via
     the inverted term index — dot products accumulate only over SHARED
-    terms (term-keyed join + pair-keyed agg), norms join at the end. The
+    terms (term-keyed join + pair-keyed agg), norms join at the end,
+    and terms in >20% of the corpus or >1000 docs are dropped from the
+    vectors (the two-sided stop-word contract — the absolute cap is what
+    bounds the posting-list join at any corpus size). The
     sparse counterpart of dedup_embedding's dense cosine; no vectors
     ever materialize."""
     from pyspark_graph_spark.functions.tfidf import tfidf_cosine_pairs
