@@ -8316,6 +8316,106 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, threshold=0.9)
 
 
+def _percolation_sql(ps: tuple[int, ...]) -> str:
+    """One recursive-CTE CC per survival percentage over the SAME edge
+    hash (nested sampling: lower-p edge sets are subsets — the monotone
+    percolation property)."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql(
+        "CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR)"
+    )
+    ctes = [
+        BIPARTITE_EDGES_CTE.strip().lstrip("WITH").strip(),
+        f"hashed AS MATERIALIZED (SELECT src, dst, ({h}) % 100 AS hp "
+        f"FROM bipartite_edges)",
+    ]
+    selects = []
+    for p in ps:
+        ctes.append(
+            f"e{p} AS MATERIALIZED (SELECT src, dst FROM hashed "
+            f"WHERE hp < {p})"
+        )
+        ctes.append(
+            f"s{p} AS MATERIALIZED (SELECT src, dst FROM e{p} UNION ALL "
+            f"SELECT dst, src FROM e{p})"
+        )
+        ctes.append(
+            f"v{p} AS (SELECT DISTINCT src AS id FROM s{p})"
+        )
+        ctes.append(
+            f"r{p}(id, r) AS (SELECT id, id FROM v{p} UNION "
+            f"SELECT e.dst, r{p}.r FROM r{p} "
+            f"JOIN s{p} e ON e.src = r{p}.id)"
+        )
+        ctes.append(
+            f"c{p} AS (SELECT id, MIN(r) AS comp FROM r{p} GROUP BY id)"
+        )
+        selects.append(
+            f"SELECT {p} AS p_pct, COUNT(*) AS n_vertices, "
+            f"COUNT(DISTINCT comp) AS n_components, "
+            f"MAX(csize) AS giant_size FROM (SELECT comp, id, "
+            f"COUNT(*) OVER (PARTITION BY comp) AS csize FROM c{p})"
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@query("percolation", oracle=_percolation_sql((25, 50, 75)))
+def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation robustness curve: keep each edge iff a
+    deterministic hash lands under p ∈ {25, 50, 75}% (nested samples —
+    the monotone percolation property), and report surviving vertices /
+    components / giant-component size per p. Three O(log n)
+    star-contraction CC runs on geometrically related subgraphs; the
+    network-robustness readout ('how much infrastructure loss before the
+    giant component shatters') at any scale."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+    from pyspark_graph_spark.operators import (
+        AlternatingConnectedComponents,
+    )
+
+    g = customer_supplier_graph(spark, sf_dir)
+    canon = g.edges.select(SRC, DST)
+    hp = md5_hash60(
+        F.concat(
+            F.col(SRC).cast("string"),
+            F.lit("-"),
+            F.col(DST).cast("string"),
+        )
+    ) % 100
+    hashed = canon.select(SRC, DST, hp.alias("__hp")).localCheckpoint()
+    outs = []
+    for p in (25, 50, 75):
+        e = hashed.filter(F.col("__hp") < p).select(SRC, DST)
+        v = (
+            e.select(F.col(SRC).alias(ID))
+            .unionByName(e.select(F.col(DST).alias(ID)))
+            .distinct()
+        )
+        sub = Graph(v, e, directed=False, indexed=True)
+        cc = AlternatingConnectedComponents().run(sub)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("__cs")
+        )
+        outs.append(
+            sizes.agg(
+                F.lit(p).alias("p_pct"),
+                F.sum("__cs").alias("n_vertices"),
+                F.count(F.lit(1)).alias("n_components"),
+                F.max("__cs").alias("giant_size"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
