@@ -8405,7 +8405,9 @@ def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         outs.append(
             sizes.agg(
                 F.lit(p).alias("p_pct"),
-                F.sum("__cs").alias("n_vertices"),
+                # empty sample at tiny SF: SUM->NULL but the oracle's
+                # COUNT(*) is 0 — coalesce for degenerate-input parity
+                F.coalesce(F.sum("__cs"), F.lit(0)).alias("n_vertices"),
                 F.count(F.lit(1)).alias("n_components"),
                 F.max("__cs").alias("giant_size"),
             )
