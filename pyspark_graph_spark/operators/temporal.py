@@ -259,3 +259,69 @@ def interval_overlap_join(
         )
         .drop("__bin")
     )
+
+
+def earliest_arrival(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Time-respecting reachability (temporal BFS, Wu et al. 2014):
+    earliest arrival time at every vertex reachable from the seeds along
+    paths whose edge timestamps never decrease — the contact-tracing /
+    influence-spread primitive that plain reachability gets WRONG on
+    temporal graphs (an edge that fired before you arrived cannot carry
+    you forward).
+
+    ``seeds``: (id, t0) start vertices with their start times. Rounds
+    relax ``arrival(dst) = min(edge.ts) over edges with ts >= arrival
+    (src)`` until a fixpoint (early-stopped via a changed-row count, one
+    action per round); arrival times only decrease, so convergence is
+    monotone and rounds are bounded by the longest time-respecting path.
+
+    Scale: per round one join of the |reached| frontier against the
+    src-keyed edge list + a min aggregation — the same shuffle shape as
+    every BFS here, with the time predicate evaluated inside the join.
+    """
+    state = seeds.select(
+        F.col(seeds.columns[0]).alias("id"),
+        F.col(seeds.columns[1]).cast("long").alias("arrival"),
+    ).localCheckpoint()
+    e = edges.select(
+        F.col(src_col).alias("__s"),
+        F.col(dst_col).alias("__d"),
+        F.col(ts_col).cast("long").alias("__t"),
+    ).localCheckpoint()
+    for _ in range(max_rounds):
+        step = (
+            state.join(
+                e,
+                on=[
+                    state.id == F.col("__s"),
+                    F.col("__t") >= state.arrival,
+                ],
+            )
+            .select(F.col("__d").alias("id"), F.col("__t").alias("arrival"))
+        )
+        new = (
+            state.unionByName(step)
+            .groupBy("id")
+            .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(state.withColumnRenamed("arrival", "__old"), "id", "left")
+            .filter(
+                F.col("__old").isNull()
+                | (F.col("arrival") < F.col("__old"))
+            )
+            .limit(1)
+            .count()
+        )
+        state = new
+        if changed == 0:
+            return state
+    return state

@@ -8418,6 +8418,71 @@ def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "temporal_reachability",
+    oracle="""
+WITH RECURSIVE tedges AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+           epoch_us(o_orderdate) AS t
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+sym AS (
+    SELECT src, dst, t FROM tedges
+    UNION ALL
+    SELECT dst AS src, src AS dst, t FROM tedges
+),
+reach(id, a) AS (
+    SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+    UNION
+    SELECT e.dst, e.t
+    FROM reach JOIN sym e ON e.src = reach.id AND e.t >= reach.a
+)
+SELECT id, MIN(a) AS earliest_us FROM reach GROUP BY id
+""",
+)
+def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (temporal BFS) over the
+    customer-supplier contact graph, edges stamped with the order date:
+    earliest arrival at every vertex from customer #1 — the
+    contact-tracing primitive plain reachability gets wrong on temporal
+    graphs (an edge that fired before you arrived cannot carry you).
+    Min-arrival relaxation is safe because a smaller arrival enables a
+    superset of onward edges (optimal substructure); the oracle instead
+    ENUMERATES every time-respecting (vertex, arrival) pair recursively
+    and takes the min — two independent formulations must agree."""
+    from pyspark_graph_spark.operators.temporal import earliest_arrival
+    from pyspark_graph_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    te = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "ts"
+            ),
+        )
+        .distinct()
+    )
+    sym = te.unionByName(
+        te.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            "ts",
+        )
+    )
+    seeds = spark.createDataFrame([(2, 0)], "id long, t0 long")
+    return earliest_arrival(sym, seeds, "src", "dst", "ts").select(
+        "id", F.col("arrival").alias("earliest_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------

@@ -301,3 +301,41 @@ def test_windowed_graph_metrics_isolated_bucket_density_zero(spark):
     )  # self-loop only: one vertex
     r = windowed_graph_metrics(e, bucket="year").first()
     assert r.n_vertices == 1 and r.density == 0.0
+
+
+# --------------------------------------------------------------------------
+# Temporal earliest-arrival reachability
+# --------------------------------------------------------------------------
+
+
+def test_earliest_arrival_respects_time_ordering(spark):
+    from pyspark_graph_spark.operators.temporal import earliest_arrival
+
+    # 0 -(t=10)-> 1 -(t=5)-> 2 : the 1->2 edge fired BEFORE arrival at 1,
+    # so 2 is unreachable; 1 -(t=20)-> 3 is fine.
+    e = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 5), (1, 3, 20)], ["src", "dst", "ts"]
+    )
+    seeds = spark.createDataFrame([(0, 0)], "id long, t0 long")
+    got = {
+        r["id"]: r["arrival"]
+        for r in earliest_arrival(e, seeds).collect()
+    }
+    assert got == {0: 0, 1: 10, 3: 20}
+
+
+def test_earliest_arrival_takes_min_over_paths(spark):
+    from pyspark_graph_spark.operators.temporal import earliest_arrival
+
+    # two time-respecting routes to 3: via 1 (arrive 30) or via 2
+    # (arrive 25) — keep the earlier one
+    e = spark.createDataFrame(
+        [(0, 1, 10), (1, 3, 30), (0, 2, 20), (2, 3, 25)],
+        ["src", "dst", "ts"],
+    )
+    seeds = spark.createDataFrame([(0, 0)], "id long, t0 long")
+    got = {
+        r["id"]: r["arrival"]
+        for r in earliest_arrival(e, seeds).collect()
+    }
+    assert got[3] == 25
