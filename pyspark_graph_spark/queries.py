@@ -8483,6 +8483,111 @@ def q_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ab_test_z",
+    oracle="""
+WITH g AS (
+    SELECT event_type,
+           CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+           value
+    FROM events
+),
+s AS (
+    SELECT event_type, grp, COUNT(*) AS n, AVG(value) AS m,
+           var_pop(value) AS v
+    FROM g GROUP BY 1, 2
+)
+SELECT a.event_type,
+       a.n AS n_a, b.n AS n_b,
+       ROUND(a.m, 4) AS mean_a, ROUND(b.m, 4) AS mean_b,
+       ROUND((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 3) AS z
+FROM s a JOIN s b
+  ON a.event_type = b.event_type AND a.grp = 'A' AND b.grp = 'B'
+""",
+)
+def q_ab_test_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample z statistic per event type between the
+    even-user-id (A) and odd-user-id (B) cohorts — the experiment-
+    analysis primitive. Two map-side-combinable moment aggregations, one
+    |types|-sized join; z rounded to 3 so cross-engine variance
+    summation noise cannot flip hashes (|z|<2 here: the synthetic
+    cohorts genuinely do not differ, which is itself the check)."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("grp"),
+        "value",
+    )
+    s = g.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_pop("value").alias("v"),
+    )
+    a = s.filter(F.col("grp") == "A").alias("a")
+    b = s.filter(F.col("grp") == "B").alias("b")
+    return a.join(
+        b, on=F.col("a.event_type") == F.col("b.event_type")
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.m"), 4).alias("mean_a"),
+        F.round(F.col("b.m"), 4).alias("mean_b"),
+        F.round(
+            (F.col("a.m") - F.col("b.m"))
+            / F.sqrt(
+                F.col("a.v") / F.col("a.n") + F.col("b.v") / F.col("b.n")
+            ),
+            3,
+        ).alias("z"),
+    )
+
+
+@query(
+    "seasonality_chi2",
+    oracle="""
+WITH d AS (
+    SELECT event_type, dayofweek(ts) AS dow, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, SUM(o) AS n FROM d GROUP BY event_type)
+SELECT d.event_type,
+       CAST(COUNT(*) AS INT) AS n_buckets,
+       ROUND(SUM((d.o - t.n / 7.0) * (d.o - t.n / 7.0)
+                 / (t.n / 7.0)), 4) AS chi2
+FROM d JOIN t ON d.event_type = t.event_type
+GROUP BY d.event_type
+""",
+)
+def q_seasonality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: χ² goodness-of-fit of each event type's
+    daily counts against a uniform week (6 degrees of freedom; χ² above
+    ~12.6 rejects uniformity at 5%). The O/E table is |types|×7 — the
+    detector runs on aggregates, never the stream."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    t = d.groupBy(F.col("event_type").alias("__et")).agg(
+        F.sum("o").alias("n")
+    )
+    e = F.col("n") / 7.0
+    return (
+        d.join(F.broadcast(t), on=d.event_type == t["__et"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_buckets"),
+            F.round(
+                F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4
+            ).alias("chi2"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
