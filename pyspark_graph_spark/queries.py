@@ -8588,6 +8588,92 @@ def q_seasonality_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "survival_curve",
+    oracle="""
+WITH lags AS (
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60
+                THEN date_diff('day', o_orderdate, l_shipdate)
+                ELSE 60 END AS t,
+           CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 60
+                THEN 1 ELSE 0 END AS event
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE date_diff('day', o_orderdate, l_shipdate) >= 0
+),
+per_t AS (
+    SELECT t, CAST(SUM(event) AS BIGINT) AS d, COUNT(*) AS c
+    FROM lags GROUP BY t
+),
+km AS (
+    SELECT t, d,
+           CAST(SUM(c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+    FROM per_t
+)
+SELECT CAST(t AS INT) AS t, n_risk, d,
+       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
+                 OVER (ORDER BY t)), 6) AS s
+FROM km WHERE d > 0
+""",
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order-to-ship lag (event = shipped
+    within 60 days; later shipments are right-CENSORED at 60 — the
+    estimator's whole point vs a plain histogram): S(t) = Π (1 − dᵢ/nᵢ)
+    over event times, with the at-risk counts as a reverse cumulative
+    window and the product as exp-sum-log. Two windows over a
+    |distinct lags|-sized table — the survival-analysis readout for any
+    time-to-event metric (job latencies, session lifetimes, churn)."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    lags = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(lag >= 0)
+        .select(
+            F.when(lag <= 60, lag).otherwise(F.lit(60)).alias("t"),
+            F.when(lag <= 60, 1).otherwise(0).alias("event"),
+        )
+    )
+    per_t = lags.groupBy("t").agg(
+        F.sum("event").cast("long").alias("d"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    w_risk = (
+        Window.orderBy(F.desc("t")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    km = per_t.select(
+        "t", "d", F.sum("c").over(w_risk).alias("n_risk")
+    )
+    w_s = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        km.select(
+            "t",
+            "n_risk",
+            "d",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.lit(1.0)
+                            - F.col("d").cast("double") / F.col("n_risk")
+                        )
+                    ).over(w_s)
+                ),
+                6,
+            ).alias("s"),
+        )
+        .filter(F.col("d") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
