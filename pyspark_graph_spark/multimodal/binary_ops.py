@@ -817,3 +817,37 @@ def _decode_tiff(media: bytes) -> np.ndarray:
         bytes(media[s_off : s_off + s_cnt]), dtype=np.uint8
     )
     return px.reshape(h, w).astype(np.int64)
+
+
+def perceptual_ahash(media_df: DataFrame, target: int = 4) -> DataFrame:
+    """Average-hash (aHash) per media row: nearest-neighbor T×T
+    thumbnail inside the decode pass, bit i set iff pixel_i >= the
+    integer thumbnail mean, packed MSB-first into one long — the
+    image-dedup key (hamming-near keys ⇒ visually near images; bucket
+    join on the key like SimHash text dedup). One Arrow hop."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("ahash", LongType()),
+        ]
+    )
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                px = _decode_any(bytes(row.media), row.meta)
+                if px.ndim == 3:
+                    px = px[:, :, 0]
+                h, w = px.shape
+                rows = [(i * h) // target for i in range(target)]
+                cols = [(j * w) // target for j in range(target)]
+                thumb = px[np.ix_(rows, cols)].ravel()
+                mean = int(thumb.sum()) // (target * target)
+                bits = 0
+                for v in thumb:
+                    bits = bits * 2 + (1 if int(v) >= mean else 0)
+                out.append((row.media_id, bits))
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return media_df.mapInPandas(fold, schema)

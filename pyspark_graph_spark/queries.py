@@ -8674,6 +8674,49 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "image_ahash",
+    oracle="""
+WITH px AS (
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           doc_id % 48 + 16 AS w, doc_id % 32 + 16 AS h,
+           list_transform(range(0, 16),
+               t -> (doc_id
+                     + (((t // 4) * (doc_id % 32 + 16)) // 4)
+                         * (doc_id % 48 + 16)
+                     + (((t % 4) * (doc_id % 48 + 16)) // 4)) % 256)
+               AS thumb
+    FROM documents
+),
+m AS (
+    SELECT media_id, thumb,
+           list_sum(thumb) // 16 AS mean_px
+    FROM px
+)
+SELECT media_id,
+       CAST(list_reduce(
+           list_transform(range(1, 17),
+               i -> CASE WHEN thumb[i] >= mean_px THEN 1 ELSE 0 END),
+           (a, b) -> a * 2 + b) AS BIGINT) AS ahash
+FROM m
+""",
+)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) of every decoded PGM stream: 4×4
+    nearest-neighbor thumbnail inside the decode Arrow hop, bit i set
+    iff pixel_i >= integer thumbnail mean, packed MSB-first into one
+    64-bit key — the image-dedup primitive (hamming-near keys ⇒ visually
+    near images; bucket-join on the key exactly like SimHash text dedup).
+    Oracle recomputes every strided pixel, the integer mean, and the bit
+    fold."""
+    from pyspark_graph_spark.multimodal import attach_pgm_media
+    from pyspark_graph_spark.multimodal.binary_ops import perceptual_ahash
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perceptual_ahash(attach_pgm_media(docs, "doc_id"), target=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
