@@ -8717,6 +8717,57 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_ahash(attach_pgm_media(docs, "doc_id"), target=4)
 
 
+@query(
+    "tokenizer_fertility",
+    oracle=r"""
+WITH t AS (
+    SELECT lang,
+           len(list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '')) AS words,
+           COALESCE(list_sum(list_transform(
+               regexp_extract_all(lower(text),
+                                  '[a-z]+|[0-9]|[^a-z0-9\s]'),
+               x -> CASE WHEN regexp_matches(x, '^[a-z]')
+                         THEN CAST(ceil(length(x) / 4.0) AS BIGINT)
+                         ELSE 1 END)), 0) AS subwords
+    FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS total_words,
+       CAST(SUM(subwords) AS BIGINT) AS total_subwords,
+       ROUND(CAST(SUM(subwords) AS DOUBLE) / SUM(words), 4)
+           AS fertility
+FROM t WHERE words > 0 GROUP BY lang
+""",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: subword-pieces-per-word (the
+    standard tokenizer-quality metric — fertility far above ~1.3 for a
+    language means its text is being shredded and will train poorly).
+    Uses the same BPE-ish subword cost model as doc_tokenize_fingerprint;
+    one aggregation keyed on lang."""
+    from pyspark_graph_spark.functions.text import (
+        subword_token_count,
+        token_count,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("words"),
+        subword_token_count(F.col("text")).alias("subwords"),
+    ).filter(F.col("words") > 0)
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_words"),
+        F.sum("subwords").alias("total_subwords"),
+        F.round(
+            F.sum("subwords").cast("double") / F.sum("words"), 4
+        ).alias("fertility"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
