@@ -249,3 +249,59 @@ def spectral_features(
             yield pd.DataFrame(out, columns=[f.name for f in fields])
 
     return media_df.mapInPandas(run, schema)
+
+
+def spectral_fingerprint(
+    media_df: DataFrame,
+    frame: int = 64,
+    bins: tuple = (1, 4, 8),
+    max_frames: int = 4,
+) -> DataFrame:
+    """Shazam-style spectral-delta fingerprint: for each consecutive
+    frame pair and each landmark bin, one bit records whether that
+    band's power ROSE — the sign pattern survives volume changes and
+    re-encoding, which is why delta-coding is the standard audio
+    fingerprint trick. Bits fold MSB-first in (frame, bin) order into a
+    single long; per-frame powers are rounded to 4 decimals BEFORE the
+    comparison so engines disagreeing by an ulp cannot flip a bit.
+
+    Returns (media_id, n_frames_used, fingerprint). One Arrow hop.
+    """
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_frames_used", IntegerType()),
+            StructField("fingerprint", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        k = np.arange(frame)
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                _sr, x = _decode_wav(bytes(row.media))
+                nfr = min(len(x) // frame, max_frames)
+                xf = (
+                    x[: nfr * frame]
+                    .astype(np.float64)
+                    .reshape(nfr, frame)
+                )
+                powers = {}
+                for b in bins:
+                    ang = 2 * np.pi * b * k / frame
+                    c = (xf * np.cos(ang)).sum(axis=1)
+                    s = (xf * np.sin(ang)).sum(axis=1)
+                    powers[b] = [round(float(v), 4) for v in c * c + s * s]
+                bits = 0
+                for f in range(1, nfr):
+                    for b in bins:
+                        bits = bits * 2 + (
+                            1 if powers[b][f] > powers[b][f - 1] else 0
+                        )
+                out.append((int(row.media_id), int(nfr), bits))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_frames_used", "fingerprint"]
+            )
+
+    return media_df.mapInPandas(run, schema)

@@ -8768,6 +8768,67 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _audio_fp_sql(bins: tuple, max_frames: int) -> str:
+    """Per-frame DFT powers as CTE columns (rounded 4), then the delta
+    bits folded over the (frame, bin) order with nfr guards."""
+    x = "CAST((doc_id*31 + ({f}*64 + k)*7) % 201 - 100 AS DOUBLE)"
+    pcols = []
+    for f in range(max_frames):
+        for b in bins:
+            xf = x.format(f=f)
+            c = (
+                f"list_sum(list_transform(range(0, 64), "
+                f"k -> {xf} * cos(2*pi()*{b}*k/64)))"
+            )
+            s = (
+                f"list_sum(list_transform(range(0, 64), "
+                f"k -> {xf} * sin(2*pi()*{b}*k/64)))"
+            )
+            pcols.append(
+                f"ROUND(POWER({c}, 2) + POWER({s}, 2), 4) AS p_{f}_{b}"
+            )
+    bits = "0"
+    for f in range(1, max_frames):
+        for b in bins:
+            bit = f"CASE WHEN p_{f}_{b} > p_{f - 1}_{b} THEN 1 ELSE 0 END"
+            bits = (
+                f"CASE WHEN {f} < nfr THEN ({bits}) * 2 + {bit} "
+                f"ELSE ({bits}) END"
+            )
+    pcols_sql = ",\n       ".join(pcols)
+    return f"""
+WITH p AS (
+    SELECT doc_id, LEAST((doc_id % 192 + 64) // 64, {max_frames}) AS nfr,
+       {pcols_sql}
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(nfr AS INT) AS n_frames_used,
+       CAST({bits} AS BIGINT) AS fingerprint
+FROM p
+"""
+
+
+@query("audio_fingerprint", oracle=_audio_fp_sql((1, 4, 8), 4))
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-delta audio fingerprint of REAL decoded WAV streams: one
+    bit per (consecutive-frame pair, landmark bin) recording whether the
+    band's power rose — delta signs survive volume changes, the standard
+    audio-dedup trick. Per-frame powers rounded before comparison so an
+    engine ulp cannot flip a bit; the oracle recomputes every frame's
+    DFT projection and the whole fold."""
+    from pyspark_graph_spark.multimodal.audio_ops import (
+        attach_wav_media,
+        spectral_fingerprint,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spectral_fingerprint(
+        attach_wav_media(docs, "doc_id"), bins=(1, 4, 8), max_frames=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
