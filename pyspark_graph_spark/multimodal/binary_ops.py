@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -851,3 +852,64 @@ def perceptual_ahash(media_df: DataFrame, target: int = 4) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "ahash"])
 
     return media_df.mapInPandas(fold, schema)
+
+
+def shot_boundaries(
+    media_df: DataFrame, threshold_x10: int = 136
+) -> DataFrame:
+    """Shot-boundary detection over concatenated-P5 video streams: decode
+    EVERY frame (same header walk as ``extract_frames``), compute the
+    integer sum of absolute pixel differences for each consecutive frame
+    pair, and flag pairs whose mean abs diff exceeds threshold_x10/10 —
+    the cut detector every video-curation pipeline runs first. The
+    comparison is integer-exact (sum·10 > threshold_x10·w·h), so an
+    external oracle replays it with no float anywhere. One Arrow hop;
+    only two frames are ever held at once."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("sum_abs_diff", LongType()),
+            StructField("is_boundary", BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                media = bytes(row.media)
+                pos, idx = 0, 0
+                prev = None
+                while pos < len(media):
+                    m = _PNM_HEADER.match(media[pos:])
+                    if not m:
+                        raise ValueError(
+                            f"bad frame header at offset {pos}"
+                        )
+                    w, h = int(m.group(2)), int(m.group(3))
+                    end = pos + m.end() + w * h
+                    px = _decode_pnm(media[pos:end])
+                    if prev is not None:
+                        sad = int(np.abs(px - prev).sum())
+                        out.append(
+                            (
+                                row.media_id,
+                                idx,
+                                sad,
+                                sad * 10 > threshold_x10 * w * h,
+                            )
+                        )
+                    prev = px
+                    pos, idx = end, idx + 1
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "sum_abs_diff",
+                    "is_boundary",
+                ],
+            )
+
+    return media_df.mapInPandas(run, schema)

@@ -8829,6 +8829,52 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "video_shot_boundaries",
+    oracle="""
+WITH vids AS (
+    SELECT doc_id,
+           (doc_id % 24) + 8 AS w,
+           (doc_id % 16) + 8 AS h,
+           (doc_id % 4) + 2 AS n_frames
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, w, h, unnest(range(1, n_frames)) AS f
+    FROM vids
+),
+sad AS (
+    SELECT doc_id, w, h, f,
+           CAST(list_sum(list_transform(range(0, w * h),
+                k -> abs(((doc_id + f * 7 + k) % 256)
+                         - ((doc_id + (f - 1) * 7 + k) % 256))))
+             AS BIGINT) AS s
+    FROM pairs
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       s AS sum_abs_diff,
+       s * 10 > 136 * w * h AS is_boundary
+FROM sad
+""",
+)
+def q_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL multi-frame video streams:
+    every frame decoded in one header-walking Arrow pass, consecutive
+    frames differenced as integer sums of absolute pixel deltas, and the
+    cut flag compared integer-exactly (sad·10 > 136·w·h ⇔ mean diff >
+    13.6) — the first stage of any video-curation pipeline. Oracle
+    recomputes every pixel delta from the frame formula."""
+    from pyspark_graph_spark.multimodal import attach_pgm_video
+    from pyspark_graph_spark.multimodal.binary_ops import shot_boundaries
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shot_boundaries(
+        attach_pgm_video(docs, "doc_id"), threshold_x10=136
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
