@@ -8610,8 +8610,13 @@ km AS (
     FROM per_t
 )
 SELECT CAST(t AS INT) AS t, n_risk, d,
-       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_risk))
-                 OVER (ORDER BY t)), 6) AS s
+       CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t) = 1
+            THEN 0.0
+            ELSE ROUND(EXP(SUM(CASE WHEN d < n_risk
+                                    THEN LN(1.0 - CAST(d AS DOUBLE)
+                                            / n_risk) END)
+                           OVER (ORDER BY t)), 6) END AS s
 FROM km WHERE d > 0
 """,
 )
@@ -8640,37 +8645,10 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lag <= 60, 1).otherwise(0).alias("event"),
         )
     )
-    per_t = lags.groupBy("t").agg(
-        F.sum("event").cast("long").alias("d"),
-        F.count(F.lit(1)).alias("c"),
-    )
-    w_risk = (
-        Window.orderBy(F.desc("t")).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
-    )
-    km = per_t.select(
-        "t", "d", F.sum("c").over(w_risk).alias("n_risk")
-    )
-    w_s = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        km.select(
-            "t",
-            "n_risk",
-            "d",
-            F.round(
-                F.exp(
-                    F.sum(
-                        F.log(
-                            F.lit(1.0)
-                            - F.col("d").cast("double") / F.col("n_risk")
-                        )
-                    ).over(w_s)
-                ),
-                6,
-            ).alias("s"),
-        )
-        .filter(F.col("d") > 0)
+    from pyspark_graph_spark.functions.stats import kaplan_meier
+
+    return kaplan_meier(lags, "t", "event").select(
+        F.col("t").cast("int").alias("t"), "n_risk", "d", "s"
     )
 
 
