@@ -8853,6 +8853,140 @@ def q_video_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "association_rules",
+    oracle="""
+WITH b AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM b),
+item AS (SELECT l_suppkey AS i, COUNT(*) AS c FROM b GROUP BY 1),
+pairs AS (
+    SELECT a.l_suppkey AS i1, b2.l_suppkey AS i2, COUNT(*) AS support
+    FROM b a JOIN b b2
+      ON a.l_orderkey = b2.l_orderkey AND a.l_suppkey < b2.l_suppkey
+    GROUP BY 1, 2 HAVING COUNT(*) >= 30
+)
+SELECT p.i1, p.i2, p.support,
+       ROUND(CAST(p.support AS DOUBLE) / ia.c, 6) AS confidence,
+       ROUND(CAST(p.support AS DOUBLE) * nb.n / (ia.c * ib.c), 6)
+           AS lift
+FROM pairs p
+JOIN item ia ON ia.i = p.i1
+JOIN item ib ON ib.i = p.i2
+CROSS JOIN nb
+""",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the frequent supplier pairs: confidence
+    P(i2|i1) and lift P(i1,i2)/(P(i1)·P(i2)) — lift > 1 marks genuinely
+    associated items vs merely-popular ones, the readout that makes
+    frequent itemsets actionable. Item counts broadcast; the basket
+    total is a 1-row broadcast."""
+    from pyspark_graph_spark.functions.itemsets import frequent_pairs
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    b = li.distinct()
+    nb = b.agg(F.countDistinct("l_orderkey").alias("n"))
+    item = b.groupBy(F.col("l_suppkey").alias("i")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pairs = frequent_pairs(li, "l_orderkey", "l_suppkey", 30)
+    ia = item.select(F.col("i").alias("i1"), F.col("c").alias("ca"))
+    ib = item.select(F.col("i").alias("i2"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ia), on="i1")
+        .join(F.broadcast(ib), on="i2")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "i1",
+            "i2",
+            "support",
+            F.round(
+                F.col("support").cast("double") / F.col("ca"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+WITH rev AS (
+    SELECT s.s_nationkey AS nation, l.l_suppkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT nation, CAST(r AS DOUBLE) AS x,
+           ROW_NUMBER() OVER (
+               PARTITION BY nation ORDER BY r, l_suppkey
+           ) AS i,
+           COUNT(*) OVER (PARTITION BY nation) AS n
+    FROM rev
+)
+SELECT nation, CAST(MAX(n) AS BIGINT) AS n_suppliers,
+       ROUND(2.0 * SUM(i * x) / (MAX(n) * SUM(x))
+             - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+FROM ranked GROUP BY nation
+""",
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue per nation — the
+    concentration/inequality readout (0 = equal shares, →1 = one
+    supplier takes all). Revenue in exact DECIMAL; the rank window
+    partitions by nation so state is per-group; the closed-form
+    G = 2Σi·xᵢ/(nΣx) − (n+1)/n avoids any pairwise term."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    sup = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+    )
+    rev = (
+        li.join(sup, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("nation"),
+            "l_suppkey",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias(
+                "r"
+            )
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("r", "l_suppkey")
+    wn = Window.partitionBy("nation")
+    ranked = rev.select(
+        "nation",
+        F.col("r").cast("double").alias("x"),
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.max("n").cast("long").alias("n_suppliers"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.sum("x"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 3)
 # ---------------------------------------------------------------------------
