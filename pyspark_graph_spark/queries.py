@@ -8999,12 +8999,12 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with a driver-green sibling of the same family) follows and rotates back
 # in a later round.
 #
-# ROUND-4 ROTATION PLAN: after CORRECTNESS_r03 lands, 86 queries remain
+# ROUND-4 ROTATION PLAN: after CORRECTNESS_r03 lands, 88 queries remain
 # never-driver-verified (round-2 leftovers from `reciprocity` onward plus
 # every round-3 addition — the list is exactly
 #   [n for n in QUERIES if n not in r1r2_keys and n not in GATE_PRIORITY]).
 # Replace GATE_PRIORITY with the first 50 of those (chronological), keep
-# the remaining 36 for round 5. All are green under tools/check_oracle.py
+# the remaining 38 for round 5. All are green under tools/check_oracle.py
 # locally (full-gate runs recorded in the round-3 closing commits).
 GATE_PRIORITY: list[str] = [
     # graph algorithms added in round 2
