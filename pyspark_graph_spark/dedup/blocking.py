@@ -30,7 +30,10 @@ def _global_rank(
     computed as per-bucket local ranks + broadcast bucket offsets."""
     keyed = docs.select(
         F.col(id_col).alias("id"),
-        key.cast("string").alias("__k"),
+        # NULL keys coalesce to '' so they bucket/rank together
+        # deterministically (sorting first) instead of vanishing from the
+        # NULL-never-equal '__b' join below
+        F.coalesce(key.cast("string"), F.lit("")).alias("__k"),
     ).withColumn("__b", F.substring("__k", 1, bucket_chars))
     local = keyed.select(
         "id",

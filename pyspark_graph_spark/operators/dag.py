@@ -107,14 +107,17 @@ class CriticalPath:
         self.max_iterations = max_iterations
 
     def run(self, g: Graph) -> DataFrame:
+        # weights are kept as double: casting to long would silently
+        # truncate fractional weights on a documented general weighted DP
+        # (ties are unaffected — only max/sum are applied)
         w = self.weight_col
         edges = (
-            g.edges.select(SRC, DST, F.col(w).cast("long").alias("__w"))
+            g.edges.select(SRC, DST, F.col(w).cast("double").alias("__w"))
             .filter(F.col(SRC) != F.col(DST))
             .localCheckpoint()
         )
         dist = g.vertices.select(
-            ID, F.lit(0).cast("long").alias(DIST)
+            ID, F.lit(0.0).alias(DIST)
         ).localCheckpoint()
         for _ in range(self.max_iterations):
             cand = edges.join(

