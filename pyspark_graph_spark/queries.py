@@ -8992,6 +8992,819 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4 — warehouse analytics (TPC-H q8/q9/q14/q18 shapes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "promo_revenue",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS year,
+       CAST(EXTRACT(month FROM l_shipdate) AS INT) AS month,
+       CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         AS promo_revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS total_revenue,
+       ROUND(100.0
+             * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                             ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1, 2
+""",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promotion-revenue share per ship month: fraction of
+    discounted revenue on PROMO-type parts. One broadcast dim join +
+    map-side-combinable DECIMAL sums (exact, order-independent); the
+    percentage is a single division of two exact sums."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    out = (
+        li.join(p, li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").alias("year"),
+            F.month("l_shipdate").alias("month"),
+        )
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(price).cast("double").alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "year",
+        "month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@query(
+    "large_orders",
+    oracle="""
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+)
+SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total line
+    quantity exceeds the threshold. The HAVING filter runs in the first
+    aggregate (map-side combined), so the join input is already the small
+    filtered set; quantities are integral so the double sum is exact."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 200)
+        .select("l_orderkey", F.col("__q").cast("long").alias("sum_qty"))
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "sum_qty"
+    )
+
+
+@query(
+    "market_share",
+    oracle="""
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS asia_revenue,
+       ROUND(CAST(SUM(CASE WHEN rs.r_name = 'ASIA'
+                           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE), 6) AS intra_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region rc ON cn.n_regionkey = rc.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN region rs ON sn.n_regionkey = rs.r_regionkey
+WHERE rc.r_name = 'ASIA'
+GROUP BY 1
+""",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: per order year, the fraction of
+    revenue from ASIA customers that was supplied from within ASIA.
+    Every dimension (customer, supplier, nation, region) broadcasts; the
+    only shuffle is the final year aggregation of exact DECIMAL sums."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    nr = F.broadcast(
+        n.join(r, n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "r_name"
+        )
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            nr.withColumnRenamed("r_name", "cust_region"),
+            F.col("c_nationkey") == nr.n_nationkey,
+        )
+        .drop("n_nationkey")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(nr.withColumnRenamed("r_name", "supp_region")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("cust_region") == "ASIA")
+    )
+    intra = F.when(F.col("supp_region") == "ASIA", price).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    out = joined.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.sum(price).cast("double").alias("asia_revenue"),
+        F.sum(intra).cast("double").alias("__intra"),
+    )
+    return out.select(
+        "year",
+        "asia_revenue",
+        F.round(F.col("__intra") / F.col("asia_revenue"), 6).alias(
+            "intra_share"
+        ),
+    )
+
+
+@query(
+    "brand_revenue",
+    oracle="""
+SELECT sn.n_name AS nation, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+         AS year, p.p_brand AS brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2, 3
+""",
+)
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-line revenue: discounted revenue per
+    (supplier nation, order year, part brand) through the 5-way star
+    join. All dimensions broadcast; one shuffle on the composite group
+    key; DECIMAL sums exact."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    s = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name"
+        )
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("year"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.sum(price).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — time-series diagnostics over the event stream
+# ---------------------------------------------------------------------------
+
+_DAILY_CTE = """
+daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+)
+"""
+
+
+@query(
+    "autocorrelation",
+    oracle=f"""
+WITH {_DAILY_CTE.strip()},
+lags AS (SELECT UNNEST(range(1, 8)) AS lag)
+SELECT CAST(l.lag AS INT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(corr(a.c, b.c), 6) AS acf
+FROM lags l
+JOIN daily a ON TRUE
+JOIN daily b ON b.d = a.d - l.lag
+GROUP BY l.lag
+""",
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily event-count series — the
+    seasonality probe behind watermark/window sizing. The series is one
+    row per day (already tiny after the first aggregate); each lag is an
+    equi-join of the series against itself shifted by the exploded lag
+    value — no theta join, no window over a single partition."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select(
+        "d",
+        F.col("c").alias("ca"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, 8)])).alias("lag"),
+    )
+    b = daily.select(F.col("d").alias("db"), F.col("c").alias("cb"))
+    return (
+        a.join(b, a.d - a.lag == b.db)
+        .groupBy(F.col("lag").cast("int").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("ca", "cb"), 6).alias("acf"),
+        )
+    )
+
+
+@query(
+    "changepoint",
+    oracle=f"""
+WITH {_DAILY_CTE.strip()},
+seq AS (
+    SELECT d, c,
+           ROW_NUMBER() OVER (ORDER BY d) AS i,
+           SUM(c) OVER (ORDER BY d) AS s
+    FROM daily
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(c) AS st FROM daily)
+SELECT d AS split_day,
+       ROUND(ABS(s * 1.0 / i - (st - s) * 1.0 / (n - i))
+             * sqrt(i * 1.0 * (n - i) / n), 6) AS stat
+FROM seq CROSS JOIN tot
+WHERE i >= 3 AND i <= n - 3
+""",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-shift changepoint curve (binary-segmentation statistic) over
+    the daily event-count series: for every split point, the scaled
+    between-segment mean gap |m_L - m_R|*sqrt(k(n-k)/n). Inputs are exact
+    integer prefix sums, so both engines compute bit-identical doubles.
+    The rank/prefix window runs on the one-row-per-day series (bounded by
+    the calendar, not the data volume); totals use the broadcast-
+    singleton idiom."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("d")
+    seq = daily.select(
+        "d",
+        F.row_number().over(w).alias("i"),
+        F.sum("c").over(w).alias("s"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("st")
+    )
+    return (
+        seq.crossJoin(F.broadcast(tot))
+        .filter((F.col("i") >= 3) & (F.col("i") <= F.col("n") - 3))
+        .select(
+            F.col("d").alias("split_day"),
+            F.round(
+                F.abs(
+                    F.col("s") / F.col("i")
+                    - (F.col("st") - F.col("s")) / (F.col("n") - F.col("i"))
+                )
+                * F.sqrt(
+                    F.col("i")
+                    * (F.col("n") - F.col("i"))
+                    / F.col("n").cast("double")
+                ),
+                6,
+            ).alias("stat"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — corpus quality / novelty / entity resolution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_novelty",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+sg AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+dfq AS (SELECT g3, CAST(COUNT(*) AS BIGINT) AS df FROM sg GROUP BY g3)
+SELECT sg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       ROUND(SUM(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+             6) AS novelty
+FROM sg JOIN dfq USING (g3)
+GROUP BY sg.doc_id
+""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a doc's distinct word
+    3-grams that occur in no other document — high novelty = unique
+    content, low = boilerplate (the inverse signal of near-dup). One
+    explode + two hash aggregations + one shingle-keyed join; document
+    frequency is computed corpus-wide with map-side combine, never a
+    pairwise comparison."""
+    from pyspark_graph_spark.functions.text import word_shingles
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g3")
+    )
+    dfq = sg.groupBy("g3").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sg.join(dfq, on="g3")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "quality_blend",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+sig AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_words,
+           CASE WHEN len(t) > 0
+                THEN COALESCE(list_sum(list_transform(t, x -> len(x))), 0)
+                     * 1.0 / len(t) ELSE 0.0 END AS mwl,
+           CASE WHEN len(t) > 0
+                THEN len(list_distinct(t)) * 1.0 / len(t)
+                ELSE 0.0 END AS uniq_ratio
+    FROM toks
+),
+st AS (
+    SELECT AVG(n_words) AS m1, stddev_pop(n_words) AS s1,
+           AVG(mwl) AS m2, stddev_pop(mwl) AS s2,
+           AVG(uniq_ratio) AS m3, stddev_pop(uniq_ratio) AS s3
+    FROM sig
+)
+SELECT doc_id, n_words,
+       ROUND((CASE WHEN s1 > 0 THEN (n_words - m1) / s1 ELSE 0 END
+            + CASE WHEN s2 > 0 THEN (mwl - m2) / s2 ELSE 0 END
+            + CASE WHEN s3 > 0 THEN (uniq_ratio - m3) / s3 ELSE 0 END)
+             / 3, 4) AS blend_z
+FROM sig CROSS JOIN st
+""",
+)
+def q_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score: mean z-score of word count, mean word
+    length, and unique-token ratio — the rank-free way to blend
+    heterogeneous quality signals at scale (no global sort / single-
+    partition percentile window; corpus stats are ONE broadcast singleton
+    row). Rounded to 4 like anomaly_zscore so IEEE summation-order noise
+    cannot flip a value."""
+    from pyspark_graph_spark.functions.text import tokens
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    nw = F.size(t)
+    chars = F.coalesce(
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0),
+    )
+    sig = docs.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        F.when(nw > 0, chars / nw).otherwise(F.lit(0.0)).alias("mwl"),
+        F.when(nw > 0, F.size(F.array_distinct(t)) / nw)
+        .otherwise(F.lit(0.0))
+        .alias("uniq_ratio"),
+    )
+    st = sig.agg(
+        F.avg("n_words").alias("m1"),
+        F.stddev_pop("n_words").alias("s1"),
+        F.avg("mwl").alias("m2"),
+        F.stddev_pop("mwl").alias("s2"),
+        F.avg("uniq_ratio").alias("m3"),
+        F.stddev_pop("uniq_ratio").alias("s3"),
+    )
+    z = lambda x, m, s: F.when(
+        F.col(s) > 0, (F.col(x) - F.col(m)) / F.col(s)
+    ).otherwise(F.lit(0.0))
+    return sig.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        "n_words",
+        F.round(
+            (
+                z("n_words", "m1", "s1")
+                + z("mwl", "m2", "s2")
+                + z("uniq_ratio", "m3", "s3")
+            )
+            / 3,
+            4,
+        ).alias("blend_z"),
+    )
+
+
+@query(
+    "er_clusters",
+    oracle=rf"""
+WITH RECURSIVE
+norm AS (
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+    FROM documents
+),
+rk AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY substr(nt, 1, 24), doc_id) AS r
+    FROM norm
+),
+cand AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM rk a JOIN rk b ON b.r - a.r IN (1, 2)
+),
+{_TOKS_CTE.strip()},
+sg AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+common AS (
+    SELECT c.u, c.v, COUNT(*) AS cnt
+    FROM cand c
+    JOIN sg x ON x.doc_id = c.u
+    JOIN sg y ON y.doc_id = c.v AND y.g3 = x.g3
+    GROUP BY c.u, c.v
+),
+ver AS (
+    SELECT u, v FROM common
+    JOIN sizes su ON u = su.doc_id
+    JOIN sizes sv ON v = sv.doc_id
+    WHERE cnt * 1.0 / (su.n + sv.n - cnt) >= 0.5
+),
+sym AS (SELECT u, v FROM ver UNION SELECT v AS u, u AS v FROM ver),
+reach(a, b) AS (
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+)
+SELECT a AS doc_id, MIN(b) AS component
+FROM reach GROUP BY a
+""",
+)
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: sorted-neighborhood blocking on the
+    normalized-text prefix (O(N·w) candidates, never all-pairs) -> exact
+    3-gram Jaccard verification restricted to candidates -> connected
+    components assign each document its duplicate-cluster label (min doc
+    id). Composes three independently-oracled pieces; the verify join is
+    keyed by shingle so each candidate pair costs its intersection."""
+    from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+    from pyspark_graph_spark.functions.text import (
+        normalized_text,
+        word_shingles,
+    )
+    from pyspark_graph_spark.operators.connected_components import (
+        ConnectedComponents,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(normalized_text(F.col("text")), 1, 24)
+    cand = sorted_neighborhood_pairs(
+        docs, key, window=3, id_col="doc_id"
+    ).select("a", "b")
+    sg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g3")
+    ).localCheckpoint()
+    sizes = sg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sg.select(F.col("doc_id").alias("a"), "g3"), on="a")
+        .join(sg.select(F.col("doc_id").alias("b"), "g3"), on=["b", "g3"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ver = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+            on="a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            on="b",
+        )
+        .filter(
+            F.col("cnt") / (F.col("na") + F.col("nb") - F.col("cnt"))
+            >= 0.5
+        )
+        .select(F.col("a").alias(SRC), F.col("b").alias(DST))
+        .localCheckpoint()
+    )
+    g = Graph(
+        docs.select(F.col("doc_id").alias(ID)),
+        ver,
+        directed=False,
+        indexed=True,
+    )
+    out = ConnectedComponents(max_iterations=10).run(g)
+    return out.select(F.col(ID).alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# Round 4 — clickstream paths, personalized PageRank, centralization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "session_paths",
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS brk
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s2 AS (
+    SELECT *, SUM(brk) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id) AS sid
+    FROM s1
+),
+s3 AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+    FROM s2
+),
+paths AS (
+    SELECT user_id, sid,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM s3 WHERE rn <= 3 GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+""",
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path analysis: the first three event types of every
+    30-minute session, joined '>' — the entry-funnel fingerprint. All
+    windows partition by user (or user+session); the path string is
+    assembled from an array_sort'ed struct list, so collect order can
+    never leak nondeterminism."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    prev = F.lag(us).over(wo)
+    brk = F.when(
+        prev.isNull() | ((us - prev) > 1800000000), 1
+    ).otherwise(0)
+    s2 = ev.withColumn("brk", brk).withColumn(
+        "sid", F.sum("brk").over(wo)
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    s3 = s2.withColumn("rn", F.row_number().over(ws)).filter(
+        F.col("rn") <= 3
+    )
+    paths = s3.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
+_PPR_ITER = """
+p{n} AS (
+    SELECT v.id, 0.15 * r.rs + 0.85 * COALESCE(SUM(p{p}.pr / deg.d), 0)
+             AS pr
+    FROM verts v
+    JOIN r ON r.id = v.id
+    LEFT JOIN te e ON e.dst = v.id
+    LEFT JOIN p{p} ON p{p}.id = e.src
+    LEFT JOIN deg ON deg.src = e.src
+    GROUP BY v.id, r.rs
+)"""
+
+
+@query(
+    "ppr_trade",
+    oracle=f"""
+WITH te AS (
+    SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+           CAST(s.s_nationkey AS BIGINT) AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM te GROUP BY src),
+verts AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+r AS (
+    SELECT id, CASE WHEN id IN (3, 5) THEN 1.0 ELSE 0.0 END AS rs
+    FROM verts
+),
+p0 AS (SELECT id, rs AS pr FROM r),
+{_PPR_ITER.format(n=1, p=0).strip()},
+{_PPR_ITER.format(n=2, p=1).strip()},
+{_PPR_ITER.format(n=3, p=2).strip()}
+SELECT id, ROUND(pr, 6) AS ppr FROM p3
+""",
+)
+def q_ppr_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random walk with restart to a seed set (personalized PageRank,
+    seeds = nations 3 and 5) on the directed nation trade graph — the
+    'related entities' primitive. Identical two-shuffle iteration to
+    classic PageRank; only the reset vector changes. Oracle unrolls the
+    same power iteration with the seeded reset mass."""
+    from pyspark_graph_spark.operators.pagerank import PageRank
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    te = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").cast("long").alias(SRC),
+            F.col("s_nationkey").cast("long").alias(DST),
+        )
+        .distinct()
+    )
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias(ID)
+    )
+    g = Graph(nations, te, directed=True, indexed=True)
+    out = PageRank(alpha=0.85, max_iterations=3, sources=[3, 5]).run(g)
+    return out.select(ID, F.round("pagerank", 6).alias("ppr"))
+
+
+@query(
+    "degree_centralization",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+deg AS (
+    SELECT s.s_suppkey AS id, COALESCE(d.cnt, 0) AS d
+    FROM supplier s
+    LEFT JOIN (
+        SELECT src, COUNT(*) AS cnt FROM supplier_sym GROUP BY src
+    ) d ON s.s_suppkey = d.src
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(d) AS md, SUM(d) AS sd
+    FROM deg
+)
+SELECT n AS n_vertices, CAST(md AS BIGINT) AS max_degree,
+       ROUND((n * md - sd) * 1.0 / ((n - 1.0) * (n - 2.0)), 6)
+         AS centralization
+FROM m
+""",
+)
+def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman degree centralization of the supplier co-occurrence graph:
+    how star-like the topology is (0 = regular, 1 = perfect star). Pure
+    integer arithmetic over the degree aggregate — Σ(dmax−dᵢ) computed as
+    n·dmax − Σdᵢ, one singleton row out."""
+    from pyspark_graph_spark.sources.tables import (
+        supplier_co_occurrence_graph,
+    )
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    deg = g.degrees.withColumnRenamed(DEGREE, "__d")
+    full = g.vertices.select(ID).join(deg, on=ID, how="left").select(
+        F.coalesce("__d", F.lit(0)).alias("d")
+    )
+    m = full.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("d").alias("md"),
+        F.sum("d").alias("sd"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_vertices"),
+        F.col("md").cast("long").alias("max_degree"),
+        F.round(
+            (F.col("n") * F.col("md") - F.col("sd"))
+            / ((F.col("n") - F.lit(1.0)) * (F.col("n") - F.lit(2.0))),
+            6,
+        ).alias("centralization"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver gate ordering (round 4)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the
