@@ -7637,11 +7637,10 @@ def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         < 50
     )
     sampled = canon.filter(keep).localCheckpoint()
-    sym = sampled.unionByName(
-        sampled.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-    )
+    # all three legs are canonical (a<b<c): e1=(a,b), e2=(b,c), e3=(a,c) —
+    # no symmetric union needed, the downstream filter made it canon anyway
     e1 = sampled.alias("e1")
-    e2 = sym.alias("e2")
+    e2 = sampled.alias("e2")
     e3 = sampled.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.src") == F.col("e1.dst"))

@@ -1,0 +1,93 @@
+"""Round-4 query invariants (exact values are driver/oracle-checked;
+these pin the semantic contracts on the sf0.001 tables and on crafted
+frames where a hand-computable answer exists)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_graph_spark.queries import QUERIES
+
+
+def run(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir)
+
+
+def test_promo_revenue_share_bounds(spark, sf_dir):
+    rows = run(spark, sf_dir, "promo_revenue").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.promo_pct <= 100.0
+        assert r.promo_revenue <= r.total_revenue + 1e-9
+
+
+def test_large_orders_threshold(spark, sf_dir):
+    rows = run(spark, sf_dir, "large_orders").collect()
+    assert all(r.sum_qty > 200 for r in rows)
+
+
+def test_market_share_is_a_fraction(spark, sf_dir):
+    rows = run(spark, sf_dir, "market_share").collect()
+    assert rows
+    assert all(0.0 <= r.intra_share <= 1.0 for r in rows)
+
+
+def test_autocorrelation_lags_and_range(spark, sf_dir):
+    rows = run(spark, sf_dir, "autocorrelation").collect()
+    lags = sorted(r.lag for r in rows)
+    assert lags == list(range(1, 8))
+    assert all(-1.0 - 1e-9 <= r.acf <= 1.0 + 1e-9 for r in rows)
+
+
+def test_changepoint_stat_nonnegative_and_interior(spark, sf_dir):
+    rows = run(spark, sf_dir, "changepoint").collect()
+    assert rows
+    assert all(r.stat >= 0.0 for r in rows)
+
+
+def test_ngram_novelty_fraction(spark, sf_dir):
+    rows = run(spark, sf_dir, "ngram_novelty").collect()
+    assert rows
+    assert all(0.0 <= r.novelty <= 1.0 and r.n_shingles > 0 for r in rows)
+
+
+def test_quality_blend_zero_mean(spark, sf_dir):
+    rows = run(spark, sf_dir, "quality_blend").collect()
+    n = len(rows)
+    assert n > 0
+    # z-scores sum to ~0 per signal, so the blend averages to ~0 corpus-wide
+    assert abs(sum(r.blend_z for r in rows) / n) < 0.01
+
+
+def test_er_clusters_labels_are_member_min(spark, sf_dir):
+    rows = run(spark, sf_dir, "er_clusters").collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.doc_id)
+    for comp, members in by_comp.items():
+        assert comp == min(members)
+
+
+def test_session_paths_shape(spark, sf_dir):
+    rows = run(spark, sf_dir, "session_paths").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 3
+        assert r.n_sessions >= 1
+
+
+def test_ppr_mass_concentrates_on_seeds(spark, sf_dir):
+    out = {r.id: r.ppr for r in run(spark, sf_dir, "ppr_trade").collect()}
+    # the seeds receive the restart mass every round; nothing can outrank
+    # the max seed in a 3-iteration walk from a 2-seed start
+    top = max(out, key=lambda k: out[k])
+    assert top in (3, 5)
+
+
+def test_degree_centralization_bounds_and_star(spark, sf_dir):
+    row = run(spark, sf_dir, "degree_centralization").collect()[0]
+    assert 0.0 <= row.centralization <= 1.0
+    assert row.max_degree <= row.n_vertices - 1
