@@ -9814,10 +9814,13 @@ def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the window; all are green locally under tools/check_oracle.py.
 #
 # ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, the remaining
-# never-verified set is
+# never-verified set is exactly 50 queries:
 #   [n for n in QUERIES if n not in r1..r4_keys and n not in GATE_PRIORITY]
-# (38 round-3 leftovers starting at `set_similarity_join`, plus any
-# round-4 additions).  Replace GATE_PRIORITY with the first 50 of those.
+# = 38 round-3 leftovers (from `set_similarity_join` through
+# `gini_concentration`) + the 12 round-4 additions (promo_revenue,
+# large_orders, market_share, brand_revenue, autocorrelation, changepoint,
+# ngram_novelty, quality_blend, er_clusters, session_paths, ppr_trade,
+# degree_centralization).  Replace GATE_PRIORITY with all 50.
 GATE_PRIORITY: list[str] = [
     # round-2 leftovers (graph + multimodal + text)
     "reciprocity",
