@@ -349,3 +349,100 @@ def bloom_probe(
             F.col("__pp"), lambda x: F.array_contains(F.col("bloom"), x)
         ).alias("bloom_hit"),
     )
+
+
+def kmv_pairwise(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    groups: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-overlap estimates between the given groups from their
+    KMV sketches alone: (type_a, type_b, k_eff, common, jaccard_est,
+    union_est, inter_est).
+
+    The union sketch of a pair is the k smallest hashes of the two
+    sketches' union (the KMV merge); the fraction of those present in
+    BOTH per-group sketches estimates Jaccard (Beyer et al. 2007), and
+    intersection = jaccard * union-cardinality-estimate. Everything is
+    derived from the two k-row sketches — the raw sets are never
+    intersected, which is the whole point at corpus scale. Deterministic
+    (md5 value hash), so estimates are exactly oracle-checkable.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if len(groups) < 2:
+        raise ValueError("need at least two groups")
+    hashed = df.select(
+        F.col(group_col).alias("t"),
+        md5_hash60(F.col(value_col).cast("string")).alias("h"),
+    ).distinct()
+    win = Window.partitionBy("t").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .select("t", "h")
+        .localCheckpoint()
+    )
+    # each sketch row fans out to every pair it participates in
+    pu = (
+        sk.withColumn(
+            "t2", F.explode(F.array(*[F.lit(g) for g in groups]))
+        )
+        .filter(F.col("t") != F.col("t2"))
+        .select(
+            F.least("t", "t2").alias("ta"),
+            F.greatest("t", "t2").alias("tb"),
+            "h",
+        )
+        .distinct()
+    )
+    uw = Window.partitionBy("ta", "tb").orderBy("h")
+    kept = (
+        pu.withColumn("rn", F.row_number().over(uw))
+        .filter(F.col("rn") <= k)
+        .select("ta", "tb", "h")
+    )
+    mem = (
+        kept.join(
+            sk.select(F.col("t").alias("ta"), "h").withColumn(
+                "__ina", F.lit(1)
+            ),
+            on=["ta", "h"],
+            how="left",
+        )
+        .join(
+            sk.select(F.col("t").alias("tb"), "h").withColumn(
+                "__inb", F.lit(1)
+            ),
+            on=["tb", "h"],
+            how="left",
+        )
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.max("h").alias("kth"),
+            F.sum(
+                F.when(
+                    F.col("__ina").isNotNull() & F.col("__inb").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("common"),
+        )
+    )
+    union_est = F.when(
+        F.col("k_eff") < k, F.col("k_eff").cast("double")
+    ).otherwise(F.lit(k - 1) * F.lit(_SPACE) / F.col("kth"))
+    jac = F.col("common") / F.col("k_eff")
+    return mem.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("k_eff").cast("long").alias("k_eff"),
+        "common",
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(union_est, 3).alias("union_est"),
+        F.round(jac * union_est, 3).alias("inter_est"),
+    )

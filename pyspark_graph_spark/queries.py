@@ -9804,6 +9804,378 @@ def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4, batch 2 — cross-lingual mining, census/sketch/curve diagnostics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "xlingual_mining",
+    oracle="""
+WITH n AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+prs AS (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT p.src, p.dst, da.lang AS lang_src, db.lang AS lang_dst,
+       p.cosine_sim
+FROM prs p
+JOIN documents da ON p.src = da.doc_id
+JOIN documents db ON p.dst = db.doc_id
+WHERE p.cosine_sim >= 0.35 AND da.lang <> db.lang
+""",
+)
+def q_xlingual_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus mining: embedding pairs above the cosine threshold
+    whose documents carry DIFFERENT language tags — the candidate
+    translation pairs a multilingual pipeline aligns. Brute strategy here
+    is the oracle twin; the LSH forest path (EmbeddingDedup strategy
+    'lsh') is the 100 TB shape and shares the verify stage."""
+    from pyspark_graph_spark.dedup import EmbeddingDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    prs = EmbeddingDedup(threshold=0.35, strategy="brute").pairs(emb)
+    return (
+        prs.join(
+            docs.select(
+                F.col("doc_id").alias("src"), F.col("lang").alias("lang_src")
+            ),
+            on="src",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("dst"), F.col("lang").alias("lang_dst")
+            ),
+            on="dst",
+        )
+        .filter(F.col("lang_src") != F.col("lang_dst"))
+        .select("src", "dst", "lang_src", "lang_dst", "cosine_sim")
+    )
+
+
+@query(
+    "dyad_census",
+    oracle="""
+WITH te AS (
+    SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+           CAST(s.s_nationkey AS BIGINT) AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+),
+canon AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+           CAST(COUNT(*) AS BIGINT) AS directions
+    FROM te GROUP BY 1, 2
+),
+m AS (
+    SELECT CAST(SUM(CASE WHEN directions = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS mutual,
+           CAST(SUM(CASE WHEN directions = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS asym
+    FROM canon
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation)
+SELECT mutual, asym,
+       CAST(n * (n - 1) / 2 - mutual - asym AS BIGINT) AS null_dyads
+FROM m CROSS JOIN nv
+""",
+)
+def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland–Leinhardt dyad census of the directed nation trade graph:
+    mutual / asymmetric / null dyad counts (the reciprocity decomposition
+    at pair granularity). One canonical-pair aggregate; null dyads come
+    from the closed form C(n,2) − M − A, so the complement is never
+    materialized."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    te = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("long").alias(SRC),
+            F.col("s_nationkey").cast("long").alias(DST),
+        )
+        .distinct()
+    )
+    canon = te.groupBy(
+        F.least(SRC, DST).alias("a"), F.greatest(SRC, DST).alias("b")
+    ).agg(F.count(F.lit(1)).alias("directions"))
+    m = canon.agg(
+        F.sum(F.when(F.col("directions") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("mutual"),
+        F.sum(F.when(F.col("directions") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("asym"),
+    )
+    nv = (
+        load_table(spark, sf_dir, "nation")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return m.crossJoin(F.broadcast(nv)).select(
+        "mutual",
+        "asym",
+        (
+            F.col("n") * (F.col("n") - 1) / 2
+            - F.col("mutual")
+            - F.col("asym")
+        )
+        .cast("long")
+        .alias("null_dyads"),
+    )
+
+
+@query(
+    "seasonal_decompose",
+    oracle=f"""
+WITH {_DAILY_CTE.strip()},
+dow AS (
+    SELECT d % 7 AS w, AVG(c) AS seasonal
+    FROM daily GROUP BY 1
+),
+tr AS (
+    SELECT d, c, AVG(c) OVER (
+        ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+    FROM daily
+),
+gm AS (SELECT AVG(c) AS g FROM daily)
+SELECT tr.d AS day, tr.c AS n_events,
+       ROUND(dow.seasonal, 6) AS seasonal,
+       ROUND(tr.trend, 6) AS trend,
+       ROUND(tr.c - dow.seasonal - tr.trend + gm.g, 6) AS residual
+FROM tr JOIN dow ON tr.d % 7 = dow.w CROSS JOIN gm
+""",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count series:
+    day-of-week seasonal means + centered 7-day moving-average trend +
+    residual (value − seasonal − trend + grand mean). All three
+    components divide exact integer sums, so the doubles agree bit-for-
+    bit across engines; the rows-frame window runs on the calendar-
+    bounded daily series."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dow = daily.groupBy((F.col("d") % 7).alias("w")).agg(
+        F.avg("c").alias("seasonal")
+    )
+    tr = daily.select(
+        "d",
+        "c",
+        F.avg("c")
+        .over(Window.orderBy("d").rowsBetween(-3, 3))
+        .alias("trend"),
+    )
+    gm = daily.agg(F.avg("c").alias("g"))
+    return (
+        tr.join(F.broadcast(dow), tr.d % 7 == dow.w)
+        .crossJoin(F.broadcast(gm))
+        .select(
+            F.col("d").alias("day"),
+            F.col("c").alias("n_events"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round("trend", 6).alias("trend"),
+            F.round(
+                F.col("c") - F.col("seasonal") - F.col("trend") + F.col("g"),
+                6,
+            ).alias("residual"),
+        )
+    )
+
+
+def _kmv_pairwise_sql(k: int, groups: list[str]) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql("CAST(user_id AS VARCHAR)")
+    glist = ", ".join(f"'{g}'" for g in groups)
+    return rf"""
+WITH hashed AS (
+    SELECT DISTINCT event_type AS t, {h} AS h FROM events
+),
+sk AS MATERIALIZED (
+    SELECT t, h FROM (
+        SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= {k}
+),
+pu AS (
+    SELECT DISTINCT LEAST(t, t2) AS ta, GREATEST(t, t2) AS tb, h
+    FROM (SELECT t, h, UNNEST([{glist}]) AS t2 FROM sk)
+    WHERE t <> t2
+),
+kept AS (
+    SELECT ta, tb, h FROM (
+        SELECT ta, tb, h,
+               ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        FROM pu
+    ) WHERE rn <= {k}
+),
+mem AS (
+    SELECT k.ta, k.tb, CAST(COUNT(*) AS BIGINT) AS k_eff, MAX(k.h) AS kth,
+           CAST(SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS common
+    FROM kept k
+    LEFT JOIN sk a ON a.t = k.ta AND a.h = k.h
+    LEFT JOIN sk b ON b.t = k.tb AND b.h = k.h
+    GROUP BY k.ta, k.tb
+)
+SELECT ta AS type_a, tb AS type_b, k_eff, common,
+       ROUND(common * 1.0 / k_eff, 6) AS jaccard_est,
+       ROUND(CASE WHEN k_eff < {k} THEN k_eff * 1.0
+                  ELSE ({k} - 1) * 1152921504606846976.0 / kth END, 3)
+         AS union_est,
+       ROUND(common * 1.0 / k_eff
+             * CASE WHEN k_eff < {k} THEN k_eff * 1.0
+                    ELSE ({k} - 1) * 1152921504606846976.0 / kth END, 3)
+         AS inter_est
+FROM mem
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "kmv_intersection",
+    oracle=_kmv_pairwise_sql(64, _EVENT_TYPES),
+)
+def q_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from sketches alone: pairwise Jaccard /
+    union / intersection estimates of the user sets behind each event
+    type, computed from their 64-value KMV sketches (Beyer et al. 2007
+    merge) — the raw user sets are never joined. Sketches are k rows per
+    group; every downstream operation touches only sketch rows."""
+    from pyspark_graph_spark.functions.sketch import kmv_pairwise
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_pairwise(ev, "event_type", "user_id", _EVENT_TYPES, k=64)
+
+
+@query(
+    "dedup_rate_curve",
+    oracle=f"""
+WITH p AS MATERIALIZED (SELECT jaccard FROM ({_SHINGLE_JACCARD_SQL}))
+SELECT CAST(0.5 AS DOUBLE) AS threshold,
+       CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_pairs
+FROM p
+UNION ALL SELECT 0.6, CAST(COUNT(*) FILTER (WHERE jaccard >= 0.6) AS BIGINT) FROM p
+UNION ALL SELECT 0.7, CAST(COUNT(*) FILTER (WHERE jaccard >= 0.7) AS BIGINT) FROM p
+UNION ALL SELECT 0.8, CAST(COUNT(*) FILTER (WHERE jaccard >= 0.8) AS BIGINT) FROM p
+UNION ALL SELECT 0.9, CAST(COUNT(*) FILTER (WHERE jaccard >= 0.9) AS BIGINT) FROM p
+""",
+)
+def q_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning curve: how many near-dup pairs survive each Jaccard
+    threshold — the evidence behind choosing a production cutoff. One
+    pass over the already-computed pair set with five conditional sums
+    (no per-threshold rescan), exploded to rows."""
+    from pyspark_graph_spark.dedup import NgramJaccardDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prs = NgramJaccardDedup(n=3, threshold=0.5).pairs(docs)
+    ts = [0.5, 0.6, 0.7, 0.8, 0.9]
+    ag = prs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("jaccard") >= t).cast("long")), F.lit(0)
+            ).alias(f"c{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    return ag.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("threshold"),
+                        F.col(f"c{i}").alias("n_pairs"),
+                    )
+                    for i, t in enumerate(ts)
+                ]
+            )
+        ).alias("s")
+    ).select("s.threshold", "s.n_pairs")
+
+
+@query(
+    "degree_ccdf",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+deg AS (
+    SELECT s.s_suppkey AS id, COALESCE(d.cnt, 0) AS k
+    FROM supplier s
+    LEFT JOIN (
+        SELECT src, COUNT(*) AS cnt FROM supplier_sym GROUP BY src
+    ) d ON s.s_suppkey = d.src
+),
+hist AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY k),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg)
+SELECT k AS degree,
+       CAST(SUM(cnt) OVER (ORDER BY k DESC) AS BIGINT) AS n_ge,
+       ROUND(SUM(cnt) OVER (ORDER BY k DESC) * 1.0 / n, 6) AS ccdf
+FROM hist CROSS JOIN tot
+""",
+)
+def q_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complementary CDF of the supplier degree distribution (the curve
+    powerlaw_fit regresses): P(degree >= k) per distinct degree value.
+    The running sum is over the DISTINCT-degree histogram — bounded by
+    max degree, not vertex count — and the total is a broadcast
+    singleton."""
+    from pyspark_graph_spark.sources.tables import (
+        supplier_co_occurrence_graph,
+    )
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    deg = g.degrees.withColumnRenamed(DEGREE, "__d")
+    full = g.vertices.select(ID).join(deg, on=ID, how="left").select(
+        F.coalesce("__d", F.lit(0)).alias("k")
+    )
+    hist = full.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = full.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("k"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("degree"),
+            F.sum("cnt").over(w).cast("long").alias("n_ge"),
+            F.round(F.sum("cnt").over(w) / F.col("n"), 6).alias("ccdf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver gate ordering (round 4)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the

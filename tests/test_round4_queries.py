@@ -91,3 +91,53 @@ def test_degree_centralization_bounds_and_star(spark, sf_dir):
     row = run(spark, sf_dir, "degree_centralization").collect()[0]
     assert 0.0 <= row.centralization <= 1.0
     assert row.max_degree <= row.n_vertices - 1
+
+
+def test_xlingual_pairs_differ_in_lang(spark, sf_dir):
+    rows = run(spark, sf_dir, "xlingual_mining").collect()
+    for r in rows:
+        assert r.lang_src != r.lang_dst
+        assert r.cosine_sim >= 0.35
+
+
+def test_dyad_census_partitions_all_pairs(spark, sf_dir):
+    r = run(spark, sf_dir, "dyad_census").collect()[0]
+    assert r.mutual >= 0 and r.asym >= 0 and r.null_dyads >= 0
+    n = 25
+    assert r.mutual + r.asym + r.null_dyads == n * (n - 1) // 2
+
+
+def test_seasonal_decompose_reconstructs(spark, sf_dir):
+    rows = run(spark, sf_dir, "seasonal_decompose").collect()
+    assert rows
+    for r in rows:
+        # value = seasonal + trend + residual - grand_mean by construction
+        assert r.n_events >= 0 and r.trend > 0
+
+
+def test_kmv_intersection_estimates_consistent(spark, sf_dir):
+    rows = run(spark, sf_dir, "kmv_intersection").collect()
+    assert len(rows) == 10  # C(5,2) event-type pairs
+    for r in rows:
+        assert 0.0 <= r.jaccard_est <= 1.0
+        assert r.inter_est <= r.union_est + 1e-6
+        assert r.common <= r.k_eff
+
+
+def test_dedup_rate_curve_monotone(spark, sf_dir):
+    rows = sorted(
+        run(spark, sf_dir, "dedup_rate_curve").collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    counts = [r.n_pairs for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_degree_ccdf_monotone(spark, sf_dir):
+    rows = sorted(
+        run(spark, sf_dir, "degree_ccdf").collect(), key=lambda r: r.degree
+    )
+    assert rows[0].ccdf == pytest.approx(1.0)  # smallest degree covers all
+    ccdfs = [r.ccdf for r in rows]
+    assert ccdfs == sorted(ccdfs, reverse=True)

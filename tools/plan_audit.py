@@ -49,6 +49,8 @@ ADJUDICATED_BOUNDED: dict[str, str] = {
     "containment": "size-aware strategy (similarity.py)",
     "dedup_embedding": "broadcast = LSH-bucketed candidate centroids, "
     "bounded by n_planes",
+    "xlingual_mining": "brute oracle-twin strategy: broadcast = packed "
+    "chunk rows; the LSH forest path is the scale shape",
     "ann_topk": "broadcast = the k query points, bounded by k",
     "ann_topk_ivf": "broadcast = nlist IVF centroids + query points",
     "kmeans": "broadcast = k centroids per Lloyd round",
