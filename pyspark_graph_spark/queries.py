@@ -10186,13 +10186,15 @@ def q_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the window; all are green locally under tools/check_oracle.py.
 #
 # ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, the remaining
-# never-verified set is exactly 50 queries:
+# never-verified set is 56 queries:
 #   [n for n in QUERIES if n not in r1..r4_keys and n not in GATE_PRIORITY]
 # = 38 round-3 leftovers (from `set_similarity_join` through
-# `gini_concentration`) + the 12 round-4 additions (promo_revenue,
+# `gini_concentration`) + 18 round-4 additions (promo_revenue,
 # large_orders, market_share, brand_revenue, autocorrelation, changepoint,
 # ngram_novelty, quality_blend, er_clusters, session_paths, ppr_trade,
-# degree_centralization).  Replace GATE_PRIORITY with all 50.
+# degree_centralization, xlingual_mining, dyad_census, seasonal_decompose,
+# kmv_intersection, dedup_rate_curve, degree_ccdf).  Replace GATE_PRIORITY
+# with the first 50 (chronological); the remainder rolls to round 6.
 GATE_PRIORITY: list[str] = [
     # round-2 leftovers (graph + multimodal + text)
     "reciprocity",
