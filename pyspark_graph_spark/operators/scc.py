@@ -163,3 +163,42 @@ class StronglyConnectedComponents:
                 "SCC did not converge within max_outer_iterations"
             )
         return done
+
+
+def reachable_set(
+    edges: DataFrame,
+    seeds: DataFrame,
+    direction: str = "forward",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """All vertex ids reachable from ``seeds`` along ``edges`` —
+    ``forward`` follows src→dst, ``backward`` yields the set that REACHES
+    the seeds. One frontier semi-join + distinct per round, frontier and
+    visited set checkpointed; rounds ≤ graph diameter, raises if the
+    budget is exhausted before the fixpoint (consistent with
+    CriticalPath / earliest_arrival)."""
+    if direction not in ("forward", "backward"):
+        raise ValueError("direction must be 'forward' or 'backward'")
+    out_col, in_col = (
+        (SRC, DST) if direction == "forward" else (DST, SRC)
+    )
+    visited = seeds.select(F.col(seeds.columns[0]).alias(ID)).distinct(
+    ).localCheckpoint()
+    frontier = visited
+    for _ in range(max_rounds):
+        step = (
+            edges.join(
+                frontier.withColumnRenamed(ID, out_col), on=out_col, how="semi"
+            )
+            .select(F.col(in_col).alias(ID))
+            .distinct()
+        )
+        new_frontier = step.join(visited, on=ID, how="anti").localCheckpoint()
+        if new_frontier.isEmpty():
+            return visited
+        visited = visited.unionByName(new_frontier).localCheckpoint()
+        frontier = new_frontier
+    raise ValueError(
+        "reachable_set did not converge within max_rounds — raise the "
+        "budget toward the graph diameter"
+    )

@@ -141,3 +141,58 @@ def test_degree_ccdf_monotone(spark, sf_dir):
     assert rows[0].ccdf == pytest.approx(1.0)  # smallest degree covers all
     ccdfs = [r.ccdf for r in rows]
     assert ccdfs == sorted(ccdfs, reverse=True)
+
+
+def test_bowtie_classes_partition_vertices(spark, sf_dir):
+    rows = run(spark, sf_dir, "bowtie_structure").collect()
+    classes = {r.component_class for r in rows}
+    assert classes <= {"core", "in", "out", "other"}
+    assert "core" in classes
+    assert all(r.n_vertices > 0 for r in rows)
+
+
+def test_edge_cut_bounds(spark, sf_dir):
+    r = run(spark, sf_dir, "edge_cut").collect()[0]
+    assert r.cut_edges <= r.n_edges
+    assert 0.0 <= r.cut_frac <= 1.0
+    assert r.balance >= 1.0 - 1e-9  # max shard is at least the ideal share
+
+
+def test_conversion_lag_positive(spark, sf_dir):
+    r = run(spark, sf_dir, "conversion_lag").collect()[0]
+    if r.n_converted > 0:
+        assert 0.0 <= r.median_s <= r.p90_s
+
+
+def test_dedup_cluster_sizes_accounts_for_all_docs(spark, sf_dir):
+    rows = run(spark, sf_dir, "dedup_cluster_sizes").collect()
+    from pyspark_graph_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == n_docs
+
+
+def test_reachable_set_forward_backward(spark):
+    from pyspark_graph_spark.operators.scc import reachable_set
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 1)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["id"])
+    fwd = {r.id for r in reachable_set(edges, seeds, "forward").collect()}
+    bwd = {r.id for r in reachable_set(edges, seeds, "backward").collect()}
+    assert fwd == {1, 2, 3}
+    assert bwd == {1, 4}
+
+
+def test_reachable_set_raises_on_budget(spark):
+    from pyspark_graph_spark.operators.scc import reachable_set
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["id"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="did not converge"):
+        reachable_set(edges, seeds, "forward", max_rounds=2)
