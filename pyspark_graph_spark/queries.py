@@ -10472,14 +10472,15 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the window; all are green locally under tools/check_oracle.py.
 #
 # ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, the remaining
-# never-verified set is 56 queries:
+# never-verified set is 60 queries:
 #   [n for n in QUERIES if n not in r1..r4_keys and n not in GATE_PRIORITY]
 # = 38 round-3 leftovers (from `set_similarity_join` through
-# `gini_concentration`) + 18 round-4 additions (promo_revenue,
+# `gini_concentration`) + 22 round-4 additions (promo_revenue,
 # large_orders, market_share, brand_revenue, autocorrelation, changepoint,
 # ngram_novelty, quality_blend, er_clusters, session_paths, ppr_trade,
 # degree_centralization, xlingual_mining, dyad_census, seasonal_decompose,
-# kmv_intersection, dedup_rate_curve, degree_ccdf).  Replace GATE_PRIORITY
+# kmv_intersection, dedup_rate_curve, degree_ccdf, bowtie_structure,
+# edge_cut, conversion_lag, dedup_cluster_sizes).  Replace GATE_PRIORITY
 # with the first 50 (chronological); the remainder rolls to round 6.
 GATE_PRIORITY: list[str] = [
     # round-2 leftovers (graph + multimodal + text)
