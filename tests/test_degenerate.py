@@ -186,3 +186,62 @@ def test_event_analytics_degenerate(spark):
     assert retention_cohorts(empty).count() == 0
     out = {r.step: r.n_users for r in funnel(empty, ["a", "b"]).collect()}
     assert out == {1: 0, 2: 0}
+
+
+# --- round-4 additions -----------------------------------------------------
+
+
+def test_reachable_set_no_edges(spark):
+    from pyspark_graph_spark.operators.scc import reachable_set
+
+    e = spark.createDataFrame([], "src long, dst long")
+    s = spark.createDataFrame([(1,)], ["id"])
+    out = reachable_set(e, s, "forward").collect()
+    assert {r.id for r in out} == {1}
+
+
+def test_earliest_arrival_no_edges(spark):
+    from pyspark_graph_spark.operators.temporal import earliest_arrival
+
+    e = spark.createDataFrame([], "src long, dst long, ts long")
+    s = spark.createDataFrame([(1, 5)], ["id", "t0"])
+    out = earliest_arrival(e, s).collect()
+    assert {(r.id, r.arrival) for r in out} == {(1, 5)}
+
+
+def test_kmv_pairwise_empty_group(spark):
+    from pyspark_graph_spark.functions.sketch import kmv_pairwise
+
+    # group 'c' has no rows: its pairs still report (union sketch = the
+    # non-empty side) with zero overlap — the estimate of J(X, ∅) = 0
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2), ("b", 3)], ["g", "v"]
+    )
+    rows = {
+        (r.type_a, r.type_b): r
+        for r in kmv_pairwise(df, "g", "v", ["a", "b", "c"], k=8).collect()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = rows[("a", "b")]
+    assert ab.k_eff == 3 and ab.common == 1  # union {1,2,3}, shared {2}
+    for p in (("a", "c"), ("b", "c")):
+        assert rows[p].common == 0 and rows[p].jaccard_est == 0.0
+
+
+def test_kmv_pairwise_validations(spark):
+    from pyspark_graph_spark.functions.sketch import kmv_pairwise
+
+    df = spark.createDataFrame([("a", 1)], ["g", "v"])
+    with pytest.raises(ValueError):
+        kmv_pairwise(df, "g", "v", ["a"], k=8)
+    with pytest.raises(ValueError):
+        kmv_pairwise(df, "g", "v", ["a", "b"], k=1)
+
+
+def test_sorted_neighborhood_single_doc(spark):
+    from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+
+    docs = spark.createDataFrame([(0, "only")], ["doc_id", "text"])
+    assert (
+        sorted_neighborhood_pairs(docs, F.col("text"), window=3).count() == 0
+    )
