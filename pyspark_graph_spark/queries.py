@@ -10179,6 +10179,171 @@ def q_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "er_clusters_multipass",
+    oracle=rf"""
+WITH RECURSIVE
+norm AS (
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+    FROM documents
+),
+rk1 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY substr(nt, 1, 24), doc_id) AS r
+    FROM norm
+),
+rk2 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY reverse(nt), doc_id) AS r
+    FROM norm
+),
+cand AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM rk1 a JOIN rk1 b ON b.r - a.r IN (1, 2)
+    UNION
+    SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+    FROM rk2 a JOIN rk2 b ON b.r - a.r IN (1, 2)
+),
+{_TOKS_CTE.strip()},
+sg AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+common AS (
+    SELECT c.u, c.v, COUNT(*) AS cnt
+    FROM cand c
+    JOIN sg x ON x.doc_id = c.u
+    JOIN sg y ON y.doc_id = c.v AND y.g3 = x.g3
+    GROUP BY c.u, c.v
+),
+ver AS (
+    SELECT u, v FROM common
+    JOIN sizes su ON u = su.doc_id
+    JOIN sizes sv ON v = sv.doc_id
+    WHERE cnt * 1.0 / (su.n + sv.n - cnt) >= 0.5
+),
+sym AS (SELECT u, v FROM ver UNION SELECT v AS u, u AS v FROM ver),
+reach(a, b) AS (
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+)
+SELECT a AS doc_id, MIN(b) AS component
+FROM reach GROUP BY a
+""",
+)
+def q_er_clusters_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass entity resolution (Hernández–Stolfo): a SECOND
+    sorted-neighborhood pass keyed on the REVERSED normalized text
+    catches near-dups whose divergence sits in the prefix (the classic
+    single-key blind spot); candidate sets union before the shared
+    Jaccard verify + CC labeling. Each pass stays O(N·w); multi-pass
+    recall costs passes, never pairs."""
+    from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+    from pyspark_graph_spark.functions.text import (
+        normalized_text,
+        word_shingles,
+    )
+    from pyspark_graph_spark.operators.connected_components import (
+        ConnectedComponents,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = normalized_text(F.col("text"))
+    p1 = sorted_neighborhood_pairs(
+        docs, F.substring(nt, 1, 24), window=3, id_col="doc_id"
+    ).select("a", "b")
+    p2 = (
+        sorted_neighborhood_pairs(
+            docs, F.reverse(nt), window=3, id_col="doc_id"
+        )
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+    )
+    cand = p1.unionByName(p2).distinct()
+    sg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g3")
+    ).localCheckpoint()
+    sizes = sg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sg.select(F.col("doc_id").alias("a"), "g3"), on="a")
+        .join(sg.select(F.col("doc_id").alias("b"), "g3"), on=["b", "g3"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ver = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+            on="a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            on="b",
+        )
+        .filter(
+            F.col("cnt") / (F.col("na") + F.col("nb") - F.col("cnt"))
+            >= 0.5
+        )
+        .select(F.col("a").alias(SRC), F.col("b").alias(DST))
+        .localCheckpoint()
+    )
+    g = Graph(
+        docs.select(F.col("doc_id").alias(ID)),
+        ver,
+        directed=False,
+        indexed=True,
+    )
+    out = ConnectedComponents(max_iterations=10).run(g)
+    return out.select(F.col(ID).alias("doc_id"), "component")
+
+
+@query(
+    "dedup_keep_policy",
+    oracle=f"""
+WITH c AS MATERIALIZED (
+    SELECT doc_id, component
+    FROM ({_cdc_clusters_oracle(window=3, divisor=16)})
+),
+scored AS (
+    SELECT c.doc_id, c.component, d.n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id
+           ) AS rnk
+    FROM c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, component, (rnk = 1) AS kept
+FROM scored
+""",
+)
+def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection closing the dedup loop: within each near-dup
+    cluster keep the longest document (ties broken by id), drop the rest
+    — the keep-one-per-cluster policy production pipelines apply after
+    clustering. The rank window partitions BY CLUSTER, so state is
+    bounded by cluster size at any corpus scale."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    clusters = q_cdc_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs, on="doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id", "component", (F.col("rnk") == 1).alias("kept")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 4, batch 3 — bow-tie macro-structure, layout/funnel diagnostics
 # ---------------------------------------------------------------------------
@@ -10476,15 +10641,16 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the window; all are green locally under tools/check_oracle.py.
 #
 # ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, the remaining
-# never-verified set is 60 queries:
+# never-verified set is 62 queries:
 #   [n for n in QUERIES if n not in r1..r4_keys and n not in GATE_PRIORITY]
 # = 38 round-3 leftovers (from `set_similarity_join` through
-# `gini_concentration`) + 22 round-4 additions (promo_revenue,
+# `gini_concentration`) + 24 round-4 additions (promo_revenue,
 # large_orders, market_share, brand_revenue, autocorrelation, changepoint,
 # ngram_novelty, quality_blend, er_clusters, session_paths, ppr_trade,
 # degree_centralization, xlingual_mining, dyad_census, seasonal_decompose,
 # kmv_intersection, dedup_rate_curve, degree_ccdf, bowtie_structure,
-# edge_cut, conversion_lag, dedup_cluster_sizes).  Replace GATE_PRIORITY
+# edge_cut, conversion_lag, dedup_cluster_sizes, er_clusters_multipass,
+# dedup_keep_policy).  Replace GATE_PRIORITY
 # with the first 50 (chronological); the remainder rolls to round 6.
 GATE_PRIORITY: list[str] = [
     # round-2 leftovers (graph + multimodal + text)
