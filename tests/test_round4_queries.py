@@ -196,3 +196,31 @@ def test_reachable_set_raises_on_budget(spark):
 
     with _pytest.raises(ValueError, match="did not converge"):
         reachable_set(edges, seeds, "forward", max_rounds=2)
+
+
+def test_er_multipass_coarsens_single_pass(spark, sf_dir):
+    single = {
+        r.doc_id: r.component
+        for r in run(spark, sf_dir, "er_clusters").collect()
+    }
+    multi = {
+        r.doc_id: r.component
+        for r in run(spark, sf_dir, "er_clusters_multipass").collect()
+    }
+    # candidate union is a superset -> same-cluster in pass 1 implies
+    # same-cluster in multipass (components only merge, never split)
+    by_comp = {}
+    for d, c in single.items():
+        by_comp.setdefault(c, []).append(d)
+    for members in by_comp.values():
+        assert len({multi[d] for d in members}) == 1
+
+
+def test_dedup_keep_policy_one_survivor_per_cluster(spark, sf_dir):
+    rows = run(spark, sf_dir, "dedup_keep_policy").collect()
+    kept = {}
+    for r in rows:
+        kept.setdefault(r.component, 0)
+        if r.kept:
+            kept[r.component] += 1
+    assert all(v == 1 for v in kept.values())
