@@ -5505,9 +5505,7 @@ def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bigram_scores",
-    oracle=f"""
+_BIGRAM_SQL = f"""
 WITH {_TOKS_CTE.strip()},
 big AS (
     SELECT doc_id, t[g.i] AS w1, t[g.i + 1] AS w2
@@ -5526,8 +5524,10 @@ JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
 JOIN uc ON b.w1 = uc.w1
 CROSS JOIN v
 GROUP BY b.doc_id
-""",
-)
+"""
+
+
+@query("bigram_scores", oracle=_BIGRAM_SQL)
 def q_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-trained bigram-LM perplexity scoring (CCNet-style quality
     filter without external weights): mean -log2 P(w2|w1) per doc under
@@ -10631,6 +10631,295 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 4, batch 4 — RFM, Q16/Q22 shapes, filter calibration, seasonality
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+WITH p AS (
+    SELECT user_id,
+           MAX(epoch_us(ts)) AS last_us,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           SUM(value) AS monetary
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+mx AS (SELECT MAX(last_us) AS now_us FROM p),
+r AS (
+    SELECT user_id, (now_us - last_us) / 86400000000.0 AS rec_days,
+           freq, monetary
+    FROM p CROSS JOIN mx
+),
+med AS (
+    SELECT quantile_cont(rec_days, 0.5) AS mr,
+           quantile_cont(freq, 0.5) AS mf,
+           quantile_cont(monetary, 0.5) AS mm
+    FROM r
+)
+SELECT CONCAT(CASE WHEN rec_days <= mr THEN 'R' ELSE 'r' END,
+              CASE WHEN freq >= mf THEN 'F' ELSE 'f' END,
+              CASE WHEN monetary >= mm THEN 'M' ELSE 'm' END) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(monetary), 6) AS avg_monetary
+FROM r CROSS JOIN med
+GROUP BY 1
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation from the
+    purchase stream: each dimension split at its corpus median (exact
+    interpolated percentile, ONE broadcast singleton row — no global
+    NTILE sort), users labeled into the 8 R/F/M octants. The canonical
+    marketing segmentation, fully scale-safe."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    mx = p.agg(F.max("last_us").alias("now_us"))
+    r = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        ((F.col("now_us") - F.col("last_us")) / 86400000000.0).alias(
+            "rec_days"
+        ),
+        "freq",
+        "monetary",
+    )
+    med = r.agg(
+        F.percentile("rec_days", F.lit(0.5)).alias("mr"),
+        F.percentile("freq", F.lit(0.5)).alias("mf"),
+        F.percentile("monetary", F.lit(0.5)).alias("mm"),
+    )
+    seg = F.concat(
+        F.when(F.col("rec_days") <= F.col("mr"), "R").otherwise("r"),
+        F.when(F.col("freq") >= F.col("mf"), "F").otherwise("f"),
+        F.when(F.col("monetary") >= F.col("mm"), "M").otherwise("m"),
+    )
+    return (
+        r.crossJoin(F.broadcast(med))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("monetary"), 6).alias("avg_monetary"),
+        )
+    )
+
+
+@query(
+    "parts_supplier_counts",
+    oracle="""
+SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
+""",
+)
+def q_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier diversity per (brand, type, size): how
+    many distinct suppliers actually shipped each part class. One
+    broadcast dim join + a distinct-count aggregate (two-phase
+    partial-distinct under the hood — map-side combined)."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").select(
+            "p_partkey", "p_brand", "p_type", "p_size"
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "idle_customers",
+    oracle="""
+WITH avg_bal AS (SELECT AVG(c_acctbal) AS ab FROM customer
+                 WHERE c_acctbal > 0),
+oc AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT c.c_nationkey AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_balance
+FROM customer c
+CROSS JOIN avg_bal
+LEFT JOIN oc ON c.c_custkey = oc.o_custkey
+WHERE c.c_acctbal > avg_bal.ab AND COALESCE(oc.n_orders, 0) < 3
+GROUP BY 1
+""",
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style dormant high-value accounts: customers whose
+    balance exceeds the positive-balance average yet placed fewer than 3
+    orders, grouped by nation. The average is a broadcast singleton; the
+    order counts join is an aggregate-then-join (never orders×customers
+    raw); balances sum in DECIMAL."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .join(oc, c.c_custkey == oc.o_custkey, "left")
+        .filter(
+            (F.col("c_acctbal") > F.col("ab"))
+            & (F.coalesce("n_orders", F.lit(0)) < 3)
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
+
+
+@query(
+    "ppl_filter_calibration",
+    oracle=f"""
+WITH scores AS MATERIALIZED (SELECT * FROM ({_BIGRAM_SQL})),
+thr AS (SELECT quantile_cont(neg_log2_p, 0.75) AS t FROM scores)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.neg_log2_p <= thr.t THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep,
+       ROUND(SUM(CASE WHEN s.neg_log2_p <= thr.t THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS keep_rate
+FROM scores s
+JOIN documents d USING (doc_id)
+CROSS JOIN thr
+GROUP BY d.lang
+""",
+)
+def q_ppl_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter calibration: set the cutoff at the corpus p75 of
+    the self-trained bigram score, then report per-language keep rates —
+    the audit that catches a 'quality' filter silently deleting a
+    language (CCNet's known failure mode). Threshold is one broadcast
+    singleton; everything else reuses the bigram-score plan."""
+    from pyspark_graph_spark.functions.lm import bigram_scores
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_scores(docs)
+    thr = scores.agg(
+        F.percentile("neg_log2_p", F.lit(0.75)).alias("t")
+    )
+    keep = F.when(F.col("neg_log2_p") <= F.col("t"), 1).otherwise(0)
+    return (
+        scores.join(docs.select("doc_id", "lang"), on="doc_id")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep).cast("long").alias("n_keep"),
+            F.round(F.sum(keep) / F.count(F.lit(1)), 6).alias(
+                "keep_rate"
+            ),
+        )
+    )
+
+
+@query(
+    "seasonality_strength",
+    oracle=f"""
+WITH {_DAILY_CTE.strip()},
+dow AS (SELECT d % 7 AS w, AVG(c) AS seasonal FROM daily GROUP BY 1),
+tr AS (
+    SELECT d, c, AVG(c) OVER (
+        ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+    FROM daily
+),
+comp AS (
+    SELECT tr.c - tr.trend AS detrended,
+           tr.c - tr.trend - (dow.seasonal - gm.g) AS resid
+    FROM tr
+    JOIN dow ON tr.d % 7 = dow.w
+    CROSS JOIN (SELECT AVG(c) AS g FROM daily) gm
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(GREATEST(0.0, 1.0 - var_pop(resid) / var_pop(detrended)), 6)
+         AS seasonal_strength
+FROM comp
+""",
+)
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman seasonal-strength statistic F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)) over the daily event series — the
+    one-number answer to 'does this stream have a weekly cycle worth
+    modeling'. Same calendar-bounded components as seasonal_decompose,
+    collapsed to two variance aggregates."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dow = daily.groupBy((F.col("d") % 7).alias("w")).agg(
+        F.avg("c").alias("seasonal")
+    )
+    tr = daily.select(
+        "d",
+        "c",
+        F.avg("c")
+        .over(Window.orderBy("d").rowsBetween(-3, 3))
+        .alias("trend"),
+    )
+    gm = daily.agg(F.avg("c").alias("g"))
+    comp = (
+        tr.join(F.broadcast(dow), tr.d % 7 == dow.w)
+        .crossJoin(F.broadcast(gm))
+        .select(
+            (F.col("c") - F.col("trend")).alias("detrended"),
+            (
+                F.col("c")
+                - F.col("trend")
+                - (F.col("seasonal") - F.col("g"))
+            ).alias("resid"),
+        )
+    )
+    return comp.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.var_pop("resid") / F.var_pop("detrended"),
+            ),
+            6,
+        ).alias("seasonal_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver gate ordering (round 4)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the
@@ -10641,16 +10930,17 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the window; all are green locally under tools/check_oracle.py.
 #
 # ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, the remaining
-# never-verified set is 62 queries:
+# never-verified set is 67 queries:
 #   [n for n in QUERIES if n not in r1..r4_keys and n not in GATE_PRIORITY]
 # = 38 round-3 leftovers (from `set_similarity_join` through
-# `gini_concentration`) + 24 round-4 additions (promo_revenue,
+# `gini_concentration`) + 29 round-4 additions (promo_revenue,
 # large_orders, market_share, brand_revenue, autocorrelation, changepoint,
 # ngram_novelty, quality_blend, er_clusters, session_paths, ppr_trade,
 # degree_centralization, xlingual_mining, dyad_census, seasonal_decompose,
 # kmv_intersection, dedup_rate_curve, degree_ccdf, bowtie_structure,
 # edge_cut, conversion_lag, dedup_cluster_sizes, er_clusters_multipass,
-# dedup_keep_policy).  Replace GATE_PRIORITY
+# dedup_keep_policy, rfm_segments, parts_supplier_counts, idle_customers,
+# ppl_filter_calibration, seasonality_strength).  Replace GATE_PRIORITY
 # with the first 50 (chronological); the remainder rolls to round 6.
 GATE_PRIORITY: list[str] = [
     # round-2 leftovers (graph + multimodal + text)
