@@ -224,3 +224,33 @@ def test_dedup_keep_policy_one_survivor_per_cluster(spark, sf_dir):
         if r.kept:
             kept[r.component] += 1
     assert all(v == 1 for v in kept.values())
+
+
+def test_rfm_segments_partition_users(spark, sf_dir):
+    rows = run(spark, sf_dir, "rfm_segments").collect()
+    segs = {r.segment for r in rows}
+    assert segs <= {
+        a + b + c for a in "Rr" for b in "Ff" for c in "Mm"
+    }
+    assert sum(r.n_users for r in rows) > 0
+
+
+def test_idle_customers_bounds(spark, sf_dir):
+    rows = run(spark, sf_dir, "idle_customers").collect()
+    for r in rows:
+        assert r.n_customers > 0 and r.total_balance > 0
+
+
+def test_ppl_filter_keep_rate_global(spark, sf_dir):
+    rows = run(spark, sf_dir, "ppl_filter_calibration").collect()
+    n = sum(r.n_docs for r in rows)
+    k = sum(r.n_keep for r in rows)
+    # p75 cutoff keeps ~75% globally (exact fraction depends on ties)
+    assert 0.6 <= k / n <= 0.9
+    for r in rows:
+        assert 0.0 <= r.keep_rate <= 1.0
+
+
+def test_seasonality_strength_in_unit_interval(spark, sf_dir):
+    r = run(spark, sf_dir, "seasonality_strength").collect()[0]
+    assert 0.0 <= r.seasonal_strength <= 1.0
