@@ -170,13 +170,19 @@ def reachable_set(
     seeds: DataFrame,
     direction: str = "forward",
     max_rounds: int = 30,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """All vertex ids reachable from ``seeds`` along ``edges`` —
     ``forward`` follows src→dst, ``backward`` yields the set that REACHES
     the seeds. One frontier semi-join + distinct per round, frontier and
     visited set checkpointed; rounds ≤ graph diameter, raises if the
     budget is exhausted before the fixpoint (consistent with
-    CriticalPath / earliest_arrival)."""
+    CriticalPath / earliest_arrival). The frontier side of the semi-join
+    is BROADCAST while under ``broadcast_threshold`` rows (checkpointed
+    frames carry no stats, so Catalyst would otherwise shuffle+sort the
+    full edge list every round — same lesson as earliest_arrival); a
+    larger wavefront falls back to the shuffle join. The per-round
+    count() doubles as convergence probe and plan selector."""
     if direction not in ("forward", "backward"):
         raise ValueError("direction must be 'forward' or 'backward'")
     out_col, in_col = (
@@ -185,16 +191,19 @@ def reachable_set(
     visited = seeds.select(F.col(seeds.columns[0]).alias(ID)).distinct(
     ).localCheckpoint()
     frontier = visited
+    n_front = frontier.count()
     for _ in range(max_rounds):
+        fr = frontier.withColumnRenamed(ID, out_col)
+        if n_front <= broadcast_threshold:
+            fr = F.broadcast(fr)
         step = (
-            edges.join(
-                frontier.withColumnRenamed(ID, out_col), on=out_col, how="semi"
-            )
+            edges.join(fr, on=out_col, how="semi")
             .select(F.col(in_col).alias(ID))
             .distinct()
         )
         new_frontier = step.join(visited, on=ID, how="anti").localCheckpoint()
-        if new_frontier.isEmpty():
+        n_front = new_frontier.count()
+        if n_front == 0:
             return visited
         visited = visited.unionByName(new_frontier).localCheckpoint()
         frontier = new_frontier
