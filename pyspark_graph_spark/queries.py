@@ -10919,6 +10919,170 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKOV_P_CTE = """
+seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+c AS (
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+tot AS (SELECT event_type, SUM(n) AS t FROM c GROUP BY event_type),
+P AS (
+    SELECT c.event_type AS s, c.next_type AS d,
+           CAST(c.n AS DOUBLE) / tot.t AS p
+    FROM c JOIN tot ON c.event_type = tot.event_type
+)
+"""
+
+_MARKOV_ITER = """
+pi{n} AS (
+    SELECT P.d AS st, SUM(pi.v * P.p) AS v
+    FROM pi{p} pi JOIN P ON P.s = pi.st
+    GROUP BY P.d
+)"""
+
+
+@query(
+    "markov_stationary",
+    oracle=f"""
+WITH {_MARKOV_P_CTE.strip()},
+states AS (SELECT DISTINCT s FROM P),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM states),
+pi0 AS (SELECT s AS st, 1.0 / ns.n AS v FROM states CROSS JOIN ns),
+{_MARKOV_ITER.format(n=1, p=0).strip()},
+{_MARKOV_ITER.format(n=2, p=1).strip()},
+{_MARKOV_ITER.format(n=3, p=2).strip()},
+{_MARKOV_ITER.format(n=4, p=3).strip()}
+SELECT st AS event_type, ROUND(v, 6) AS pi FROM pi4
+""",
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user-behavior Markov chain: four
+    power-iteration steps from uniform over the event-transition matrix —
+    where sessions spend their time in the long run. The matrix is
+    |types|² rows (broadcast); each step is one tiny join + aggregate,
+    mirrored exactly in the unrolled oracle."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy(F.col("event_type").alias("__et")).agg(
+        F.sum("n").alias("t")
+    )
+    P = (
+        c.join(tot, c.event_type == tot["__et"])
+        .select(
+            F.col("event_type").alias("s"),
+            F.col("next_type").alias("d"),
+            (F.col("n").cast("double") / F.col("t")).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    states = P.select("s").distinct()
+    ns = states.agg(F.count(F.lit(1)).alias("n"))
+    pi = states.crossJoin(F.broadcast(ns)).select(
+        F.col("s").alias("st"), (F.lit(1.0) / F.col("n")).alias("v")
+    )
+    for _ in range(4):
+        pi = (
+            F.broadcast(pi)
+            .join(P, P.s == F.col("st"))
+            .groupBy(F.col("d").alias("st"))
+            .agg(F.sum(F.col("v") * F.col("p")).alias("v"))
+        )
+    return pi.select(
+        F.col("st").alias("event_type"), F.round("v", 6).alias("pi")
+    )
+
+
+@query(
+    "stickiness",
+    oracle="""
+WITH du AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+           COUNT(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+),
+mau AS (SELECT COUNT(DISTINCT user_id) AS m FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(AVG(dau), 6) AS avg_dau,
+       CAST(MAX(m) AS BIGINT) AS mau,
+       ROUND(AVG(dau) / MAX(m), 6) AS stickiness
+FROM du CROSS JOIN mau
+""",
+)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness over the window: average daily distinct users
+    divided by window distinct users — the one-number engagement pulse.
+    Two distinct-count aggregates (map-side partials), one broadcast
+    singleton."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000)).alias("d")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    mau = ev.agg(F.count_distinct("user_id").alias("m"))
+    return du.crossJoin(F.broadcast(mau)).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("dau"), 6).alias("avg_dau"),
+        F.max("m").cast("long").alias("mau"),
+        F.round(F.avg("dau") / F.max("m"), 6).alias("stickiness"),
+    )
+
+
+@query(
+    "hourly_profile",
+    oracle="""
+WITH h AS (
+    SELECT CAST((epoch_us(ts) % 86400000000) // 3600000000 AS INT)
+             AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n_events) AS t FROM h)
+SELECT hour_of_day, n_events,
+       ROUND(n_events * 1.0 / t, 6) AS share
+FROM h CROSS JOIN tot
+""",
+)
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load curve (the capacity-planning histogram): event
+    counts and share per UTC hour. One aggregate + one broadcast
+    singleton; partition-prunable by date at scale."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.floor(
+            F.pmod(F.unix_micros("ts"), F.lit(86400000000))
+            / F.lit(3600000000)
+        )
+        .cast("int")
+        .alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = h.agg(F.sum("n_events").alias("t"))
+    return h.crossJoin(F.broadcast(tot)).select(
+        "hour_of_day",
+        "n_events",
+        F.round(F.col("n_events") / F.col("t"), 6).alias("share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 4)
 # ---------------------------------------------------------------------------
@@ -10930,17 +11094,18 @@ def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the window; all are green locally under tools/check_oracle.py.
 #
 # ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, the remaining
-# never-verified set is 67 queries:
+# never-verified set is 70 queries:
 #   [n for n in QUERIES if n not in r1..r4_keys and n not in GATE_PRIORITY]
 # = 38 round-3 leftovers (from `set_similarity_join` through
-# `gini_concentration`) + 29 round-4 additions (promo_revenue,
+# `gini_concentration`) + 32 round-4 additions (promo_revenue,
 # large_orders, market_share, brand_revenue, autocorrelation, changepoint,
 # ngram_novelty, quality_blend, er_clusters, session_paths, ppr_trade,
 # degree_centralization, xlingual_mining, dyad_census, seasonal_decompose,
 # kmv_intersection, dedup_rate_curve, degree_ccdf, bowtie_structure,
 # edge_cut, conversion_lag, dedup_cluster_sizes, er_clusters_multipass,
 # dedup_keep_policy, rfm_segments, parts_supplier_counts, idle_customers,
-# ppl_filter_calibration, seasonality_strength).  Replace GATE_PRIORITY
+# ppl_filter_calibration, seasonality_strength, markov_stationary,
+# stickiness, hourly_profile).  Replace GATE_PRIORITY
 # with the first 50 (chronological); the remainder rolls to round 6.
 GATE_PRIORITY: list[str] = [
     # round-2 leftovers (graph + multimodal + text)

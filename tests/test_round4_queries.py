@@ -254,3 +254,22 @@ def test_ppl_filter_keep_rate_global(spark, sf_dir):
 def test_seasonality_strength_in_unit_interval(spark, sf_dir):
     r = run(spark, sf_dir, "seasonality_strength").collect()[0]
     assert 0.0 <= r.seasonal_strength <= 1.0
+
+
+def test_markov_stationary_is_distribution(spark, sf_dir):
+    rows = run(spark, sf_dir, "markov_stationary").collect()
+    assert len(rows) == 5
+    assert abs(sum(r.pi for r in rows) - 1.0) < 1e-4
+    assert all(r.pi >= 0 for r in rows)
+
+
+def test_stickiness_bounds(spark, sf_dir):
+    r = run(spark, sf_dir, "stickiness").collect()[0]
+    assert 0.0 < r.stickiness <= 1.0
+    assert r.avg_dau <= r.mau
+
+
+def test_hourly_profile_shares_sum_to_one(spark, sf_dir):
+    rows = run(spark, sf_dir, "hourly_profile").collect()
+    assert {r.hour_of_day for r in rows} <= set(range(24))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
