@@ -97,3 +97,31 @@ def load_graph_bucketed(
         directed=directed,
         indexed=True,
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar/pushdown properties as parquet (built-in
+    Spark source, vectorized reader, predicate pushdown, column pruning)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink with optional coarse-key partitioning (date/tenant
+    pruning), mirroring the parquet conventions."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "error", header: bool = True
+) -> None:
+    """CSV export for interchange with non-columnar consumers. Not a
+    100 TB format — no pushdown, no types — use for bounded result sets."""
+    df.write.mode(mode).csv(path, header=header)

@@ -59,3 +59,32 @@ def test_bucketed_graph_join_has_no_shuffle(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}_vertices")
         spark.sql(f"DROP TABLE IF EXISTS {name}_edges")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from pyspark_graph_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    path = str(tmp_path / "t.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert {(r.k, r.v) for r in back.collect()} == {(1, "a"), (2, "b"), (3, "c")}
+    plan = (
+        back.filter("k = 2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan  # filter reached the ORC scan
+
+
+def test_csv_export(spark, tmp_path):
+    from pyspark_graph_spark.sources.io import read_csv, write_csv
+
+    df = spark.createDataFrame([(1, "x")], ["k", "v"])
+    path = str(tmp_path / "out_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema="k long, v string")
+    assert back.collect()[0].v == "x"
