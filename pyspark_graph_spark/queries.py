@@ -5286,6 +5286,9 @@ FROM reach GROUP BY a
 """
 
 
+_CDC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 @query("cdc_dedup_clusters", oracle=_cdc_clusters_oracle(window=3, divisor=16))
 def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end chunk-level dedup: content-defined chunks -> docs sharing
@@ -5295,7 +5298,15 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by fingerprint (never all-pairs).  Pregel min-label CC fits here —
     shared-chunk clusters are clique-dense, so diameter stays tiny; swap
     in AlternatingConnectedComponents for adversarial chain-shaped
-    corpora."""
+    corpora.  The cluster table is computed once per Spark application +
+    sf_dir and persisted — three gate queries (clusters, size histogram,
+    keep policy) and leakage_safe_split consume the identical result, the
+    same suite-level sharing the landmark-SP cache applies (r2 verdict
+    item 3)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CDC_CACHE.get(key)
+    if cached is not None:
+        return cached
     from pyspark_graph_spark.functions.packing import cdc_chunks
     from pyspark_graph_spark.graph import Graph
     from pyspark_graph_spark.operators.connected_components import (
@@ -5328,9 +5339,11 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexed=True,
     )
     out = ConnectedComponents(max_iterations=10).run(g)
-    return out.select(
+    result = out.select(
         F.col(ID).alias("doc_id"), F.col("component").alias("component")
-    )
+    ).persist()
+    _CDC_CACHE[key] = result
+    return result
 
 
 # ---------------------------------------------------------------------------
