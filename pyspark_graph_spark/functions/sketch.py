@@ -374,6 +374,10 @@ def kmv_pairwise(
         raise ValueError("k must be >= 2")
     if len(groups) < 2:
         raise ValueError("need at least two groups")
+    # Only the listed groups are sketched: an unlisted group would still
+    # fan out through the t != t2 filter and emit one-sided (biased)
+    # estimates for pairs it appears in.
+    df = df.filter(F.col(group_col).isin(groups))
     hashed = df.select(
         F.col(group_col).alias("t"),
         md5_hash60(F.col(value_col).cast("string")).alias("h"),

@@ -93,6 +93,11 @@ class DensestSubgraph:
                 .localCheckpoint()
             )
         if not emptied:
+            # the emptiness probe runs at the TOP of each iteration, so a
+            # peel that empties the graph exactly on the final allowed
+            # iteration is only observable here
+            emptied = edges.limit(1).count() == 0
+        if not emptied:
             # matching CriticalPath: a truncated trace silently loses the
             # 2(1+eps) approximation guarantee (log_{1+eps} n rounds are
             # needed — ~50 for 1e9 vertices at the default epsilon)

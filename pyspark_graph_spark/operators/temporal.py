@@ -295,10 +295,18 @@ def earliest_arrival(
     count() action per round doubles as the convergence probe and the
     next round's plan choice.
     """
-    state = seeds.select(
-        F.col(seeds.columns[0]).alias("id"),
-        F.col(seeds.columns[1]).cast("long").alias("arrival"),
-    ).localCheckpoint()
+    state = (
+        seeds.select(
+            F.col(seeds.columns[0]).alias("id"),
+            F.col(seeds.columns[1]).cast("long").alias("arrival"),
+        )
+        # duplicate seed ids would otherwise live in state forever (the
+        # upsert path only replaces rows that IMPROVE); keep the earliest,
+        # consistent with reachable_set's .distinct() on seeds
+        .groupBy("id")
+        .agg(F.min("arrival").alias("arrival"))
+        .localCheckpoint()
+    )
     frontier = state
     n_front = frontier.count()
     e = edges.select(

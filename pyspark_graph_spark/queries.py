@@ -5286,6 +5286,11 @@ FROM reach GROUP BY a
 """
 
 
+# Keyed by (applicationId, sf_dir); bounded to ONE entry — a long-lived
+# application touching many sf_dirs would otherwise pin executor storage
+# indefinitely, so switching sf_dir unpersists and evicts the old table.
+# Within one (app, sf_dir) the files are assumed immutable for the app's
+# lifetime (the suite's batch contract); restart the app if they change.
 _CDC_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -5342,6 +5347,9 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.select(
         F.col(ID).alias("doc_id"), F.col("component").alias("component")
     ).persist()
+    for old_key in list(_CDC_CACHE):
+        if old_key != key:
+            _CDC_CACHE.pop(old_key).unpersist()
     _CDC_CACHE[key] = result
     return result
 
@@ -10037,6 +10045,7 @@ def _kmv_pairwise_sql(k: int, groups: list[str]) -> str:
     return rf"""
 WITH hashed AS (
     SELECT DISTINCT event_type AS t, {h} AS h FROM events
+    WHERE event_type IN ({glist})
 ),
 sk AS MATERIALIZED (
     SELECT t, h FROM (
@@ -11097,82 +11106,92 @@ def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver gate ordering (round 4)
+# Driver gate ordering (round 5)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the
-# ``queries()`` dict.  Rounds 1-3 drove 100 distinct queries hard-signal
-# green (CORRECTNESS_r01 ∪ r02 ∪ r03).  This round rotates the next 50
-# never-driver-verified queries (round-2 leftovers from `reciprocity`
-# onward plus round-3 additions, chronological registration order) into
-# the window; all are green locally under tools/check_oracle.py.
+# ``queries()`` dict.  Rounds 1-4 drove 150 distinct queries hard-signal
+# green (CORRECTNESS_r01 ∪ r02 ∪ r03 ∪ r04, disjoint windows).  This round
+# rotates the next 50 never-driver-verified queries into the window
+# (38 round-3 leftovers from `set_similarity_join` through
+# `gini_concentration` plus the first 12 round-4 additions, chronological
+# registration order); all are green locally under tools/check_oracle.py.
 #
-# ROUND-5 ROTATION PLAN: after CORRECTNESS_r04 lands, the remaining
-# never-verified set is 70 queries:
-#   [n for n in QUERIES if n not in r1..r4_keys and n not in GATE_PRIORITY]
-# = 38 round-3 leftovers (from `set_similarity_join` through
-# `gini_concentration`) + 32 round-4 additions (promo_revenue,
-# large_orders, market_share, brand_revenue, autocorrelation, changepoint,
-# ngram_novelty, quality_blend, er_clusters, session_paths, ppr_trade,
-# degree_centralization, xlingual_mining, dyad_census, seasonal_decompose,
-# kmv_intersection, dedup_rate_curve, degree_ccdf, bowtie_structure,
-# edge_cut, conversion_lag, dedup_cluster_sizes, er_clusters_multipass,
-# dedup_keep_policy, rfm_segments, parts_supplier_counts, idle_customers,
-# ppl_filter_calibration, seasonality_strength, markov_stationary,
-# stickiness, hourly_profile).  Replace GATE_PRIORITY
-# with the first 50 (chronological); the remainder rolls to round 6.
+# ROUND-6 TAIL (pre-registered per the round-4 verdict): the final 20
+# never-verified queries, to be rotated into GATE_PRIORITY next round so
+# the closing gate reaches 220/220 distinct:
+#   xlingual_mining
+#   dyad_census
+#   seasonal_decompose
+#   kmv_intersection
+#   dedup_rate_curve
+#   degree_ccdf
+#   er_clusters_multipass
+#   dedup_keep_policy
+#   bowtie_structure
+#   edge_cut
+#   conversion_lag
+#   dedup_cluster_sizes
+#   rfm_segments
+#   parts_supplier_counts
+#   idle_customers
+#   ppl_filter_calibration
+#   seasonality_strength
+#   markov_stationary
+#   stickiness
+#   hourly_profile
+# plus any queries newly registered in round 5 (appended after the tail,
+# chronological).
 GATE_PRIORITY: list[str] = [
-    # round-2 leftovers (graph + multimodal + text)
-    "reciprocity",
-    "two_hop_counts",
-    "multimodal_decode_wav",
-    "multimodal_frames",
-    "repetition_pii",
-    "pmi_pairs",
-    "char_entropy",
-    "integrity_audit",
-    "induced_subgraph",
-    "graph_evolution",
-    "skew_report",
-    "sliding_windows",
-    "knn_classifier",
-    "kmeans_purity",
-    # round-3 additions, chronological
-    "scc",
-    "gopher_quality",
-    "vocab_coverage",
-    "cdc_chunks",
-    "semdedup",
-    "cdc_dedup_clusters",
-    "embedding_pca",
-    "feature_propagation",
-    "powerlaw_fit",
-    "bigram_scores",
-    "leakage_safe_split",
-    "mst_forest",
-    "bipartite_check",
-    "topological_layers",
-    "dup_spans",
-    "dsir_weights",
-    "hll_distinct",
-    "multimodal_decode_gif",
-    "simrank",
-    "audio_spectral",
-    "four_cycles",
-    "rich_club",
-    "node2vec_walks",
-    "neighborhood_function",
-    "link_prediction",
-    "community_conductance",
-    "attribute_assortativity",
-    "shipping_priority",
-    "local_supplier_volume",
-    "order_priority",
-    "winnow_dedup",
-    "dataset_card",
-    "trending_topk",
-    "anomaly_zscore",
-    "image_thumbnail",
-    "kcenter_select",
+    "set_similarity_join",
+    "bloom_membership",
+    "concurrent_sessions",
+    "trend_detection",
+    "abandoned_events",
+    "sorted_neighborhood",
+    "ctfidf_topics",
+    "critical_path",
+    "burst_windows",
+    "weighted_sample",
+    "returned_items",
+    "bilateral_volume",
+    "transitive_closure",
+    "multimodal_decode_tiff",
+    "triangle_estimate",
+    "k_anonymity",
+    "daily_type_pivot",
+    "hilbert_key",
+    "frequent_itemsets",
+    "event_transitions",
+    "running_cusum",
+    "table_profile",
+    "approx_closeness",
+    "effective_diameter",
+    "densest_subgraph",
+    "disorder_profile",
+    "tfidf_cosine_pairs",
+    "percolation",
+    "temporal_reachability",
+    "ab_test_z",
+    "seasonality_chi2",
+    "survival_curve",
+    "image_ahash",
+    "tokenizer_fertility",
+    "audio_fingerprint",
+    "video_shot_boundaries",
+    "association_rules",
+    "gini_concentration",
+    "promo_revenue",
+    "large_orders",
+    "market_share",
+    "brand_revenue",
+    "autocorrelation",
+    "changepoint",
+    "ngram_novelty",
+    "quality_blend",
+    "er_clusters",
+    "session_paths",
+    "ppr_trade",
+    "degree_centralization",
 ]
 
 

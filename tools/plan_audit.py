@@ -41,30 +41,34 @@ _AGG_NODE = re.compile(r"\b(Hash|Sort|ObjectHash)Aggregate\(keys=\[(.*?)\]")
 # strategy selector that only picks the broadcast path for small inputs
 # (similarity.py auto-selection at the sf0.001 audit scale).  These are
 # adjudicated, not silently passed: PLAN_AUDIT.md prints the reason.
-ADJUDICATED_BOUNDED: dict[str, str] = {
-    "jaccard": "size-aware strategy: broadcast path only below "
-    "similarity.py BROADCAST_THRESHOLD; bucketed join at scale",
-    "overlap": "size-aware strategy (similarity.py auto-selection)",
-    "jaccard_suppliers": "size-aware strategy (similarity.py)",
-    "containment": "size-aware strategy (similarity.py)",
-    "dedup_embedding": "broadcast = LSH-bucketed candidate centroids, "
-    "bounded by n_planes",
-    "xlingual_mining": "brute oracle-twin strategy: broadcast = packed "
-    "chunk rows; the LSH forest path is the scale shape",
-    "ann_topk": "broadcast = the k query points, bounded by k",
-    "ann_topk_ivf": "broadcast = nlist IVF centroids + query points",
-    "kmeans": "broadcast = k centroids per Lloyd round",
-    "kmeans_purity": "broadcast = k centroids",
-    "knn_classifier": "broadcast = k centroids (feature pipeline)",
-    "pq_codes": "broadcast = m sub-codebooks of 2^nbits rows each",
-    "pq_adc_topk": "broadcast = per-query ADC lookup tables, "
-    "m*2^nbits rows",
-    "kcenter_select": "broadcast = <=k chosen centers per greedy round",
-    "semdedup": "broadcast = k cluster centroids",
-    "rich_club": "broadcast = degree-threshold rows, bounded by "
-    "distinct thresholds",
-    "bloom_membership": "broadcast = one bitmap row per source "
-    "(collect_set keyed by 5-value source)",
+# Each entry is (max_syntax_unbounded_exchanges, reason): adjudication is
+# per-EXCHANGE, not per-query — if a future regression introduces MORE
+# unbounded broadcast exchanges than the adjudicated count, the query is
+# hard-flagged again rather than silently riding its old adjudication.
+ADJUDICATED_BOUNDED: dict[str, tuple[int, str]] = {
+    "jaccard": (1, "size-aware strategy: broadcast path only below "
+    "similarity.py BROADCAST_THRESHOLD; bucketed join at scale"),
+    "overlap": (1, "size-aware strategy (similarity.py auto-selection)"),
+    "jaccard_suppliers": (1, "size-aware strategy (similarity.py)"),
+    "containment": (1, "size-aware strategy (similarity.py)"),
+    "dedup_embedding": (1, "broadcast = LSH-bucketed candidate centroids, "
+    "bounded by n_planes"),
+    "xlingual_mining": (1, "brute oracle-twin strategy: broadcast = packed "
+    "chunk rows; the LSH forest path is the scale shape"),
+    "ann_topk": (1, "broadcast = the k query points, bounded by k"),
+    "ann_topk_ivf": (2, "broadcast = nlist IVF centroids + query points"),
+    "kmeans": (1, "broadcast = k centroids per Lloyd round"),
+    "kmeans_purity": (1, "broadcast = k centroids"),
+    "knn_classifier": (1, "broadcast = k centroids (feature pipeline)"),
+    "pq_codes": (1, "broadcast = m sub-codebooks of 2^nbits rows each"),
+    "pq_adc_topk": (2, "broadcast = per-query ADC lookup tables, "
+    "m*2^nbits rows"),
+    "kcenter_select": (1, "broadcast = <=k chosen centers per greedy round"),
+    "semdedup": (1, "broadcast = k cluster centroids"),
+    "rich_club": (1, "broadcast = degree-threshold rows, bounded by "
+    "distinct thresholds"),
+    "bloom_membership": (1, "broadcast = one bitmap row per source "
+    "(collect_set keyed by 5-value source)"),
 }
 
 
@@ -108,9 +112,16 @@ def audit_plan(plan: str, query: str | None = None) -> list[str]:
                 if not _bounded_subtree(lines, i):
                     bad += 1
         if bad:
-            if query in ADJUDICATED_BOUNDED:
+            adjudicated = ADJUDICATED_BOUNDED.get(query)
+            if adjudicated is not None and bad <= adjudicated[0]:
                 flags.append(
-                    f"bounded-by-construction: {ADJUDICATED_BOUNDED[query]}"
+                    f"bounded-by-construction (x{bad}<=x{adjudicated[0]}): "
+                    f"{adjudicated[1]}"
+                )
+            elif adjudicated is not None:
+                flags.append(
+                    f"BroadcastNestedLoopJoin(non-singleton x{bad} EXCEEDS "
+                    f"adjudicated x{adjudicated[0]})"
                 )
             else:
                 flags.append(
