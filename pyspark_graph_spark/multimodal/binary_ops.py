@@ -221,6 +221,10 @@ def _decode_any(media: bytes, meta) -> np.ndarray:
         return decode_gif(bytes(media))
     if bytes(media[:4]) in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(bytes(media))
+    if head == b"\xff\xd8":
+        from pyspark_graph_spark.multimodal.jpeg_ops import decode_jpeg
+
+        return decode_jpeg(bytes(media))
     if meta["format"] == "fake":
         return _fake_decode(media, meta["width"], meta["height"])
     if _PIL_Image is not None:  # pragma: no cover - pillow not in container

@@ -11106,6 +11106,53 @@ def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Baseline JPEG decode (multimodal/jpeg_ops.py) — round 5
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode_jpeg",
+    oracle="""
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(doc_id % 41 + 24 AS BIGINT) AS w,
+           CAST(doc_id % 29 + 24 AS BIGINT) AS h
+    FROM documents
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(
+                range(0, ((w + 7) // 8) * ((h + 7) // 8)),
+                b -> ((media_id * 7
+                       + (b % ((w + 7) // 8)) * 13
+                       + (b // ((w + 7) // 8)) * 31) % 200 + 28)
+                     * LEAST(8, w - (b % ((w + 7) // 8)) * 8)
+                     * LEAST(8, h - (b // ((w + 7) // 8)) * 8)))
+            // (w * h) AS BIGINT) AS mean_intensity
+FROM d
+""",
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG (ITU-T T.81 SOF0) decode end-to-end: grayscale
+    JPEGs (Annex-K Huffman tables, DC DPCM, zigzag AC, byte stuffing,
+    restart markers on every third image) are synthesized from doc ids,
+    then decoded inside Arrow-batched mapInPandas — marker walk, DHT
+    canonical-Huffman build, entropy decode, dequantization, separable
+    IDCT, level shift, edge-block crop. Fixture blocks are FLAT with the
+    DC quant step at 8, which makes the lossy pipeline bit-exact (a
+    DC-only block's IDCT is DC/8 + 128 at every pixel), so the oracle
+    recomputes every decoded feature from the id formula; the AC/run-
+    length path is pinned by unit tests against an independent IDCT."""
+    from pyspark_graph_spark.multimodal.binary_ops import decode_images
+    from pyspark_graph_spark.multimodal.jpeg_ops import attach_jpeg_media
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_jpeg_media(docs, "doc_id"))
+
+
+# ---------------------------------------------------------------------------
 # Driver gate ordering (round 5)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the
