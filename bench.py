@@ -37,22 +37,35 @@ def main() -> None:
         "r_name"
     ).count().collect()
 
+    # SPARK_GRAFT_BENCH_PASSES=2 runs the whole suite twice back-to-back
+    # (alternating passes, not per-query repeats) and reports the per-query
+    # MIN alongside the single-pass number: external load on this box has
+    # inflated one-shot totals by up to 1.3x on identical code, and the min
+    # of two passes taken minutes apart is the noise-robust column.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     errors: list[str] = []
-    for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            df = fn(spark, SF_DIR)
-            # noop sink materializes EVERY projected column; a bare count()
-            # would let Catalyst prune wide projections (md5 fingerprints,
-            # serialized adjacency) and under-measure those queries
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as e:  # one bad query must not lose the bench line
-            errors.append(name)
-            print(f"# {name}: ERROR {e}", file=sys.stderr)
-            continue
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    for p in range(passes):
+        for name, fn in qs.items():
+            if name in errors:
+                continue
+            t0 = time.time()
+            try:
+                df = fn(spark, SF_DIR)
+                # noop sink materializes EVERY projected column; a bare
+                # count() would let Catalyst prune wide projections (md5
+                # fingerprints, serialized adjacency) and under-measure
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # a bad query must not lose the line
+                errors.append(name)
+                print(f"# {name}: ERROR {e}", file=sys.stderr)
+                continue
+            t = round(time.time() - t0, 3)
+            if p == 0:
+                timings[name] = t
+            timings_min[name] = min(timings_min.get(name, t), t)
+            print(f"# pass{p + 1} {name}: {t}s", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -66,6 +79,10 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    if passes > 1:
+        payload["passes"] = passes
+        payload["queries_min"] = timings_min
+        payload["value_min"] = round(sum(timings_min.values()), 3)
     if errors:
         payload["errors"] = errors
     # durable copy: BENCH_r*.json captures only a ~4 KB tail of stdout, and
@@ -91,6 +108,9 @@ def main() -> None:
         "sf": sf_val,
         "full": "bench_results.json",
     }
+    if passes > 1:
+        compact["passes"] = passes
+        compact["value_min"] = payload["value_min"]
     if errors:
         compact["errors"] = errors
     print(json.dumps(compact))

@@ -691,14 +691,37 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ExactDedup().fingerprints(docs)
 
 
-@query("ngram_jaccard", oracle=_SHINGLE_JACCARD_SQL)
-def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join)."""
+# Shared n-gram Jaccard pair table: `ngram_jaccard` and
+# `dedup_rate_curve` both consume the same (n=3, threshold=0.5) exact
+# pair set — computed once per (applicationId, sf_dir) and persisted,
+# the same suite-level sharing as the CDC cluster table (_CDC_CACHE);
+# bounded to one entry with unpersist-on-eviction.
+_NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.dedup import NgramJaccardDedup
     from pyspark_graph_spark.sources.tables import load_table
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _NGRAM_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents")
-    return NgramJaccardDedup(n=3, threshold=0.5).pairs(docs)
+    pairs = NgramJaccardDedup(n=3, threshold=0.5).pairs(docs).persist()
+    for old_key in list(_NGRAM_PAIRS_CACHE):
+        if old_key != key:
+            _NGRAM_PAIRS_CACHE.pop(old_key).unpersist()
+    _NGRAM_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+@query("ngram_jaccard", oracle=_SHINGLE_JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+    The pair table is shared with `dedup_rate_curve` via the bounded
+    per-application cache."""
+    return _shared_ngram_pairs(spark, sf_dir)
 
 
 @query("dedup_minhash", oracle=_SHINGLE_JACCARD_SQL)
@@ -6078,6 +6101,95 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from pyspark_graph_spark.functions.hashing import md5_hash60_sql as _h60sql
+
+_EDGE_HASH_SQL = _h60sql(
+    "CAST(src AS VARCHAR) || '-' || CAST(dst AS VARCHAR)"
+)
+
+
+@query(
+    "four_cycles_estimate",
+    oracle=f"""
+WITH {SUPPLIER_EDGES_CTE.strip()},
+sampled AS (
+    SELECT src, dst FROM supplier_edges
+    WHERE {_EDGE_HASH_SQL} % 100 < 50
+),
+ssym AS (
+    SELECT src, dst FROM sampled
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM sampled
+),
+cn AS (
+    SELECT a.src AS u, b.src AS v, COUNT(*) AS c
+    FROM ssym a
+    JOIN ssym b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT CAST(COALESCE(SUM(c * (c - 1) / 2) // 2, 0) AS BIGINT)
+         AS sampled_four_cycles,
+       CAST(ROUND(COALESCE(SUM(c * (c - 1) / 2) // 2, 0) * 16.0) AS BIGINT)
+         AS estimated_four_cycles
+FROM cn
+""",
+)
+def q_four_cycles_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doulion-style sampled 4-cycle ESTIMATOR — the documented scale path
+    for `four_cycles` on hub-heavy graphs: keep each canonical edge iff a
+    deterministic md5 hash lands below p=0.5 (the same edge-sparsifier as
+    `triangle_estimate`), run the exact opposite-corner wedge identity on
+    the subgraph, scale by 1/p^4 = 16 (a 4-cycle survives iff all four of
+    its edges do). Edge sampling cuts the wedge join's O(Σ deg²) budget by
+    p² — on a power-law graph at 100x the hub vertices dominate the exact
+    census, and this is the knob that keeps the plan affordable while the
+    exact identity stays as the oracle twin. Determinism makes the
+    estimate itself exactly oracle-checkable."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    canon = g.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST))
+    sampled = canon.filter(
+        md5_hash60(
+            F.concat(
+                F.col(SRC).cast("string"),
+                F.lit("-"),
+                F.col(DST).cast("string"),
+            )
+        )
+        % 100
+        < 50
+    ).localCheckpoint()
+    sym = sampled.unionByName(
+        sampled.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    a = sym.alias("a")
+    b = sym.alias("b")
+    cn = (
+        a.join(
+            b,
+            on=[
+                F.col("a.dst") == F.col("b.dst"),
+                F.col("a.src") < F.col("b.src"),
+            ],
+        )
+        .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cn.agg(
+        F.coalesce(
+            F.floor(F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2), F.lit(0)
+        )
+        .cast("long")
+        .alias("sampled_four_cycles")
+    ).select(
+        "sampled_four_cycles",
+        (F.col("sampled_four_cycles") * 16)
+        .cast("long")
+        .alias("estimated_four_cycles"),
+    )
+
+
 @query(
     "rich_club",
     oracle=f"""
@@ -10124,12 +10236,11 @@ def q_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup tuning curve: how many near-dup pairs survive each Jaccard
     threshold — the evidence behind choosing a production cutoff. One
     pass over the already-computed pair set with five conditional sums
-    (no per-threshold rescan), exploded to rows."""
-    from pyspark_graph_spark.dedup import NgramJaccardDedup
-    from pyspark_graph_spark.sources.tables import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    prs = NgramJaccardDedup(n=3, threshold=0.5).pairs(docs)
+    (no per-threshold rescan), exploded to rows. Consumes the SHARED
+    ngram pair table (one computation per application + sf_dir,
+    `_shared_ngram_pairs`) instead of re-deriving the inverted-index
+    join `ngram_jaccard` already paid for."""
+    prs = _shared_ngram_pairs(spark, sf_dir)
     ts = [0.5, 0.6, 0.7, 0.8, 0.9]
     ag = prs.agg(
         *[

@@ -57,19 +57,84 @@ ADJUDICATED_BOUNDED: dict[str, tuple[int, str]] = {
     "chunk rows; the LSH forest path is the scale shape"),
     "ann_topk": (1, "broadcast = the k query points, bounded by k"),
     "ann_topk_ivf": (2, "broadcast = nlist IVF centroids + query points"),
-    "kmeans": (1, "broadcast = k centroids per Lloyd round"),
-    "kmeans_purity": (1, "broadcast = k centroids"),
+    "kmeans": (3, "broadcast = k centroids per Lloyd round (n_iter=3)"),
+    "kmeans_purity": (3, "broadcast = k centroids per Lloyd round (n_iter=3)"),
     "knn_classifier": (1, "broadcast = k centroids (feature pipeline)"),
-    "pq_codes": (1, "broadcast = m sub-codebooks of 2^nbits rows each"),
-    "pq_adc_topk": (2, "broadcast = per-query ADC lookup tables, "
-    "m*2^nbits rows"),
-    "kcenter_select": (1, "broadcast = <=k chosen centers per greedy round"),
-    "semdedup": (1, "broadcast = k cluster centroids"),
-    "rich_club": (1, "broadcast = degree-threshold rows, bounded by "
-    "distinct thresholds"),
+    "pq_codes": (8, "broadcast = m sub-codebooks of 2^nbits rows each, "
+    "per subspace x Lloyd round (m=4 x n_iter=2)"),
+    "pq_adc_topk": (16, "broadcast = per-query ADC lookup tables, m*2^nbits "
+    "rows, per subspace x round during codebook training"),
+    "kcenter_select": (18, "broadcast = <=k chosen centers, one exchange per "
+    "greedy round and distance update"),
+    "semdedup": (2, "broadcast = k cluster centroids per Lloyd round "
+    "(n_iter=2)"),
+    "rich_club": (3, "broadcast = degree-threshold rows (bounded by distinct "
+    "thresholds), one exchange per club statistic"),
     "bloom_membership": (1, "broadcast = one bitmap row per source "
-    "(collect_set keyed by 5-value source)"),
+    "(collect_set keyed by the low-cardinality source dim; 20 sources "
+    "in this corpus)"),
 }
+
+
+# Runtime row-count assertions for the k-bounded adjudications (round-4
+# verdict item 6): the adjudication stops being prose — plan_audit EXECUTES
+# these queries at the audit SF and asserts every IdentityBroadcastMode
+# exchange's observed numOutputRows stays within the documented bound.
+# Bounds are the hyperparameter formulas from each query's docstring, with
+# 2x headroom where the formula has a data-dependent term at audit scale.
+BROADCAST_ROW_BOUNDS: dict[str, int] = {
+    "kmeans": 8,            # k=8 centroids
+    "kmeans_purity": 8,     # k=8 centroids
+    "knn_classifier": 64,   # k centroids + probe points (both tiny)
+    "pq_codes": 64,         # m=4 sub-codebooks x 2^4 codes
+    "pq_adc_topk": 1024,    # per-query ADC LUTs: n_queries * m * 16
+    "kcenter_select": 8,    # <=k=4 greedy centers (+1 working row)
+    "semdedup": 8,          # k=8 cluster centroids
+    "rich_club": 128,       # distinct degree thresholds of a 10-60k graph
+    "bloom_membership": 32,  # one bitmap row per source (20 sources here)
+    "ann_topk": 64,         # the k query points
+    "ann_topk_ivf": 64,     # nlist=16 IVF centroids + query points
+}
+
+
+def _walk_exec(node):
+    """Yield every node of an executed SparkPlan, descending through AQE
+    wrappers, query stages, and reused exchanges."""
+    cls = node.getClass().getSimpleName()
+    yield node, cls
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _walk_exec(node.executedPlan())
+        return
+    if "QueryStageExec" in cls:
+        yield from _walk_exec(node.plan())
+        return
+    if cls == "ReusedExchangeExec":
+        yield from _walk_exec(node.child())
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_exec(ch.apply(i))
+
+
+def observed_broadcast_rows(df) -> list[int]:
+    """Execute df's physical plan (same plan OBJECT, so runtime metrics
+    attach) and return numOutputRows for every IdentityBroadcastMode
+    exchange — the BNLJ build sides the adjudications make claims about."""
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan()
+    plan.execute().count()
+    rows = []
+    for node, cls in _walk_exec(qe.executedPlan()):
+        if cls != "BroadcastExchangeExec":
+            continue
+        if "IdentityBroadcastMode" not in str(node.mode()):
+            continue
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numOutputRows":
+                rows.append(int(kv._2().value()))
+    return rows
 
 
 def _node_depth(line: str) -> int:
@@ -152,8 +217,31 @@ def main() -> None:
             flags = audit_plan(plan, query=name)
         except Exception as e:  # noqa: BLE001 - report, keep auditing
             flags = [f"EXPLAIN-ERROR: {e}"]
+        if name in BROADCAST_ROW_BOUNDS and not any(
+            f.startswith("EXPLAIN-ERROR") for f in flags
+        ):
+            bound = BROADCAST_ROW_BOUNDS[name]
+            try:
+                observed = observed_broadcast_rows(QUERIES[name](spark, SF_DIR))
+            except Exception as e:  # noqa: BLE001
+                flags.append(f"BOUND-CHECK-ERROR: {e}")
+            else:
+                over = [r for r in observed if r > bound]
+                if over:
+                    flags.append(
+                        f"BroadcastRowsExceedBound({max(over)}>{bound})"
+                    )
+                else:
+                    flags.append(
+                        "bounded-verified "
+                        f"(max {max(observed, default=0)}<={bound} rows)"
+                    )
         status = "; ".join(flags) if flags else "clean"
-        hard = [f for f in flags if not f.startswith("bounded-by-construction")]
+        hard = [
+            f
+            for f in flags
+            if not f.startswith(("bounded-by-construction", "bounded-verified"))
+        ]
         if hard:
             bad += 1
         if flags:
