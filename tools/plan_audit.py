@@ -50,7 +50,8 @@ ADJUDICATED_BOUNDED: dict[str, tuple[int, str]] = {
     "similarity.py BROADCAST_THRESHOLD; bucketed join at scale"),
     "overlap": (1, "size-aware strategy (similarity.py auto-selection)"),
     "jaccard_suppliers": (1, "size-aware strategy (similarity.py)"),
-    "containment": (1, "size-aware strategy (similarity.py)"),
+    "containment": (2, "size-aware strategy (similarity.py); the fwd/rev "
+    "union consumes the pair subtree twice, duplicating its broadcast"),
     "dedup_embedding": (1, "broadcast = LSH-bucketed candidate centroids, "
     "bounded by n_planes"),
     "xlingual_mining": (1, "brute oracle-twin strategy: broadcast = packed "
