@@ -148,6 +148,42 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
+def _put_block(
+    w: _BitWriter,
+    blk: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Huffman-encode one quantized 8x8 block (natural order); returns the
+    new DC predictor."""
+    zz = [int(blk.reshape(64)[ZIGZAG[k]]) for k in range(64)]
+    t, bits = _magnitude(zz[0] - pred)
+    code, ln = dc_codes[t]
+    w.put(code, ln)
+    if t:
+        w.put(bits, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        t, bits = _magnitude(zz[k])
+        code, ln = ac_codes[(run << 4) | t]
+        w.put(code, ln)
+        w.put(bits, t)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return zz[0]
+
+
 def encode_jpeg_gray8(
     coeff_blocks: np.ndarray,
     width: int,
@@ -200,35 +236,9 @@ def encode_jpeg_gray8(
                 w.out.append(0xD0 + rst % 8)
                 rst += 1
                 pred = 0
-            blk = coeff_blocks[by, bx]
-            zz = [int(blk.reshape(64)[ZIGZAG[k]]) for k in range(64)]
-            t, bits = _magnitude(zz[0] - pred)
-            pred = zz[0]
-            code, ln = dc_codes[t]
-            w.put(code, ln)
-            if t:
-                w.put(bits, t)
-            # AC: run-length of zeros + magnitude, ZRL for 16-runs, EOB
-            run = 0
-            last_nz = max(
-                (k for k in range(1, 64) if zz[k]), default=0
+            pred = _put_block(
+                w, coeff_blocks[by, bx], pred, dc_codes, ac_codes
             )
-            for k in range(1, last_nz + 1):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    w.put(code, ln)
-                    run -= 16
-                t, bits = _magnitude(zz[k])
-                code, ln = ac_codes[(run << 4) | t]
-                w.put(code, ln)
-                w.put(bits, t)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                w.put(code, ln)
             mcu += 1
     w.align()
     out += w.out
@@ -252,6 +262,129 @@ def encode_jpeg_gray8_flat(
     q = np.full((8, 8), 16, dtype=np.int64)
     q[0, 0] = 8
     return encode_jpeg_gray8(coeffs, width, height, q, restart_interval)
+
+
+def encode_jpeg_ycbcr(
+    y_blocks: np.ndarray,
+    cb_blocks: np.ndarray,
+    cr_blocks: np.ndarray,
+    width: int,
+    height: int,
+    qt_luma: np.ndarray,
+    qt_chroma: np.ndarray,
+    sampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a 3-component baseline YCbCr stream with interleaved MCUs.
+
+    ``sampling`` = (h, v) factors of the LUMA component; chroma is always
+    1x1, so (1, 1) is 4:4:4, (2, 2) is 4:2:0, (2, 1) is 4:2:2. Inputs are
+    QUANTIZED coefficient grids: Y is (mcus_y*v, mcus_x*h, 8, 8), Cb/Cr
+    are (mcus_y, mcus_x, 8, 8). Both Huffman table pairs (luma id 0,
+    chroma id 1) are written to DHT — the decoder reads them, never
+    assumes them."""
+    sh, sv = sampling
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("sampling factors must be 1 or 2")
+    mcus_y, mcus_x = cb_blocks.shape[:2]
+    if cr_blocks.shape[:2] != (mcus_y, mcus_x):
+        raise ValueError("Cb/Cr grids must match")
+    if y_blocks.shape[:2] != (mcus_y * sv, mcus_x * sh):
+        raise ValueError("Y grid must be (mcus_y*v, mcus_x*h)")
+    if (mcus_x * sh * 8 < width) or (mcus_y * sv * 8 < height):
+        raise ValueError("MCU grid smaller than image")
+    dc_codes = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac_codes = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zq0 = bytes(int(qt_luma.reshape(64)[ZIGZAG[k]]) for k in range(64))
+    zq1 = bytes(int(qt_chroma.reshape(64)[ZIGZAG[k]]) for k in range(64))
+    out += _seg(0xDB, b"\x00" + zq0 + b"\x01" + zq1)
+    out += _seg(
+        0xC0,
+        b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + b"\x03"
+        + bytes([1, (sh << 4) | sv, 0])
+        + bytes([2, 0x11, 1])
+        + bytes([3, 0x11, 1]),
+    )
+    out += _seg(0xC4, b"\x00" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x10" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    out += _seg(0xC4, b"\x01" + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += _seg(0xC4, b"\x11" + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out += _seg(
+        0xDA,
+        b"\x03" + bytes([1, 0x00]) + bytes([2, 0x11]) + bytes([3, 0x11])
+        + b"\x00\x3f\x00",
+    )
+
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.align()
+                w.out.append(0xFF)
+                w.out.append(0xD0 + rst % 8)
+                rst += 1
+                preds = [0, 0, 0]
+            for vy in range(sv):
+                for vx in range(sh):
+                    preds[0] = _put_block(
+                        w,
+                        y_blocks[my * sv + vy, mx * sh + vx],
+                        preds[0],
+                        dc_codes,
+                        ac_codes,
+                    )
+            preds[1] = _put_block(
+                w, cb_blocks[my, mx], preds[1], dc_codes, ac_codes
+            )
+            preds[2] = _put_block(
+                w, cr_blocks[my, mx], preds[2], dc_codes, ac_codes
+            )
+            mcu += 1
+    w.align()
+    out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color_flat(
+    y_block_values: np.ndarray,
+    width: int,
+    height: int,
+    sampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Flat-Y / neutral-chroma color fixture: each Y 8x8 block is constant
+    ``y_block_values[by, bx]``; Cb = Cr = 128 everywhere (zero chroma
+    coefficients). With the DC quant step at 8 the decode is EXACT and,
+    because neutral chroma makes R = G = B = Y, the decoded gray equals
+    the Y formula at every pixel — color parsing, interleaved MCUs,
+    per-component predictors, upsampling and the YCbCr->RGB conversion
+    all run, with zero rounding slack for the oracle."""
+    sh, sv = sampling
+    n_by, n_bx = y_block_values.shape
+    if n_by % sv or n_bx % sh:
+        raise ValueError("Y grid must be a multiple of the sampling factors")
+    mcus_y, mcus_x = n_by // sv, n_bx // sh
+    y = np.zeros((n_by, n_bx, 8, 8), dtype=np.int64)
+    y[:, :, 0, 0] = y_block_values.astype(np.int64) - 128
+    cb = np.zeros((mcus_y, mcus_x, 8, 8), dtype=np.int64)
+    cr = np.zeros((mcus_y, mcus_x, 8, 8), dtype=np.int64)
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    return encode_jpeg_ycbcr(
+        y, cb, cr, width, height, q, q, sampling, restart_interval
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -364,12 +497,54 @@ _SOF_UNSUPPORTED = {
 }
 
 
+def _decode_block(
+    r: _BitReader, dct: _HuffTable, act: _HuffTable, pred: int
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block; returns (zigzag coeffs, new DC pred)."""
+    zz = np.zeros(64, dtype=np.int64)
+    t = dct.decode(r)
+    pred += _extend(r, t)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = act.decode(r)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(r, sym & 0x0F)
+        k += 1
+    return zz, pred
+
+
+def _idct_plane(coeffs: np.ndarray) -> np.ndarray:
+    """(n_by, n_bx, 8, 8) dequantized coeffs -> rounded uint8-range int64
+    sample plane of shape (n_by*8, n_bx*8), via one separable IDCT."""
+    n_by, n_bx = coeffs.shape[:2]
+    blocks = coeffs.reshape(n_by * n_bx, 8, 8).astype(np.float64)
+    spatial = np.einsum("ua,nuv,vb->nab", _IDCT_M, blocks, _IDCT_M)
+    px = np.rint(spatial + 128.0).clip(0, 255).astype(np.int64)
+    return (
+        px.reshape(n_by, n_bx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_by * 8, n_bx * 8)
+    )
+
+
 def decode_jpeg(media: bytes) -> np.ndarray:
-    """Baseline grayscale JPEG -> int64 (h, w) pixel array.
+    """Baseline JPEG -> int64 (h, w) pixel array: grayscale streams return
+    the Y plane; 3-component YCbCr streams (4:4:4 / 4:2:2 / 4:2:0 —
+    any sampling factors in {1, 2}) are chroma-upsampled, converted to
+    RGB, and folded to gray as ``(R+G+B) // 3`` like the repo's other
+    color decoders.
 
     Raises ``NotImplementedError`` for out-of-scope streams (progressive,
-    arithmetic, multi-component) — the formal codec-boundary contract,
-    mirroring binary_ops.py's PNG/TIFF scope notes."""
+    arithmetic, 16-bit, CMYK, sampling factors > 2) — the formal
+    codec-boundary contract, mirroring binary_ops.py's PNG/TIFF notes."""
     data = bytes(media)
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -378,7 +553,8 @@ def decode_jpeg(media: bytes) -> np.ndarray:
     ac_tables: dict[int, _HuffTable] = {}
     restart_interval = 0
     width = height = 0
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan_tables: dict[int, tuple[int, int]] = {}
     pos = 2
     while True:
         if data[pos] != 0xFF:
@@ -387,8 +563,8 @@ def decode_jpeg(media: bytes) -> np.ndarray:
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
                 f"JPEG {_SOF_UNSUPPORTED[marker]} decoding is out of scope: "
-                "this decoder covers baseline sequential DCT (SOF0), 8-bit "
-                "grayscale only — transcode to baseline upstream"
+                "this decoder covers baseline sequential DCT (SOF0) only — "
+                "transcode to baseline upstream"
             )
         if marker == 0xD9:  # EOI before SOS: empty image
             raise ValueError("EOI before scan data")
@@ -426,74 +602,94 @@ def decode_jpeg(media: bytes) -> np.ndarray:
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             n_comp = body[5]
-            if n_comp != 1:
+            if n_comp not in (1, 3):
                 raise NotImplementedError(
-                    f"{n_comp}-component (color) JPEG is out of scope: "
-                    "grayscale single-component only — convert upstream"
+                    f"{n_comp}-component JPEG is out of scope: grayscale "
+                    "(1) and YCbCr (3) only — CMYK/4-component streams "
+                    "must be transcoded upstream"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError(
-                    "chroma subsampling (non-1x1 factors) is out of scope"
-                )
-            comp_q = body[8]
+            for c in range(n_comp):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                h, v = hv >> 4, hv & 0x0F
+                if h not in (1, 2) or v not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {h}x{v} is out of scope "
+                        "(factors of 1 or 2 only: 4:4:4, 4:2:2, 4:2:0)"
+                    )
+                comps.append((cid, h, v, body[8 + 3 * c]))
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS: entropy data follows
-            if body[0] != 1:
+            if body[0] != len(comps):
                 raise NotImplementedError(
-                    "multi-component scans are out of scope"
+                    "non-interleaved (multi-scan) baseline is out of "
+                    "scope; single interleaved scan only"
                 )
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            for c in range(body[0]):
+                cid = body[1 + 2 * c]
+                tt = body[2 + 2 * c]
+                scan_tables[cid] = (tt >> 4, tt & 0x0F)
             pos = pos + 2 + seg_len
             break
         # APPn / COM / anything else: skip
         pos = pos + 2 + seg_len
 
-    if not width or not height:
+    if not width or not height or not comps:
         raise ValueError("SOS before SOF0")
-    n_bx, n_by = (width + 7) // 8, (height + 7) // 8
-    q = qtables[comp_q]
-    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
-    coeffs = np.zeros((n_by, n_bx, 8, 8), dtype=np.float64)
+    max_h = max(h for _, h, _, _ in comps)
+    max_v = max(v for _, _, v, _ in comps)
+    mcus_x = (width + 8 * max_h - 1) // (8 * max_h)
+    mcus_y = (height + 8 * max_v - 1) // (8 * max_v)
+    coeffs = {
+        cid: np.zeros((mcus_y * v, mcus_x * h, 8, 8), dtype=np.int64)
+        for cid, h, v, _ in comps
+    }
     r = _BitReader(data, pos)
-    pred = 0
+    preds = {cid: 0 for cid, _, _, _ in comps}
     mcu = 0
-    for by in range(n_by):
-        for bx in range(n_bx):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 r.restart()
-                pred = 0
-            zz = np.zeros(64, dtype=np.int64)
-            t = dct.decode(r)
-            pred += _extend(r, t)
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = act.decode(r)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _extend(r, sym & 0x0F)
-                k += 1
-            blk = np.zeros(64, dtype=np.int64)
-            blk[ZIGZAG] = zz
-            coeffs[by, bx] = blk.reshape(8, 8) * q
+                preds = {cid: 0 for cid in preds}
+            for cid, h, v, _tq in comps:
+                dct, act = (
+                    dc_tables[scan_tables[cid][0]],
+                    ac_tables[scan_tables[cid][1]],
+                )
+                for vy in range(v):
+                    for vx in range(h):
+                        zz, preds[cid] = _decode_block(
+                            r, dct, act, preds[cid]
+                        )
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[ZIGZAG] = zz
+                        coeffs[cid][my * v + vy, mx * h + vx] = blk.reshape(
+                            8, 8
+                        )
             mcu += 1
-    # separable IDCT over the whole coefficient grid at once
-    blocks = coeffs.reshape(n_by * n_bx, 8, 8)
-    spatial = np.einsum("ua,nuv,vb->nab", _IDCT_M, blocks, _IDCT_M)
-    px = np.rint(spatial + 128.0).clip(0, 255).astype(np.int64)
-    img = (
-        px.reshape(n_by, n_bx, 8, 8)
-        .transpose(0, 2, 1, 3)
-        .reshape(n_by * 8, n_bx * 8)
+
+    planes = {}
+    for cid, h, v, tq in comps:
+        plane = _idct_plane(coeffs[cid] * qtables[tq])
+        # nearest-neighbor upsample to full resolution, crop to image
+        plane = np.repeat(
+            np.repeat(plane, max_v // v, axis=0), max_h // h, axis=1
+        )
+        planes[cid] = plane[:height, :width]
+
+    if len(comps) == 1:
+        return planes[comps[0][0]]
+    y, cb, cr = (planes[cid].astype(np.float64) for cid, _, _, _ in comps)
+    red = np.rint(y + 1.402 * (cr - 128.0)).clip(0, 255).astype(np.int64)
+    grn = (
+        np.rint(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+        .clip(0, 255)
+        .astype(np.int64)
     )
-    return img[:height, :width]
+    blu = np.rint(y + 1.772 * (cb - 128.0)).clip(0, 255).astype(np.int64)
+    return (red + grn + blu) // 3
 
 
 # ---------------------------------------------------------------------------
@@ -527,6 +723,54 @@ def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
                 medias.append(
                     encode_jpeg_gray8_flat(
                         vals, w, h, restart_interval=4 if i % 3 == 0 else 0
+                    )
+                )
+                metas.append(
+                    {"format": "jpeg", "width": w, "height": h, "n_frames": 1}
+                )
+            yield pd.DataFrame(
+                {"media_id": b["media_id"], "media": medias, "meta": metas}
+            )
+
+    return src.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def attach_jpeg_color_media(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize REAL baseline COLOR JPEGs (3-component YCbCr) from doc
+    ids in one Arrow-batched hop. Image ``i`` is ``(i%37+20) x (i%23+18)``
+    with 4:2:0 sampling for even ids and 4:4:4 for odd (every fifth image
+    adds restart markers, interval 2) — interleaved MCUs, per-component
+    DC predictors, chroma upsampling and YCbCr->RGB all execute on
+    decode. Y blocks are flat with ``(i*11 + bx*17 + by*23) % 200 + 28``
+    and chroma is neutral (Cb = Cr = 128), so R = G = B = Y exactly and
+    the SQL oracle recomputes the decoded gray from the Y formula."""
+    from pyspark_graph_spark.multimodal.binary_ops import MEDIA_SCHEMA
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            medias = []
+            metas = []
+            for i in b["media_id"]:
+                i = int(i)
+                w, h = i % 37 + 20, i % 23 + 18
+                sh, sv = (2, 2) if i % 2 == 0 else (1, 1)
+                mcus_x = (w + 8 * sh - 1) // (8 * sh)
+                mcus_y = (h + 8 * sv - 1) // (8 * sv)
+                n_bx, n_by = mcus_x * sh, mcus_y * sv
+                bx = np.arange(n_bx, dtype=np.int64)
+                by = np.arange(n_by, dtype=np.int64)
+                vals = (
+                    i * 11 + bx[None, :] * 17 + by[:, None] * 23
+                ) % 200 + 28
+                medias.append(
+                    encode_jpeg_color_flat(
+                        vals,
+                        w,
+                        h,
+                        (sh, sv),
+                        restart_interval=2 if i % 5 == 0 else 0,
                     )
                 )
                 metas.append(

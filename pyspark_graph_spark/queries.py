@@ -11263,6 +11263,52 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(attach_jpeg_media(docs, "doc_id"))
 
 
+@query(
+    "multimodal_decode_jpeg_color",
+    oracle="""
+WITH d AS (
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(doc_id % 37 + 20 AS BIGINT) AS w,
+           CAST(doc_id % 23 + 18 AS BIGINT) AS h
+    FROM documents
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_sum(list_transform(
+                range(0, ((w + 7) // 8) * ((h + 7) // 8)),
+                b -> ((media_id * 11
+                       + (b % ((w + 7) // 8)) * 17
+                       + (b // ((w + 7) // 8)) * 23) % 200 + 28)
+                     * LEAST(8, w - (b % ((w + 7) // 8)) * 8)
+                     * LEAST(8, h - (b // ((w + 7) // 8)) * 8)))
+            // (w * h) AS BIGINT) AS mean_intensity
+FROM d
+""",
+)
+def q_multimodal_decode_jpeg_color(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL baseline COLOR JPEG decode end-to-end: 3-component YCbCr
+    streams (4:2:0 for even doc ids, 4:4:4 for odd; restart markers on
+    every fifth) synthesized from doc ids, decoded inside Arrow-batched
+    mapInPandas — interleaved MCU walk, per-component Huffman tables and
+    DC predictors, dequantization, IDCT, nearest-neighbor chroma
+    upsampling, YCbCr->RGB, gray fold. Neutral chroma (Cb = Cr = 128)
+    makes R = G = B = Y, so flat Y blocks keep the whole color pipeline
+    bit-exact and the oracle recomputes every decoded feature from the Y
+    formula; the oracle only iterates VISIBLE blocks, so it is sampling-
+    agnostic (padded 4:2:0 edge blocks contribute zero visible pixels)."""
+    from pyspark_graph_spark.multimodal.binary_ops import decode_images
+    from pyspark_graph_spark.multimodal.jpeg_ops import (
+        attach_jpeg_color_media,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_images(attach_jpeg_color_media(docs, "doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 5)
 # ---------------------------------------------------------------------------

@@ -11,10 +11,13 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark_graph_spark.multimodal.jpeg_ops import (
+    attach_jpeg_color_media,
     attach_jpeg_media,
     decode_jpeg,
+    encode_jpeg_color_flat,
     encode_jpeg_gray8,
     encode_jpeg_gray8_flat,
+    encode_jpeg_ycbcr,
 )
 
 
@@ -111,14 +114,115 @@ def test_scope_contract_rejections():
         decode_jpeg(b"\xff\xd8\xff\xc9\x00\x04\x00\x00")
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG")
-    # 3-component (color) SOF0
+    # 4-component (CMYK) SOF0
     body = (
         b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
-        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        + b"\x04"
+        + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01\x04\x11\x01"
     )
     seg = b"\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
     with pytest.raises(NotImplementedError, match="component"):
         decode_jpeg(b"\xff\xd8" + seg)
+    # sampling factor 4 (out of the 1/2 envelope)
+    body = (
+        b"\x08" + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + b"\x03\x01\x44\x00\x02\x11\x01\x03\x11\x01"
+    )
+    seg = b"\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
+    with pytest.raises(NotImplementedError, match="sampling factor"):
+        decode_jpeg(b"\xff\xd8" + seg)
+
+
+# ---------------------------------------------------------------------------
+# Color (3-component YCbCr) baseline
+# ---------------------------------------------------------------------------
+
+
+def _color_fixture_blocks(i: int):
+    w, h = i % 37 + 20, i % 23 + 18
+    sh, sv = (2, 2) if i % 2 == 0 else (1, 1)
+    mcus_x = (w + 8 * sh - 1) // (8 * sh)
+    mcus_y = (h + 8 * sv - 1) // (8 * sv)
+    n_bx, n_by = mcus_x * sh, mcus_y * sv
+    bx, by = np.arange(n_bx), np.arange(n_by)
+    vals = (i * 11 + bx[None, :] * 17 + by[:, None] * 23) % 200 + 28
+    return vals, w, h, (sh, sv)
+
+
+@pytest.mark.parametrize("i", [0, 1, 4, 5, 10, 33])
+def test_color_flat_roundtrip_exact(i):
+    vals, w, h, sampling = _color_fixture_blocks(i)
+    data = encode_jpeg_color_flat(
+        vals, w, h, sampling, restart_interval=2 if i % 5 == 0 else 0
+    )
+    img = decode_jpeg(data)
+    assert img.shape == (h, w)
+    expect = np.kron(vals, np.ones((8, 8), dtype=np.int64))[:h, :w]
+    assert (img == expect).all()
+
+
+@pytest.mark.parametrize("sampling", [(1, 1), (2, 2), (2, 1), (1, 2)])
+def test_color_ac_rich_matches_reference(sampling):
+    sh, sv = sampling
+    rng = np.random.RandomState(11 * sh + sv)
+    mcus_y, mcus_x = 2, 2
+    y = np.where(
+        rng.rand(mcus_y * sv, mcus_x * sh, 8, 8) < 0.85,
+        0,
+        rng.randint(-20, 21, (mcus_y * sv, mcus_x * sh, 8, 8)),
+    )
+    cb = np.where(
+        rng.rand(mcus_y, mcus_x, 8, 8) < 0.9,
+        0,
+        rng.randint(-10, 11, (mcus_y, mcus_x, 8, 8)),
+    )
+    cr = np.where(
+        rng.rand(mcus_y, mcus_x, 8, 8) < 0.9,
+        0,
+        rng.randint(-10, 11, (mcus_y, mcus_x, 8, 8)),
+    )
+    ql = np.full((8, 8), 4)
+    qc = np.full((8, 8), 6)
+    w, h = mcus_x * sh * 8 - 3, mcus_y * sv * 8 - 5
+    img = decode_jpeg(
+        encode_jpeg_ycbcr(y, cb, cr, w, h, ql, qc, sampling, 2)
+    )
+
+    def plane(coeffs, q, rep_y, rep_x):
+        n_by, n_bx = coeffs.shape[:2]
+        out = np.zeros((n_by * 8, n_bx * 8), dtype=np.int64)
+        for by in range(n_by):
+            for bx in range(n_bx):
+                sp = _reference_idct(coeffs[by, bx] * q)
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    np.rint(sp + 128).clip(0, 255).astype(np.int64)
+                )
+        return np.repeat(np.repeat(out, rep_y, axis=0), rep_x, axis=1)
+
+    yp = plane(y, ql, 1, 1)[:h, :w].astype(float)
+    cbp = plane(cb, qc, sv, sh)[:h, :w].astype(float)
+    crp = plane(cr, qc, sv, sh)[:h, :w].astype(float)
+    red = np.rint(yp + 1.402 * (crp - 128)).clip(0, 255).astype(np.int64)
+    grn = (
+        np.rint(yp - 0.344136 * (cbp - 128) - 0.714136 * (crp - 128))
+        .clip(0, 255)
+        .astype(np.int64)
+    )
+    blu = np.rint(yp + 1.772 * (cbp - 128)).clip(0, 255).astype(np.int64)
+    assert (img == (red + grn + blu) // 3).all()
+
+
+def test_spark_pipeline_decodes_color_jpeg(spark):
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    from pyspark_graph_spark.multimodal.binary_ops import decode_images
+
+    out = decode_images(attach_jpeg_color_media(df, "doc_id")).collect()
+    assert len(out) == 10
+    for r in out:
+        vals, w, h, _ = _color_fixture_blocks(r.media_id)
+        assert (r.width, r.height) == (w, h)
+        full = np.kron(vals, np.ones((8, 8), dtype=np.int64))[:h, :w]
+        assert r.mean_intensity == int(full.sum()) // (w * h)
 
 
 def test_spark_pipeline_decodes_jpeg(spark):
