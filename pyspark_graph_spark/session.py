@@ -18,7 +18,12 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # SPARK_GRAFT_SHUFFLE widens the shuffle fan-out beyond the core
+        # count for datasets whose per-partition working set would
+        # otherwise exceed the executor heap (the real-sf1 runs)
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus))
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
