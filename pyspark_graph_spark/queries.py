@@ -11309,6 +11309,81 @@ def q_multimodal_decode_jpeg_color(
     return decode_images(attach_jpeg_color_media(docs, "doc_id"))
 
 
+@query(
+    "boilerplate_chunks",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws
+    FROM documents
+),
+ch AS (
+    SELECT doc_id, i AS cid,
+           array_to_string(ws[i*3+1 : i*3+3], ' ') AS chunk
+    FROM w, UNNEST(range(0, CAST(ceil(len(ws)/3.0) AS BIGINT))) AS t(i)
+),
+f AS (SELECT chunk, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+SELECT ch.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN f.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       ROUND(SUM(CASE WHEN f.nd >= 5 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS boilerplate_ratio
+FROM ch JOIN f USING (chunk)
+GROUP BY ch.doc_id
+""",
+)
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style boilerplate detection: disjoint 3-token chunks
+    ("lines" for a corpus without newlines) that recur in >= 5 distinct
+    documents are boilerplate; each doc reports its chunk count and
+    boilerplate ratio — the pre-training cleanup signal that strips
+    navigation text, license headers and templated spam. Plan: one
+    explode -> chunk slice (codegen'd `slice`/`array_join`, no Python),
+    one distinct-count aggregate keyed by chunk, one join back. At
+    corpus scale, key the frequency aggregate by xxhash64(chunk) so
+    shuffle rows are 8 bytes, and broadcast the (tiny) >=threshold
+    boilerplate set instead of joining the full frequency table — kept
+    string-keyed here so the oracle comparison is exact."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                # guard: sequence(0, -1) DESCENDS in Spark, so an empty
+                # token array must map to zero chunks explicitly (the
+                # oracle's range(0, 0) is empty)
+                F.expr(
+                    "case when size(ws) = 0 then array() else "
+                    "transform(sequence(0, int(ceil(size(ws)/3.0)) - 1), "
+                    "i -> array_join(slice(ws, i*3+1, 3), ' ')) end"
+                )
+            ).alias("chunk"),
+        )
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    return (
+        chunks.join(freq, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("nd") >= 5).cast("long")).alias("n_boilerplate"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_boilerplate",
+            F.round(F.col("n_boilerplate") / F.col("n_chunks"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 5)
 # ---------------------------------------------------------------------------
