@@ -103,9 +103,9 @@ def test_audit_flags_exchange_count_above_adjudication(spark):
     big = spark.range(1000).withColumnRenamed("id", "a")
     o1 = spark.range(100).withColumnRenamed("id", "b")
     o2 = spark.range(100).withColumnRenamed("id", "c")
-    # two unbounded broadcast exchanges; `kmeans` is adjudicated for one
+    # two unbounded broadcast exchanges; `ann_topk` is adjudicated for one
     bad = big.crossJoin(F.broadcast(o1)).crossJoin(F.broadcast(o2))
-    flags = audit_plan(_explain(bad, spark), query="kmeans")
+    flags = audit_plan(_explain(bad, spark), query="ann_topk")
     assert any("EXCEEDS adjudicated" in f for f in flags)
     assert not any(f.startswith("bounded-by-construction") for f in flags)
 
