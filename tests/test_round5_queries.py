@@ -1,0 +1,91 @@
+"""Round-5 query invariants (exact values are driver/oracle-checked;
+these pin the semantic contracts on the sf0.001 tables)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_graph_spark.queries import QUERIES
+
+
+def run(spark, sf_dir, name):
+    return QUERIES[name](spark, sf_dir)
+
+
+def test_forecast_revenue_single_nonnegative(spark, sf_dir):
+    rows = run(spark, sf_dir, "forecast_revenue").collect()
+    assert len(rows) == 1
+    assert rows[0].revenue >= 0.0
+
+
+def test_volume_shipping_nation_pairs(spark, sf_dir):
+    rows = run(spark, sf_dir, "volume_shipping").collect()
+    pair = {"NATION_3", "NATION_7"}
+    for r in rows:
+        assert {r.supp_nation, r.cust_nation} == pair
+        assert r.supp_nation != r.cust_nation
+        assert 1995 <= r.year <= 2001
+        assert r.revenue > 0.0
+
+
+def test_top_supplier_all_rows_at_max(spark, sf_dir):
+    rows = run(spark, sf_dir, "top_supplier").collect()
+    assert rows
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1
+    assert rows[0].total_revenue > 0.0
+
+
+def test_small_qty_revenue_single_nonnegative(spark, sf_dir):
+    rows = run(spark, sf_dir, "small_qty_revenue").collect()
+    assert len(rows) == 1
+    assert rows[0].avg_yearly >= 0.0
+
+
+def test_special_revenue_single_nonnegative(spark, sf_dir):
+    rows = run(spark, sf_dir, "special_revenue").collect()
+    assert len(rows) == 1
+    assert rows[0].revenue >= 0.0
+
+
+def test_waiting_suppliers_topk_sorted(spark, sf_dir):
+    rows = run(spark, sf_dir, "waiting_suppliers").collect()
+    assert len(rows) <= 20
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
+    assert all(w >= 1 for w in waits)
+
+
+def test_heaps_law_monotone_curve(spark, sf_dir):
+    rows = sorted(
+        run(spark, sf_dir, "heaps_law").collect(), key=lambda r: r.bucket
+    )
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    toks = [r.cum_tokens for r in rows]
+    vocab = [r.vocab_size for r in rows]
+    assert toks == sorted(toks)
+    assert vocab == sorted(vocab)
+    assert all(v <= t for v, t in zip(vocab, toks))
+    # the full-corpus vocabulary must equal an independent distinct count
+    from pyspark.sql import functions as F
+
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert vocab[-1] == n_vocab
+
+
+def test_token_zipf_slope_negative(spark, sf_dir):
+    rows = run(spark, sf_dir, "token_zipf_fit").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r.n_ranks <= 500
+    assert r.slope < 0.0
