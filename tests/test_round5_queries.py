@@ -89,3 +89,21 @@ def test_token_zipf_slope_negative(spark, sf_dir):
     r = rows[0]
     assert 0 < r.n_ranks <= 500
     assert r.slope < 0.0
+
+
+def test_vertex_annotation_parity_cells(spark, sf_dir):
+    rows = run(spark, sf_dir, "vertex_annotation").collect()
+    assert rows
+    cells = {(r.src_parity, r.dst_parity) for r in rows}
+    assert cells <= {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert all(r.n_edges > 0 for r in rows)
+
+
+def test_party_union_counts_match_tables(spark, sf_dir):
+    rows = run(spark, sf_dir, "party_union").collect()
+    from pyspark_graph_spark.sources.tables import load_table
+
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert sum(r.n_parties for r in rows if r.kind == "customer") == n_cust
+    assert sum(r.n_parties for r in rows if r.kind == "supplier") == n_supp
