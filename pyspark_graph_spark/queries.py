@@ -11953,6 +11953,154 @@ def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_recall",
+    oracle="""
+WITH fq AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+fscored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(
+             list_sum(list_transform(range(1, len(q.embedding)+1),
+                      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+           6) AS s
+    FROM embeddings c, fq q
+    WHERE q.vec_id <> c.vec_id
+),
+ftop AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rnk
+          FROM fscored)
+    WHERE rnk <= 5
+),
+m AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS ma
+    FROM embeddings
+),
+codes AS (
+    SELECT e.vec_id,
+           list_transform(e.embedding,
+               x -> CAST(round(127.0 * CAST(x AS DOUBLE) / m.ma)
+                         AS BIGINT)) AS c
+    FROM embeddings e JOIN m USING (vec_id)
+),
+norms AS (
+    SELECT vec_id, c, list_sum(list_transform(c, x -> x * x)) AS n2
+    FROM codes
+),
+qscored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_sum(list_transform(range(1, len(q.c)+1),
+                                        i -> q.c[i] * c.c[i])) AS DOUBLE)
+           / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+             AS s
+    FROM norms c, (SELECT * FROM norms WHERE vec_id < 10) q
+    WHERE q.vec_id <> c.vec_id
+),
+qtop AS (
+    SELECT query_id, neighbor_id
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rnk
+          FROM qscored)
+    WHERE rnk <= 5
+)
+SELECT f.query_id,
+       CAST(COUNT(q.neighbor_id) AS BIGINT) AS n_match,
+       ROUND(COUNT(q.neighbor_id) / 5.0, 6) AS recall
+FROM ftop f
+LEFT JOIN qtop q
+  ON f.query_id = q.query_id AND f.neighbor_id = q.neighbor_id
+GROUP BY 1
+""",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation harness: recall@5 of int8-quantized cosine search
+    against the exact float top-5 ground truth, per query. Quantized
+    cosine uses the integer code vectors directly (the per-vector scales
+    cancel), so every dot product and norm is exact integer arithmetic —
+    both engines rank identical doubles and the recall is reproducible
+    bit-for-bit. This is the compressed-index quality audit run before
+    shipping a quantized corpus index; the same harness shape (candidate
+    top-k LEFT JOIN truth top-k) evaluates any ANN variant."""
+    from pyspark_graph_spark.ann import BruteForceKNN
+    from pyspark_graph_spark.functions.vectors import quantize_int8
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ftop = (
+        BruteForceKNN(k=5)
+        .topk(emb, emb.filter(F.col("vec_id") < 10))
+        .select("query_id", "neighbor_id")
+    )
+    codes, _scale = quantize_int8(F.col("embedding"))
+    coded = emb.select("vec_id", codes.alias("c")).withColumn(
+        "n2",
+        F.aggregate(
+            "c",
+            F.lit(0).cast("long"),
+            lambda a, x: a + x.cast("long") * x.cast("long"),
+        ),
+    )
+    q = coded.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("c").alias("qc"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = (
+        coded.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "dot",
+            F.aggregate(
+                F.zip_with(
+                    "qc", "c", lambda x, y: x.cast("long") * y.cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("n2").cast("double"))
+                )
+            ).alias("s"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s"), F.asc("neighbor_id")
+    )
+    qtop = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("neighbor_id").alias("__nb"))
+    )
+    return (
+        ftop.join(
+            qtop,
+            (ftop.query_id == qtop.query_id)
+            & (ftop.neighbor_id == qtop["__nb"]),
+            "left",
+        )
+        .drop(qtop.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("__nb").alias("n_match"),
+            F.round(F.count("__nb") / F.lit(5.0), 6).alias("recall"),
+        )
+        .select(
+            "query_id", F.col("n_match").cast("long").alias("n_match"), "recall"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (cont.): dedicated gate entries for SURVEY §2.5 / §2.7
 # ---------------------------------------------------------------------------

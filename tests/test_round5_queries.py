@@ -107,3 +107,13 @@ def test_party_union_counts_match_tables(spark, sf_dir):
     n_supp = load_table(spark, sf_dir, "supplier").count()
     assert sum(r.n_parties for r in rows if r.kind == "customer") == n_cust
     assert sum(r.n_parties for r in rows if r.kind == "supplier") == n_supp
+
+
+def test_ann_recall_bounds_and_quality(spark, sf_dir):
+    rows = run(spark, sf_dir, "ann_recall").collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_match <= 5
+        assert abs(r.recall - r.n_match / 5.0) < 1e-9
+    # int8 keeps >= 3 of the float top-5 on average for 64-dim vectors
+    assert sum(r.n_match for r in rows) / len(rows) >= 3.0

@@ -58,6 +58,8 @@ ADJUDICATED_BOUNDED: dict[str, tuple[int, str]] = {
     "chunk rows; the LSH forest path is the scale shape"),
     "ann_topk": (1, "broadcast = the k query points, bounded by k"),
     "ann_topk_ivf": (2, "broadcast = nlist IVF centroids + query points"),
+    "ann_recall": (2, "broadcast = the 10 query points, once per ranking "
+    "path (float truth + int8 candidate)"),
     "kmeans": (3, "broadcast = k centroids per Lloyd round (n_iter=3)"),
     "kmeans_purity": (3, "broadcast = k centroids per Lloyd round (n_iter=3)"),
     "knn_classifier": (1, "broadcast = k centroids (feature pipeline)"),
@@ -95,6 +97,7 @@ BROADCAST_ROW_BOUNDS: dict[str, int] = {
     "bloom_membership": 32,  # one bitmap row per source (20 sources here)
     "ann_topk": 64,         # the k query points
     "ann_topk_ivf": 64,     # nlist=16 IVF centroids + query points
+    "ann_recall": 64,       # the 10 query points (both ranking paths)
 }
 
 
