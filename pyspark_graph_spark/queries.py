@@ -12224,15 +12224,15 @@ def q_party_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   markov_stationary
 #   stickiness
 #   hourly_profile
-# plus the 14 queries newly registered in round 5 (appended after the
+# plus the 15 queries newly registered in round 5 (appended after the
 # tail, chronological registration order):
 #   multimodal_decode_jpeg, multimodal_decode_jpeg_color,
 #   four_cycles_estimate, boilerplate_chunks, forecast_revenue,
 #   volume_shipping, top_supplier, small_qty_revenue, special_revenue,
-#   waiting_suppliers, heaps_law, token_zipf_fit, vertex_annotation,
-#   party_union
-# 20 + 14 = 34 never-driver-verified after r05 — all fit in round 6's
-# 50-query window, closing the gate at 234/234 distinct.
+#   waiting_suppliers, heaps_law, token_zipf_fit, ann_recall,
+#   vertex_annotation, party_union
+# 20 + 15 = 35 never-driver-verified after r05 — all fit in round 6's
+# 50-query window, closing the gate at 235/235 distinct.
 GATE_PRIORITY: list[str] = [
     "set_similarity_join",
     "bloom_membership",
