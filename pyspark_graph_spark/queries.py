@@ -12101,6 +12101,76 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stratified_sample",
+    oracle=r"""
+WITH k AS (
+    SELECT lang,
+           CAST(CASE lang WHEN 'en' THEN 0.1
+                          WHEN 'zh' THEN 0.4
+                          WHEN 'es' THEN 0.4
+                          WHEN 'de' THEN 0.4
+                          WHEN 'fr' THEN 0.4
+                          ELSE 0.25 END AS DOUBLE) AS rate,
+           (list_reduce(list_transform(range(1,16),
+                i -> CAST(strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)||':strat'),
+                                 i, 1)) - 1 AS BIGINT)),
+                (a,b) -> a*16+b) + 1.0)
+           / 1152921504606846977.0 AS u
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN u <= rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       ROUND(SUM(CASE WHEN u <= rate THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS kept_frac,
+       rate AS target_rate
+FROM k GROUP BY lang, rate
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling — the corpus-rebalance
+    primitive (downsample the dominant language, keep more of the rest).
+    Keep decisions are pure per-row expressions (md5-uniform vs the
+    stratum's target rate): zero shuffles besides the per-language
+    summary aggregate, reproducible on any engine and any partitioning,
+    and the same doc survives in every rerun — the property a resumable
+    100 TB pipeline needs from its sampler."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 0.1)
+        .when(F.col("lang").isin("zh", "es", "de", "fr"), 0.4)
+        .otherwise(0.25)
+    )
+    u = (
+        md5_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))
+        )
+        + F.lit(1.0)
+    ) / float((1 << 60) + 1)
+    keyed = docs.select(
+        "lang",
+        rate.alias("rate"),
+        (u <= rate).cast("long").alias("kept"),
+    )
+    return keyed.groupBy("lang", "rate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        F.round(F.sum("kept") / F.count(F.lit(1)), 6).alias("kept_frac"),
+    ).select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        "kept_frac",
+        F.col("rate").alias("target_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round 5 (cont.): dedicated gate entries for SURVEY §2.5 / §2.7
 # ---------------------------------------------------------------------------
@@ -12224,15 +12294,15 @@ def q_party_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   markov_stationary
 #   stickiness
 #   hourly_profile
-# plus the 15 queries newly registered in round 5 (appended after the
+# plus the 16 queries newly registered in round 5 (appended after the
 # tail, chronological registration order):
 #   multimodal_decode_jpeg, multimodal_decode_jpeg_color,
 #   four_cycles_estimate, boilerplate_chunks, forecast_revenue,
 #   volume_shipping, top_supplier, small_qty_revenue, special_revenue,
 #   waiting_suppliers, heaps_law, token_zipf_fit, ann_recall,
-#   vertex_annotation, party_union
-# 20 + 15 = 35 never-driver-verified after r05 — all fit in round 6's
-# 50-query window, closing the gate at 235/235 distinct.
+#   stratified_sample, vertex_annotation, party_union
+# 20 + 16 = 36 never-driver-verified after r05 — all fit in round 6's
+# 50-query window, closing the gate at 236/236 distinct.
 GATE_PRIORITY: list[str] = [
     "set_similarity_join",
     "bloom_membership",

@@ -117,3 +117,14 @@ def test_ann_recall_bounds_and_quality(spark, sf_dir):
         assert abs(r.recall - r.n_match / 5.0) < 1e-9
     # int8 keeps >= 3 of the float top-5 on average for 64-dim vectors
     assert sum(r.n_match for r in rows) / len(rows) >= 3.0
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    rows = run(spark, sf_dir, "stratified_sample").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        expected = 0.1 if r.lang == "en" else 0.4
+        assert r.target_rate == expected
+        # deterministic hash sampling concentrates near the target
+        assert abs(r.kept_frac - r.target_rate) < 0.35
