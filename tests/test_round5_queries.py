@@ -128,3 +128,63 @@ def test_stratified_sample_rates(spark, sf_dir):
         assert r.target_rate == expected
         # deterministic hash sampling concentrates near the target
         assert abs(r.kept_frac - r.target_rate) < 0.35
+
+
+def test_min_cost_supplier_ordering_and_uniqueness(spark, sf_dir):
+    rows = run(spark, sf_dir, "min_cost_supplier").collect()
+    assert 0 < len(rows) <= 100
+    bals = [r.acctbal for r in rows]
+    assert bals == sorted(bals, reverse=True)
+    assert all(r.unit_cost > 0.0 for r in rows)
+    # (name, partkey) identifies a row: one winner entry per supplier/part
+    assert len({(r.name, r.partkey) for r in rows}) == len(rows)
+
+
+def test_important_parts_threshold_shape(spark, sf_dir):
+    import duckdb
+
+    rows = run(spark, sf_dir, "important_parts").collect()
+    # at most 1000 parts can each exceed 0.1% of the total, by construction
+    assert len(rows) <= 1000
+    vals = [r.part_value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(v > 0.0 for v in vals)
+    # exact-match the oracle at this sf (sf0.001 legitimately yields zero
+    # rows: >1000 parts, none clears 0.1% -- the emptiness must agree too)
+    con = duckdb.connect()
+    for t in ("supplier", "nation", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    from pyspark_graph_spark.queries import ORACLES
+
+    expected = con.execute(ORACLES["important_parts"]).fetchall()
+    assert [(r.partkey, round(r.part_value, 6)) for r in rows] == [
+        (k, round(v, 6)) for k, v in expected
+    ]
+
+
+def test_priority_line_counts_partition(spark, sf_dir):
+    rows = run(spark, sf_dir, "priority_line_counts").collect()
+    assert {r.returnflag for r in rows} <= {"A", "N", "R"}
+    assert all(r.high_line_count >= 0 and r.low_line_count >= 0 for r in rows)
+    assert sum(r.high_line_count + r.low_line_count for r in rows) > 0
+
+
+def test_customer_order_distribution_total(spark, sf_dir):
+    from pyspark_graph_spark.sources.tables import load_table
+
+    rows = run(spark, sf_dir, "customer_order_distribution").collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    # every customer lands in exactly one count bucket (left join keeps 0s)
+    assert sum(r.custdist for r in rows) == n_cust
+    dists = [r.custdist for r in rows]
+    assert dists == sorted(dists, reverse=True)
+
+
+def test_dominant_suppliers_sorted_unique(spark, sf_dir):
+    rows = run(spark, sf_dir, "dominant_suppliers").collect()
+    names = [r.name for r in rows]
+    assert names == sorted(names)
+    assert len(set(names)) == len(names)
