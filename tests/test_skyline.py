@@ -1,0 +1,86 @@
+"""Skyline2D: brute-force parity, direction flags, duplicates, empty."""
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_graph_spark.operators.skyline import Skyline2D
+
+
+def brute_skyline(points, minimize_x, minimize_y):
+    """O(n²) reference: distinct pairs not dominated by any other pair."""
+    from collections import Counter
+
+    counts = Counter(points)
+    pairs = list(counts)
+
+    def better(a, b, minimize):  # a at-least-as-good-as b
+        return a <= b if minimize else a >= b
+
+    def strictly(a, b, minimize):
+        return a < b if minimize else a > b
+
+    out = []
+    for s in pairs:
+        dominated = any(
+            better(o[0], s[0], minimize_x)
+            and better(o[1], s[1], minimize_y)
+            and (
+                strictly(o[0], s[0], minimize_x)
+                or strictly(o[1], s[1], minimize_y)
+            )
+            for o in pairs
+            if o != s
+        )
+        if not dominated:
+            out.append((s[0], s[1], counts[s]))
+    return sorted(out)
+
+
+def run_both(spark, points, minimize_x, minimize_y):
+    df = spark.createDataFrame(points, ["x", "y"])
+    got = sorted(
+        (r.x, r.y, r.n_rows)
+        for r in Skyline2D("x", "y", minimize_x, minimize_y).run(df).collect()
+    )
+    assert got == brute_skyline(points, minimize_x, minimize_y)
+
+
+def test_skyline_matches_bruteforce_all_orientations(spark):
+    rng = random.Random(7)
+    points = [
+        (rng.randrange(20), float(rng.randrange(30))) for _ in range(300)
+    ]
+    for mx in (True, False):
+        for my in (True, False):
+            run_both(spark, points, mx, my)
+
+
+def test_skyline_counts_duplicates(spark):
+    points = [(1, 5.0), (1, 5.0), (2, 3.0), (3, 3.0), (2, 9.0)]
+    df = spark.createDataFrame(points, ["x", "y"])
+    got = sorted(
+        (r.x, r.y, r.n_rows)
+        for r in Skyline2D("x", "y", True, True).run(df).collect()
+    )
+    # (1,5) kept twice-counted; (2,3) beats (3,3) and (2,9)
+    assert got == [(1, 5.0, 2), (2, 3.0, 1)]
+
+
+def test_skyline_single_point_and_empty(spark):
+    df = spark.createDataFrame([(4, 2.0)], ["x", "y"])
+    assert [
+        (r.x, r.y, r.n_rows)
+        for r in Skyline2D("x", "y", True, True).run(df).collect()
+    ] == [(4, 2.0, 1)]
+    empty = df.filter("x < 0")
+    assert Skyline2D("x", "y", True, True).run(empty).count() == 0
+
+
+def test_skyline_preserves_dtypes(spark):
+    df = spark.createDataFrame([(4, 2.0), (1, 9.0)], ["x", "y"])
+    out = Skyline2D("x", "y", False, True).run(df)
+    dt = dict(out.dtypes)
+    assert dt["x"] == "bigint" and dt["y"] == "double"
