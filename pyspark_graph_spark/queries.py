@@ -12715,9 +12715,9 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   waiting_suppliers, heaps_law, token_zipf_fit, ann_recall,
 #   stratified_sample, vertex_annotation, party_union,
 #   min_cost_supplier, important_parts, priority_line_counts,
-#   customer_order_distribution, dominant_suppliers
-# 20 + 21 = 41 never-driver-verified after r05 — all fit in round 6's
-# 50-query window, closing the gate at 241/241 distinct.
+#   customer_order_distribution, dominant_suppliers, skyline_parts
+# 20 + 22 = 42 never-driver-verified after r05 — all fit in round 6's
+# 50-query window, closing the gate at 242/242 distinct.
 GATE_PRIORITY: list[str] = [
     "set_similarity_join",
     "bloom_membership",
