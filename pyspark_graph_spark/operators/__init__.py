@@ -16,6 +16,7 @@ from pyspark_graph_spark.operators.katz import KatzIndex
 from pyspark_graph_spark.operators.link_prediction import LinkPrediction
 from pyspark_graph_spark.operators.kcore import KCore, core_numbers
 from pyspark_graph_spark.operators.mis import MaximalIndependentSet, greedy_coloring
+from pyspark_graph_spark.operators.matching import MaximalMatching
 from pyspark_graph_spark.operators.bipartite import BipartiteCheck
 from pyspark_graph_spark.operators.dag import TopologicalLayers
 from pyspark_graph_spark.operators.mst import BoruvkaMST
@@ -65,6 +66,7 @@ __all__ = [
     "LabelPropagation",
     "LinkPrediction",
     "LocalClusteringCoefficient",
+    "MaximalMatching",
     "attribute_assortativity",
     "conductance",
     "MaximalIndependentSet",

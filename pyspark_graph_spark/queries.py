@@ -12628,6 +12628,48 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "maximal_matching",
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS matching_violations,
+       CAST(0 AS BIGINT) AS maximality_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM supplier
+""",
+)
+def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel greedy maximal matching on the supplier co-occurrence
+    graph (operators/matching.py — fixed xxhash64 edge priorities, so
+    the peeling fixpoint equals sequential greedy, proved edge-for-edge
+    in test_matching.py). Like `maximal_independent_set`, the matching
+    itself is not SQL-derivable but its DEFINING invariants are exactly
+    checkable: vertex-disjointness (no vertex in two matched edges —
+    must be 0) and maximality (no graph edge with both endpoints
+    unmatched — must be 0), plus the vertex count anchor the oracle
+    reads from the base table. All computed distributively, no collect."""
+    from pyspark_graph_spark.operators import MaximalMatching
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    m = MaximalMatching().run(g).localCheckpoint()
+    mv = (
+        m.select(F.col(SRC).alias(ID))
+        .unionByName(m.select(F.col(DST).alias(ID)))
+    )
+    viol = mv.groupBy(ID).agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") > 1
+    ).agg(F.count(F.lit(1)).alias("matching_violations"))
+    base = g.edges.select(SRC, DST)
+    uncovered = (
+        base.join(
+            mv.distinct().withColumnRenamed(ID, SRC), on=SRC, how="anti"
+        )
+        .join(mv.distinct().withColumnRenamed(ID, DST), on=DST, how="anti")
+        .agg(F.count(F.lit(1)).alias("maximality_violations"))
+    )
+    nverts = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return viol.crossJoin(uncovered).crossJoin(nverts)
+
+
+@query(
     "skyline_parts",
     oracle="""
 WITH pairs AS (
@@ -12715,9 +12757,10 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   waiting_suppliers, heaps_law, token_zipf_fit, ann_recall,
 #   stratified_sample, vertex_annotation, party_union,
 #   min_cost_supplier, important_parts, priority_line_counts,
-#   customer_order_distribution, dominant_suppliers, skyline_parts
-# 20 + 22 = 42 never-driver-verified after r05 — all fit in round 6's
-# 50-query window, closing the gate at 242/242 distinct.
+#   customer_order_distribution, dominant_suppliers, maximal_matching,
+#   skyline_parts
+# 20 + 23 = 43 never-driver-verified after r05 — all fit in round 6's
+# 50-query window, closing the gate at 243/243 distinct.
 GATE_PRIORITY: list[str] = [
     "set_similarity_join",
     "bloom_membership",

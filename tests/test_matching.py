@@ -1,0 +1,86 @@
+"""MaximalMatching: exact equivalence with sequential greedy + invariants."""
+
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark import Graph
+from pyspark_graph_spark.constants import DST, SRC
+from pyspark_graph_spark.operators import MaximalMatching
+
+from fixtures import sample1, sample2, two_components
+
+
+def canonical_edges_with_priority(g, seed=0):
+    base = g.edges.select(SRC, DST)
+    return (
+        base.unionByName(
+            base.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        )
+        .filter(F.col(SRC) < F.col(DST))
+        .distinct()
+        .withColumn("p", F.xxhash64(F.col(SRC), F.col(DST), F.lit(seed)))
+    )
+
+
+def sequential_greedy(prio_rows):
+    """Greedy matching over edges in ascending (p, src, dst) order —
+    the exact fixpoint the parallel peeling must reproduce."""
+    matched_v, matched_e = set(), set()
+    for p, s, d in sorted(prio_rows):
+        if s not in matched_v and d not in matched_v:
+            matched_v.update((s, d))
+            matched_e.add((s, d))
+    return matched_e
+
+
+def assert_equals_greedy(spark, g):
+    prio = [
+        (r.p, r[SRC], r[DST])
+        for r in canonical_edges_with_priority(g).collect()
+    ]
+    expected = sequential_greedy(prio)
+    got = {(r[SRC], r[DST]) for r in MaximalMatching().run(g).collect()}
+    assert got == expected
+
+
+def test_matching_equals_sequential_greedy_fixtures(spark):
+    for fix in (sample1, sample2, two_components):
+        assert_equals_greedy(spark, fix(spark, directed=False))
+
+
+def test_matching_equals_sequential_greedy_random(spark):
+    rng = random.Random(11)
+    edges = list(
+        {
+            (rng.randrange(40), rng.randrange(40))
+            for _ in range(160)
+        }
+    )
+    v = spark.createDataFrame([(i,) for i in range(40)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = Graph(v, e, directed=False)
+    assert_equals_greedy(spark, g)
+
+
+def test_matching_invariants(spark):
+    g = sample1(spark, directed=False)
+    m = MaximalMatching().run(g).collect()
+    # vertex-disjoint: no vertex in two matched edges
+    verts = [x for r in m for x in (r[SRC], r[DST])]
+    assert len(verts) == len(set(verts))
+    # maximal: every graph edge touches a matched vertex
+    mv = set(verts)
+    base = g.edges.select(SRC, DST).collect()
+    assert all(r[SRC] in mv or r[DST] in mv for r in base)
+
+
+def test_matching_empty_graph(spark):
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([], "src long, dst long")
+    g = Graph(v, e, directed=False)
+    assert MaximalMatching().run(g).count() == 0
