@@ -31,23 +31,45 @@ from pyspark_graph_spark.graph import Graph
 
 
 class MaximalMatching:
-    """``run(g)`` returns the matched edge set (src, dst), src < dst."""
+    """``run(g)`` returns the matched edge set (src, dst), src < dst.
 
-    def __init__(self, max_iterations: int = 60, seed: int = 0):
+    With ``weight_col``, priorities order by DESCENDING weight first
+    (hash tie-break) — the peeling fixpoint is then sequential greedy
+    by weight, the classic 1/2-approximation of maximum-weight
+    matching (Avis 1983); without it, an unweighted maximal matching
+    (2-approximation of minimum vertex cover).
+    """
+
+    def __init__(
+        self,
+        max_iterations: int = 60,
+        seed: int = 0,
+        weight_col: str | None = None,
+    ):
         self.max_iterations = max_iterations
         self.seed = seed
+        self.weight_col = weight_col
 
     def run(self, g: Graph) -> DataFrame:
-        base = g.edges.select(SRC, DST)
+        w = self.weight_col
+        base = g.edges.select(SRC, DST, *([w] if w else []))
         edges = (
             base.unionByName(
-                base.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+                base.select(
+                    F.col(DST).alias(SRC),
+                    F.col(SRC).alias(DST),
+                    *([w] if w else []),
+                )
             )
             .filter(F.col(SRC) < F.col(DST))
             .distinct()
             .withColumn(
                 "__p",
                 F.xxhash64(F.col(SRC), F.col(DST), F.lit(self.seed)),
+            )
+            .withColumn(
+                "__np",
+                -F.col(w).cast("double") if w else F.lit(0.0),
             )
             .localCheckpoint()
         )
@@ -57,7 +79,9 @@ class MaximalMatching:
         for _ in range(self.max_iterations):
             if edges.isEmpty():
                 return matched
-            key = F.struct(F.col("__p"), F.col(SRC), F.col(DST)).alias("__k")
+            key = F.struct(
+                F.col("__np"), F.col("__p"), F.col(SRC), F.col(DST)
+            ).alias("__k")
             inc = edges.select(F.col(SRC).alias("__v"), key).unionByName(
                 edges.select(F.col(DST).alias("__v"), key)
             )

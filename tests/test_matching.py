@@ -84,3 +84,36 @@ def test_matching_empty_graph(spark):
     e = spark.createDataFrame([], "src long, dst long")
     g = Graph(v, e, directed=False)
     assert MaximalMatching().run(g).count() == 0
+
+
+def test_weighted_matching_equals_sequential_greedy_by_weight(spark):
+    rng = random.Random(23)
+    edges = list(
+        {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    )
+    weighted = [(s, d, float(rng.randrange(1, 9))) for s, d in edges]
+    v = spark.createDataFrame([(i,) for i in range(30)], ["id"])
+    e = spark.createDataFrame(weighted, ["src", "dst", "w"])
+    g = Graph(v, e, directed=False)
+    # replay: canonicalize + priorities exactly as the operator does
+    base = g.edges.select(SRC, DST, "w")
+    prio = (
+        base.unionByName(
+            base.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), "w")
+        )
+        .filter(F.col(SRC) < F.col(DST))
+        .distinct()
+        .withColumn("p", F.xxhash64(F.col(SRC), F.col(DST), F.lit(0)))
+        .collect()
+    )
+    order = sorted((-r.w, r.p, r[SRC], r[DST]) for r in prio)
+    matched_v, expected = set(), set()
+    for _, _, s, d in order:
+        if s not in matched_v and d not in matched_v:
+            matched_v.update((s, d))
+            expected.add((s, d))
+    got = {
+        (r[SRC], r[DST])
+        for r in MaximalMatching(weight_col="w").run(g).collect()
+    }
+    assert got == expected
