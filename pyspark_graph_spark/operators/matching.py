@@ -128,3 +128,53 @@ class MaximalMatching:
             f"max_iterations={self.max_iterations}; rounds are O(log n) "
             "w.h.p. — raise the budget for adversarial graphs"
         )
+
+
+def coarsen(g: Graph, matching: DataFrame) -> tuple[Graph, DataFrame]:
+    """Contract a matching into a supervertex graph — the multilevel
+    partitioner's coarsening step (Karypis & Kumar, METIS).
+
+    Each matched pair collapses to its smaller endpoint id; unmatched
+    vertices map to themselves. Returns ``(coarse_graph, mapping)`` with
+    ``mapping`` = (id, super) rows for EVERY input vertex. Coarse edges
+    are the contracted distinct pairs with a ``weight`` column counting
+    the parallel originals (so repeated coarsening preserves cut sizes);
+    self-loops (intra-pair edges) drop. One broadcast-sized join against
+    the matching (|M| ≤ |V|/2 rows), one contraction aggregate —
+    |V(coarse)| = |V| − |M| by construction, which the tests pin."""
+    pair_map = matching.select(
+        F.col(SRC).alias(ID), F.least(SRC, DST).alias("super")
+    ).unionByName(
+        matching.select(
+            F.col(DST).alias(ID), F.least(SRC, DST).alias("super")
+        )
+    )
+    mapping = (
+        g.vertices.select(ID)
+        .join(pair_map, on=ID, how="left")
+        .select(ID, F.coalesce("super", F.col(ID)).alias("super"))
+        .localCheckpoint()
+    )
+    base = g.edges.select(SRC, DST)
+    contracted = (
+        base.join(
+            mapping.withColumnsRenamed({ID: SRC, "super": "__ss"}), on=SRC
+        )
+        .join(
+            mapping.withColumnsRenamed({ID: DST, "super": "__sd"}), on=DST
+        )
+        .select(
+            F.least("__ss", "__sd").alias(SRC),
+            F.greatest("__ss", "__sd").alias(DST),
+        )
+        .filter(F.col(SRC) != F.col(DST))
+        .groupBy(SRC, DST)
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    coarse_vertices = mapping.select(
+        F.col("super").alias(ID)
+    ).distinct()
+    return (
+        Graph(coarse_vertices, contracted, directed=False, indexed=True),
+        mapping,
+    )

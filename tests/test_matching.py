@@ -117,3 +117,25 @@ def test_weighted_matching_equals_sequential_greedy_by_weight(spark):
         for r in MaximalMatching(weight_col="w").run(g).collect()
     }
     assert got == expected
+
+
+def test_coarsen_matching_contraction(spark):
+    from pyspark_graph_spark.operators.matching import coarsen
+
+    g = sample2(spark, directed=False)
+    m = MaximalMatching().run(g)
+    n_matched = m.count()
+    coarse, mapping = coarsen(g, m)
+    # |V(coarse)| = |V| - |M| exactly
+    assert coarse.vertices.count() == g.vertices.count() - n_matched
+    # every input vertex mapped exactly once
+    assert mapping.count() == g.vertices.count()
+    assert mapping.select("id").distinct().count() == g.vertices.count()
+    rows = coarse.edges.collect()
+    # no self loops; canonical order; weights count parallel originals
+    assert all(r.src < r.dst for r in rows)
+    total_weight = sum(r.weight for r in rows)
+    sup = {r.id: r.super for r in mapping.collect()}
+    base = g.edges.select("src", "dst").collect()
+    crossing = [r for r in base if sup[r.src] != sup[r.dst]]
+    assert total_weight == len(crossing)
