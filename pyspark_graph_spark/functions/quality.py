@@ -103,8 +103,10 @@ def vocab_coverage(
 
     ``coverage`` = occurrences of the k most frequent terms / all
     occurrences (ties broken by term for determinism).  The vocabulary
-    aggregate is the only shuffle; the rank window runs over vocab-sized
-    data, not the corpus.
+    aggregate is the only shuffle; only ranks <= max(ks) matter for
+    coverage, so the rank window runs over a TakeOrdered top-max(k)
+    slice (k rows in one partition), never the full vocabulary — at
+    corpus scale the vocab itself can be billions of junk tokens.
     """
     if not ks or any(k < 1 for k in ks):
         raise ValueError("ks must be positive")
@@ -114,10 +116,12 @@ def vocab_coverage(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))
-    ranked = tf.select(
-        "term", "cnt", F.row_number().over(w).alias("rank")
+    ranked = (
+        tf.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(max(ks))
+        .select("term", "cnt", F.row_number().over(w).alias("rank"))
     )
-    totals = ranked.agg(
+    totals = tf.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab_size")
     )
     out = None

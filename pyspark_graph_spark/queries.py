@@ -12627,6 +12627,30 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MATCHING_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _supplier_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching of the supplier co-occurrence graph,
+    computed once per Spark application + sf_dir and persisted — both
+    `maximal_matching` (invariant audit) and `graph_coarsen` (contraction)
+    consume the identical ~19 s peel, the same suite-level sharing the
+    CDC cluster table applies. Latest-entry eviction mirrors _CDC_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _MATCHING_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark_graph_spark.operators import MaximalMatching
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    m = MaximalMatching().run(g).persist()
+    for old_key in list(_MATCHING_CACHE):
+        if old_key != key:
+            _MATCHING_CACHE.pop(old_key).unpersist()
+    _MATCHING_CACHE[key] = m
+    return m
+
+
 @query(
     "maximal_matching",
     oracle="""
@@ -12645,11 +12669,11 @@ def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkable: vertex-disjointness (no vertex in two matched edges —
     must be 0) and maximality (no graph edge with both endpoints
     unmatched — must be 0), plus the vertex count anchor the oracle
-    reads from the base table. All computed distributively, no collect."""
-    from pyspark_graph_spark.operators import MaximalMatching
-
+    reads from the base table. All computed distributively, no collect.
+    The matching itself comes from the shared per-application cache
+    (_supplier_matching) that `graph_coarsen` also consumes."""
     g = supplier_co_occurrence_graph(spark, sf_dir)
-    m = MaximalMatching().run(g).localCheckpoint()
+    m = _supplier_matching(spark, sf_dir)
     mv = (
         m.select(F.col(SRC).alias(ID))
         .unionByName(m.select(F.col(DST).alias(ID)))
@@ -12715,6 +12739,84 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("size")
 
 
+@query(
+    "graph_coarsen",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(0 AS BIGINT) AS vertex_defect,
+       CAST(0 AS BIGINT) AS mapping_defect,
+       CAST(0 AS BIGINT) AS edge_defect
+FROM supplier
+""",
+)
+def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One multilevel coarsening step (Karypis & Kumar, METIS): contract
+    a maximal matching of the supplier co-occurrence graph into
+    supervertices, verified by construction invariants the oracle pins
+    to zero — |V(coarse)| = |V| − |M| (every matched pair collapses to
+    one supervertex, nothing else merges), the vertex→super mapping is
+    total and functional (|mapping| = |V|, one super per id), and the
+    coarse edge weights conserve exactly the cross-super fine edges
+    (Σ weight = fine edges whose endpoints land in different supers;
+    intra-pair edges drop as self-loops). Like `maximal_matching`, the
+    exact invariant recomputation IS the query — a defect in the peel,
+    the contraction joins, or the weight aggregate breaks a zero. The
+    matching comes from the shared per-application cache
+    (_supplier_matching), so the ~19 s peel is paid once across both
+    its consumers."""
+    from pyspark_graph_spark.operators.matching import coarsen
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    m = _supplier_matching(spark, sf_dir)
+    cg, mapping = coarsen(g, m)
+
+    nf = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
+    nm = m.agg(F.count(F.lit(1)).alias("__m"))
+    nc = cg.vertices.agg(F.count(F.lit(1)).alias("__c"))
+    mp = mapping.agg(
+        F.count(F.lit(1)).alias("__mp"),
+        F.count_distinct(ID).alias("__mpd"),
+    )
+    ew = cg.edges.agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("__w")
+    )
+    cross = (
+        g.edges.select(SRC, DST)
+        .join(
+            mapping.withColumnsRenamed({ID: SRC, "super": "__ss"}),
+            on=SRC,
+        )
+        .join(
+            mapping.withColumnsRenamed({ID: DST, "super": "__sd"}),
+            on=DST,
+        )
+        .filter(F.col("__ss") != F.col("__sd"))
+        .agg(F.count(F.lit(1)).alias("__x"))
+    )
+    return (
+        nf.crossJoin(nm)
+        .crossJoin(nc)
+        .crossJoin(mp)
+        .crossJoin(ew)
+        .crossJoin(cross)
+        .select(
+            "n_vertices",
+            (
+                F.col("__c") - (F.col("n_vertices") - F.col("__m"))
+            )
+            .cast("long")
+            .alias("vertex_defect"),
+            (
+                F.abs(F.col("__mp") - F.col("n_vertices"))
+                + F.abs(F.col("__mpd") - F.col("n_vertices"))
+            )
+            .cast("long")
+            .alias("mapping_defect"),
+            (F.col("__w") - F.col("__x")).cast("long").alias("edge_defect"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver gate ordering (round 5)
 # ---------------------------------------------------------------------------
@@ -12758,9 +12860,9 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   stratified_sample, vertex_annotation, party_union,
 #   min_cost_supplier, important_parts, priority_line_counts,
 #   customer_order_distribution, dominant_suppliers, maximal_matching,
-#   skyline_parts
-# 20 + 23 = 43 never-driver-verified after r05 — all fit in round 6's
-# 50-query window, closing the gate at 243/243 distinct.
+#   skyline_parts, graph_coarsen
+# 20 + 24 = 44 never-driver-verified after r05 — all fit in round 6's
+# 50-query window, closing the gate at 244/244 distinct.
 GATE_PRIORITY: list[str] = [
     "set_similarity_join",
     "bloom_membership",

@@ -142,3 +142,54 @@ def test_cdc_cache_bounded_to_one_entry(spark):
     assert a.storageLevel.useMemory is False
     b.unpersist()
     Q._CDC_CACHE.clear()
+
+
+# ---------------------------------------------------------------------------
+# plan_audit: global-window detection — an empty partition spec is the
+# single-partition scale-killer; a partitioned window is not
+# ---------------------------------------------------------------------------
+
+def test_count_global_windows_detects_unpartitioned(spark):
+    from pyspark.sql import Window
+
+    from tools.plan_audit import count_global_windows
+
+    df = spark.range(100).select(
+        "id", F.row_number().over(Window.orderBy("id")).alias("r")
+    )
+    assert count_global_windows(df._jdf.queryExecution()) == 1
+
+
+def test_count_global_windows_ignores_partitioned(spark):
+    from pyspark.sql import Window
+
+    from tools.plan_audit import count_global_windows
+
+    df = spark.range(100).select(
+        "id",
+        (F.col("id") % 7).alias("p"),
+    ).select(
+        "id",
+        F.row_number()
+        .over(Window.partitionBy("p").orderBy("id"))
+        .alias("r"),
+    )
+    assert count_global_windows(df._jdf.queryExecution()) == 0
+
+
+def test_vocab_coverage_window_is_limit_bounded(spark):
+    """The rank window must run over a TakeOrdered top-max(ks) slice,
+    not the full vocabulary (the round-5 single-partition-window fix):
+    the physical plan keeps a global window (over max(ks) rows) but a
+    TakeOrderedAndProject must sit below it in every branch."""
+    from pyspark_graph_spark.functions.quality import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("w x y z w x y w x w",)], ["text"]
+    )
+    plan = vocab_coverage(df, [2, 3])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan

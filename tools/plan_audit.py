@@ -10,6 +10,10 @@ Flags:
 - BatchEvalPython           — row-at-a-time Python UDF in the plan
                               (Arrow-batched ArrowEvalPython / MapInPandas
                               / FlatMapGroupsInPandas are fine)
+- GlobalWindow              — a WindowExec with an EMPTY partition spec
+                              moves ALL its input to one partition; allowed
+                              only over aggregate-sized/limit-bounded input
+                              (adjudicated per query, like BNLJ)
 
 Usage: python tools/plan_audit.py [query ...]   (default: all)
 Exit 1 if any query trips a flag. Writes PLAN_AUDIT.md next to the repo
@@ -99,6 +103,65 @@ BROADCAST_ROW_BOUNDS: dict[str, int] = {
     "ann_topk_ivf": 64,     # nlist=16 IVF centroids + query points
     "ann_recall": 64,       # the 10 query points (both ranking paths)
 }
+
+
+# A WindowExec with no partition spec funnels its entire input through ONE
+# partition — a scale-killer when the input is corpus-sized.  It is fine
+# (and idiomatic) when the window's input is bounded by construction: a
+# distinct-value histogram (degrees, event days, Kaplan-Meier time points),
+# a TakeOrdered top-k slice, or a per-bucket offset table.  Same contract
+# as ADJUDICATED_BOUNDED: (max_global_windows, reason), per-NODE counted,
+# so a regression that adds MORE global windows than adjudicated re-flags.
+GLOBAL_WINDOW_BOUNDED: dict[str, tuple[int, str]] = {
+    "sorted_neighborhood": (2, "per-bucket offset tables (|buckets| rows, "
+    "already broadcast by the same bound) for the fwd + reversed-key "
+    "passes (dedup/blocking.py _global_rank)"),
+    "survival_curve": (2, "Kaplan-Meier at-risk + product windows run on "
+    "the distinct-event-time aggregate, bounded by time resolution "
+    "(functions/stats.py)"),
+    "changepoint": (1, "CUSUM over the daily aggregate series — bounded "
+    "by days in the observation window"),
+    "seasonal_decompose": (1, "centered moving average over the daily "
+    "series — days-bounded"),
+    "seasonality_strength": (1, "same daily-series moving average"),
+    "kmeans": (1, "seed-centroid rank over a TakeOrdered limit(k) slice"),
+    "kmeans_purity": (1, "seed-centroid rank over limit(k)"),
+    "semdedup": (1, "seed-centroid rank over limit(k)"),
+    "pq_codes": (4, "per-subspace (m=4) codebook seed ranks, each over a "
+    "limit(2^nbits) slice"),
+    "pq_adc_topk": (8, "per-subspace seed ranks x train+search consumer "
+    "paths, each limit(2^nbits)-bounded"),
+    "skew_report": (1, "rank over the TakeOrdered top-k slice "
+    "(functions/mixture.py skew_report)"),
+    "histogram_quantiles": (3, "cumulative sums over the |bins| "
+    "histogram aggregate"),
+    "vocab_coverage": (3, "rank over the TakeOrdered top-max(ks) slice, "
+    "one window node per requested-k union branch (fixed this round: "
+    "previously ranked the full vocabulary)"),
+    "degree_ccdf": (1, "running sum over the distinct-degree histogram, "
+    "bounded by max degree"),
+    "heaps_law": (3, "per-bucket offset rank (|buckets| rows) + "
+    "cumulative windows over the 10-row prefix-bucket table"),
+    "token_zipf_fit": (1, "rank over the TakeOrdered top-500 slice"),
+    "skyline_parts": (1, "running min over the batch-prefiltered Pareto "
+    "survivor set (operators/skyline.py)"),
+}
+
+_WINDOW_EXEC_CLASSES = {
+    "WindowExec",
+    "WindowInPandasExec",
+    "WindowGroupLimitExec",
+}
+
+
+def count_global_windows(qe) -> int:
+    """Number of Window physical nodes with an empty partition spec in
+    the (pre-AQE) selected physical plan."""
+    n = 0
+    for node, cls in _walk_exec(qe.sparkPlan()):
+        if cls in _WINDOW_EXEC_CLASSES and node.partitionSpec().isEmpty():
+            n += 1
+    return n
 
 
 def _walk_exec(node):
@@ -213,12 +276,28 @@ def main() -> None:
         t0 = time.time()
         try:
             df = QUERIES[name](spark, SF_DIR)
-            plan = df._jdf.queryExecution().explainString(
+            qe = df._jdf.queryExecution()
+            plan = qe.explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "simple"
                 )
             )
             flags = audit_plan(plan, query=name)
+            gw = count_global_windows(qe)
+            if gw:
+                adjudicated = GLOBAL_WINDOW_BOUNDED.get(name)
+                if adjudicated is not None and gw <= adjudicated[0]:
+                    flags.append(
+                        f"global-window-bounded (x{gw}<=x{adjudicated[0]}): "
+                        f"{adjudicated[1]}"
+                    )
+                elif adjudicated is not None:
+                    flags.append(
+                        f"GlobalWindow(single-partition x{gw} EXCEEDS "
+                        f"adjudicated x{adjudicated[0]})"
+                    )
+                else:
+                    flags.append(f"GlobalWindow(single-partition x{gw})")
         except Exception as e:  # noqa: BLE001 - report, keep auditing
             flags = [f"EXPLAIN-ERROR: {e}"]
         if name in BROADCAST_ROW_BOUNDS and not any(
@@ -244,7 +323,13 @@ def main() -> None:
         hard = [
             f
             for f in flags
-            if not f.startswith(("bounded-by-construction", "bounded-verified"))
+            if not f.startswith(
+                (
+                    "bounded-by-construction",
+                    "bounded-verified",
+                    "global-window-bounded",
+                )
+            )
         ]
         if hard:
             bad += 1
@@ -262,12 +347,16 @@ def main() -> None:
             f"Audited {len(rows)} queries at {SF_DIR} "
             "(`python tools/plan_audit.py`). Flags: CartesianProduct, "
             "row-at-a-time BatchEvalPython, non-singleton "
-            "BroadcastNestedLoopJoin.\n\n"
+            "BroadcastNestedLoopJoin, single-partition GlobalWindow.\n\n"
             "A `bounded-by-construction` row is a BroadcastNestedLoopJoin "
             "whose build side is bounded by model hyperparameters or a "
             "size-aware strategy selector rather than plan syntax — "
             "adjudicated in tools/plan_audit.py ADJUDICATED_BOUNDED, not "
-            "silently passed.\n\n"
+            "silently passed. A `global-window-bounded` row is a "
+            "no-partition-spec Window whose input is aggregate-sized or "
+            "limit-bounded by construction (distinct-value histograms, "
+            "top-k slices, per-bucket offset tables) — adjudicated in "
+            "GLOBAL_WINDOW_BOUNDED with the same per-node count contract.\n\n"
             "| query | plan contract |\n|---|---|\n"
         )
         for name, status, _ in rows:
