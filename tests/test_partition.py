@@ -1,0 +1,131 @@
+"""MultilevelPartition: coverage, balance (Graham bound), cut reporting,
+stall contract."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark_graph_spark.constants import DST, ID, SRC
+from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.operators.partition import (
+    MultilevelPartition,
+    partition_report,
+)
+
+
+def _graph(spark, n, edges):
+    v = spark.createDataFrame([(i,) for i in range(n)], f"{ID} long")
+    e = spark.createDataFrame(edges, f"{SRC} long, {DST} long")
+    return Graph(v, e, directed=False, indexed=True)
+
+
+def _path(spark, n):
+    return _graph(spark, n, [(i, i + 1) for i in range(n - 1)])
+
+
+def test_every_vertex_gets_exactly_one_part(spark):
+    g = _path(spark, 16)
+    parts = MultilevelPartition(k=3, max_coarse=4, seed=1).run(g)
+    rows = parts.collect()
+    assert sorted(r[ID] for r in rows) == list(range(16))
+    assert all(0 <= r.part < 3 for r in rows)
+
+
+def test_all_k_parts_used_when_enough_supervertices(spark):
+    # greedy fills empty bins first, so parts_used = min(k, n_coarsest)
+    g = _path(spark, 16)
+    parts = MultilevelPartition(k=4, max_coarse=4).run(g)
+    n_super = parts.select("super").distinct().count()
+    assert parts.select("part").distinct().count() == min(4, n_super)
+    # and with a coarsest level guaranteed >= k (halving can't jump from
+    # >8 below 5), all 4 parts must be used
+    parts8 = MultilevelPartition(k=4, max_coarse=8).run(g)
+    assert parts8.select("part").distinct().count() == 4
+
+
+def test_graham_balance_bound(spark):
+    # two dense blobs + a path tail: skewed supervertex sizes
+    edges = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+        + [(i, i + 1) for i in range(10, 19)]
+        + [(4, 5), (9, 10)]
+    )
+    g = _graph(spark, 20, edges)
+    k = 3
+    parts = MultilevelPartition(k=k, max_coarse=6, seed=2).run(g)
+    sizes = {
+        r.part: r.c
+        for r in parts.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    max_super = (
+        parts.groupBy("super")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("m"))
+        .collect()[0]
+        .m
+    )
+    bound = 20 / k + max_super
+    assert all(s <= bound for s in sizes.values())
+
+
+def test_partition_report_invariants_and_cut(spark):
+    g = _path(spark, 8)
+    parts = MultilevelPartition(k=2, max_coarse=2).run(g)
+    rep = partition_report(g, parts.select(ID, "part")).collect()[0]
+    assert rep.assign_defect == 0
+    assert rep.k_defect == 0
+    # a connected path split into 2 nonempty parts must cut >= 1 edge
+    assert rep.cut_edges >= 1
+
+
+def test_no_coarsening_when_already_small(spark):
+    g = _path(spark, 6)
+    parts = MultilevelPartition(k=2, max_coarse=100).run(g)
+    # supers are the vertices themselves: no contraction happened
+    assert parts.filter(F.col(ID) != F.col("super")).count() == 0
+    assert parts.count() == 6
+
+
+def test_isolated_residue_raises_when_over_batch(spark):
+    g = _graph(spark, 6, [])  # no edges: nothing contractible
+    with pytest.raises(ValueError, match="stalled"):
+        MultilevelPartition(k=2, max_coarse=2, max_batch=3).run(g)
+
+
+def test_isolated_residue_ok_within_batch(spark):
+    g = _graph(spark, 6, [])
+    parts = MultilevelPartition(k=2, max_coarse=2, max_batch=10).run(g)
+    assert parts.count() == 6
+    sizes = [
+        r.c
+        for r in parts.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert sorted(sizes) == [3, 3]  # unit items pack perfectly
+
+
+def test_k_validation(spark):
+    with pytest.raises(ValueError, match="k must be positive"):
+        MultilevelPartition(k=0)
+
+
+def test_first_matching_reuse_matches_fresh_run(spark):
+    from pyspark_graph_spark.operators.matching import MaximalMatching
+
+    g = _path(spark, 16)
+    m0 = MaximalMatching(seed=0).run(g)
+    a = MultilevelPartition(k=2, max_coarse=4, seed=0).run(g)
+    b = MultilevelPartition(
+        k=2, max_coarse=4, seed=0, first_matching=m0
+    ).run(g)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
