@@ -74,11 +74,21 @@ class MaximalMatching:
             .localCheckpoint()
         )
         spark = edges.sparkSession
-        matched = spark.createDataFrame([], f"{SRC} long, {DST} long")
+        # per-round winner frames, unioned ONCE after the loop — a running
+        # matched-union checkpoint would cost one extra job per round
+        rounds: list[DataFrame] = []
+
+        def _merged() -> DataFrame:
+            out = spark.createDataFrame([], f"{SRC} long, {DST} long")
+            for w_df in rounds:
+                out = out.unionByName(w_df)
+            # the union stacks every round's checkpointed partitions;
+            # narrow-coalesce so consumers see one frame's worth of tasks
+            return out.coalesce(spark.sparkContext.defaultParallelism)
 
         for _ in range(self.max_iterations):
             if edges.isEmpty():
-                return matched
+                return _merged()
             key = F.struct(
                 F.col("__np"), F.col("__p"), F.col(SRC), F.col(DST)
             ).alias("__k")
@@ -107,7 +117,7 @@ class MaximalMatching:
                 .select(SRC, DST)
                 .localCheckpoint()
             )
-            matched = matched.unionByName(winners).localCheckpoint()
+            rounds.append(winners)
             mv = (
                 winners.select(F.col(SRC).alias(ID))
                 .unionByName(winners.select(F.col(DST).alias(ID)))
