@@ -48,7 +48,10 @@ class MultilevelPartition:
         self,
         k: int = 4,
         max_coarse: int = 256,
-        max_levels: int = 12,
+        # levels needed grow as log(n/max_coarse) with a ~0.55-0.6 per-level
+        # shrink factor (matchings are maximal, not perfect): 30 covers any
+        # realistic n; extra iterations cost nothing once below max_coarse
+        max_levels: int = 30,
         max_batch: int = 100_000,
         seed: int = 0,
         first_matching: DataFrame | None = None,
@@ -127,6 +130,140 @@ class MultilevelPartition:
         return comp.join(F.broadcast(assigned), on="super").select(
             ID, "part", "super"
         )
+
+
+def refine(
+    g: Graph,
+    parts: DataFrame,
+    k: int,
+    cap: "int | DataFrame",
+    rounds: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """Boundary refinement with PROVABLE monotone cut improvement — the
+    FM-flavored quality pass on top of MultilevelPartition.
+
+    Per round: every vertex scores each part by neighbor count; positive-
+    gain candidates (best other part beats own part) are thinned to a
+    Luby-style independent set — a candidate survives only if no NEIGHBOR
+    candidate carries a strictly greater (gain, hash, id) key — and then
+    capped per target part so no part exceeds ``cap`` vertices. Because
+    accepted movers are pairwise non-adjacent, each move's gain is exact
+    against the frozen assignment of its neighbors and gains are additive:
+    the cut strictly decreases by the sum of accepted gains, every round,
+    by construction (the gate query pins cut_after <= cut_before as a
+    zero-defect invariant, alongside balance <= cap and assignment
+    totality).
+
+    All steps are vertex- or part-keyed joins/aggregates; the only
+    windows are partitioned by target part (k partitions of candidate
+    movers). No driver-side state beyond the round loop.
+    """
+    # cap may be a 1-row DataFrame (single numeric column) so callers can
+    # derive the balance bound distributively, with no driver collect
+    cap_df = (
+        cap.select(F.col(cap.columns[0]).cast("double").alias("__cap"))
+        if isinstance(cap, DataFrame)
+        else None
+    )
+    sym = g.edges.select(SRC, DST).unionByName(
+        g.edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    cur = parts.select(ID, "part").localCheckpoint()
+    for r in range(rounds):
+        nw = (
+            sym.join(
+                cur.select(
+                    F.col(ID).alias(DST), F.col("part").alias("q")
+                ),
+                on=DST,
+            )
+            .groupBy(F.col(SRC).alias(ID), "q")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        own = (
+            cur.join(
+                nw.withColumnRenamed("q", "part"),
+                on=[ID, "part"],
+                how="left",
+            )
+            .select(ID, "part", F.coalesce("w", F.lit(0)).alias("w_own"))
+        )
+        best = (
+            nw.join(cur, on=ID)
+            .filter(F.col("q") != F.col("part"))
+            .groupBy(ID)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("w")).alias("__nw"), F.col("q").alias("to")
+                    )
+                ).alias("__b")
+            )
+            .select(
+                ID,
+                F.col("__b.to").alias("to"),
+                (-F.col("__b.__nw")).alias("w_best"),
+            )
+        )
+        cand = (
+            own.join(best, on=ID)
+            .filter(F.col("w_best") > F.col("w_own"))
+            .select(
+                ID,
+                "part",
+                "to",
+                (F.col("w_best") - F.col("w_own")).alias("gain"),
+                F.xxhash64(F.col(ID), F.lit(seed + r)).alias("__h"),
+            )
+            .localCheckpoint()
+        )
+        if cand.isEmpty():
+            break
+        # Luby selection: drop any candidate with a neighbor candidate of
+        # strictly greater key — survivors are pairwise non-adjacent
+        key = F.struct("gain", "__h", ID)
+        left = cand.select(F.col(ID).alias(SRC), key.alias("__kl"))
+        right = cand.select(F.col(ID).alias(DST), key.alias("__kr"))
+        dominated = (
+            sym.join(left, on=SRC)
+            .join(right, on=DST)
+            .filter(F.col("__kr") > F.col("__kl"))
+            .select(F.col(SRC).alias(ID))
+            .distinct()
+        )
+        indep = cand.join(dominated, on=ID, how="anti")
+        # intake cap per target part (departures only free space next round)
+        sizes = cur.groupBy(F.col("part").alias("to")).agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        from pyspark.sql import Window
+
+        ranked = indep.join(sizes, on="to", how="left").withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("to").orderBy(
+                    F.desc("gain"), F.asc("__h"), F.asc(ID)
+                )
+            ),
+        )
+        load = F.col("__rk") + F.coalesce("__sz", F.lit(0))
+        if cap_df is not None:
+            moves = (
+                ranked.crossJoin(F.broadcast(cap_df))
+                .filter(load.cast("double") <= F.col("__cap"))
+                .select(ID, F.col("to").alias("__new"))
+            )
+        else:
+            moves = ranked.filter(load <= F.lit(cap)).select(
+                ID, F.col("to").alias("__new")
+            )
+        cur = (
+            cur.join(moves, on=ID, how="left")
+            .select(ID, F.coalesce("__new", F.col("part")).alias("part"))
+            .localCheckpoint()
+        )
+    return cur
 
 
 def partition_report(g: Graph, parts: DataFrame) -> DataFrame:

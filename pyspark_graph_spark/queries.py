@@ -12817,6 +12817,38 @@ def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARTITION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _supplier_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel 4-way partition (id, part, super) of the supplier
+    co-occurrence graph, computed once per application + sf_dir and
+    persisted — consumed by `multilevel_partition` (invariant audit) and
+    `partition_refine` (boundary improvement). Same cache contract as
+    _MATCHING_CACHE / _CDC_CACHE."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PARTITION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark_graph_spark.operators.partition import MultilevelPartition
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    parts = (
+        MultilevelPartition(
+            k=4,
+            max_coarse=32,
+            first_matching=_supplier_matching(spark, sf_dir),
+        )
+        .run(g)
+        .persist()
+    )
+    for old_key in list(_PARTITION_CACHE):
+        if old_key != key:
+            _PARTITION_CACHE.pop(old_key).unpersist()
+    _PARTITION_CACHE[key] = parts
+    return parts
+
+
 @query(
     "multilevel_partition",
     oracle="""
@@ -12842,18 +12874,8 @@ def q_multilevel_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     level-0 peel reuses the shared supplier matching cache
     (_supplier_matching, also consumed by maximal_matching and
     graph_coarsen)."""
-    from pyspark_graph_spark.operators.partition import MultilevelPartition
-
     g = supplier_co_occurrence_graph(spark, sf_dir)
-    parts = (
-        MultilevelPartition(
-            k=4,
-            max_coarse=32,
-            first_matching=_supplier_matching(spark, sf_dir),
-        )
-        .run(g)
-        .localCheckpoint()
-    )
+    parts = _supplier_partition(spark, sf_dir)
     nf = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
     per = parts.groupBy(ID).agg(F.count(F.lit(1)).alias("__c"))
     assign = (
@@ -12885,6 +12907,83 @@ def q_multilevel_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("parts_used").cast("long").alias("parts_used"),
             "assign_defect",
             "balance_defect",
+        )
+    )
+
+
+@query(
+    "partition_refine",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(0 AS BIGINT) AS assign_defect,
+       CAST(0 AS BIGINT) AS balance_defect,
+       CAST(0 AS BIGINT) AS cut_increase_defect
+FROM supplier
+""",
+)
+def q_partition_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FM-flavored boundary refinement of the multilevel partition
+    (operators/partition.py refine): positive-gain boundary vertices are
+    thinned to a Luby-style independent set (no two movers adjacent) and
+    capped per target part, so each round's cut decrease equals the sum
+    of accepted gains BY CONSTRUCTION — which makes quality itself an
+    exact invariant. The oracle pins: every vertex still has exactly one
+    part (assign_defect), no part exceeds the same Graham bound the
+    initial assignment guarantees (balance_defect, cap = total/k + max
+    supervertex size), and the refined cut never exceeds the original
+    (cut_increase_defect). Consumes the shared partition + matching
+    caches; two refinement rounds."""
+    from pyspark_graph_spark.operators.partition import (
+        partition_report,
+        refine,
+    )
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    parts = _supplier_partition(spark, sf_dir)
+
+    nf = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
+    cap_df = (
+        nf.crossJoin(
+            parts.groupBy("super")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.max("__c").alias("__ms"))
+        ).select(
+            F.floor(
+                F.col("n_vertices").cast("double") / F.lit(4.0)
+                + F.col("__ms")
+            ).alias("cap")
+        )
+    )
+    refined = refine(
+        g, parts.select(ID, "part"), k=4, cap=cap_df
+    ).localCheckpoint()
+
+    before = partition_report(g, parts.select(ID, "part")).select(
+        F.col("cut_edges").alias("__cb")
+    )
+    after = partition_report(g, refined).select(
+        F.col("cut_edges").alias("__ca"),
+        F.col("assign_defect").alias("assign_defect"),
+    )
+    bal = (
+        refined.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("__ps"))
+        .crossJoin(F.broadcast(cap_df))
+        .filter(F.col("__ps") > F.col("cap"))
+        .agg(F.count(F.lit(1)).alias("balance_defect"))
+    )
+    return (
+        nf.crossJoin(after)
+        .crossJoin(before)
+        .crossJoin(bal)
+        .select(
+            "n_vertices",
+            "assign_defect",
+            "balance_defect",
+            F.when(F.col("__ca") > F.col("__cb"), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cut_increase_defect"),
         )
     )
 
@@ -12932,9 +13031,9 @@ def q_multilevel_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   stratified_sample, vertex_annotation, party_union,
 #   min_cost_supplier, important_parts, priority_line_counts,
 #   customer_order_distribution, dominant_suppliers, maximal_matching,
-#   skyline_parts, graph_coarsen, multilevel_partition
-# 20 + 25 = 45 never-driver-verified after r05 — all fit in round 6's
-# 50-query window, closing the gate at 245/245 distinct.
+#   skyline_parts, graph_coarsen, multilevel_partition, partition_refine
+# 20 + 26 = 46 never-driver-verified after r05 — all fit in round 6's
+# 50-query window, closing the gate at 246/246 distinct.
 GATE_PRIORITY: list[str] = [
     "set_similarity_join",
     "bloom_membership",

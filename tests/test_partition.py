@@ -129,3 +129,83 @@ def test_first_matching_reuse_matches_fresh_run(spark):
     assert sorted(map(tuple, a.collect())) == sorted(
         map(tuple, b.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# refine: independent-set boundary moves — cut monotonically decreases,
+# balance cap respected, assignment stays total
+# ---------------------------------------------------------------------------
+
+def _cut(g, parts):
+    return partition_report(g, parts).collect()[0].cut_edges
+
+
+def test_refine_improves_alternating_path(spark):
+    from pyspark_graph_spark.operators.partition import refine
+
+    g = _path(spark, 12)
+    # worst-case assignment: alternate parts along the path (cut = 11)
+    bad = spark.createDataFrame(
+        [(i, i % 2) for i in range(12)], f"{ID} long, part int"
+    )
+    out = refine(g, bad, k=2, cap=8, rounds=4, seed=1)
+    assert sorted(r[ID] for r in out.collect()) == list(range(12))
+    assert _cut(g, out) < _cut(g, bad)
+    # balance cap holds
+    sizes = [
+        r.c
+        for r in out.groupBy("part").agg(F.count(F.lit(1)).alias("c")).collect()
+    ]
+    assert max(sizes) <= 8
+
+
+def test_refine_never_increases_cut(spark):
+    from pyspark_graph_spark.operators.partition import refine
+
+    edges = (
+        [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(5, 10) for b in range(a + 1, 10)]
+        + [(0, 5), (1, 6), (2, 7)]
+    )
+    g = _graph(spark, 10, edges)
+    for seed in (0, 1, 2):
+        # hash-scrambled initial assignment
+        init = spark.createDataFrame(
+            [(i, (i * 7 + seed) % 3) for i in range(10)],
+            f"{ID} long, part int",
+        )
+        out = refine(g, init, k=3, cap=10, rounds=3, seed=seed)
+        assert _cut(g, out) <= _cut(g, init)
+        assert out.count() == 10
+
+
+def test_refine_cap_blocks_moves(spark):
+    from pyspark_graph_spark.operators.partition import refine
+
+    # star: leaves all want the center's part, but cap forbids any intake
+    g = _graph(spark, 5, [(0, i) for i in range(1, 5)])
+    init = spark.createDataFrame(
+        [(0, 0)] + [(i, 1) for i in range(1, 5)], f"{ID} long, part int"
+    )
+    out = refine(g, init, k=2, cap=1, rounds=2)
+    # part 0 already holds 1 vertex = cap, so nothing may move into it;
+    # center moving to part 1 is the only legal improvement
+    sizes = {
+        r.part: r.c
+        for r in out.groupBy("part").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert all(v <= max(1, sizes.get(1, 0)) for k_, v in sizes.items() if k_ == 0)
+    assert _cut(g, out) <= _cut(g, init)
+
+
+def test_refine_cap_as_dataframe(spark):
+    from pyspark_graph_spark.operators.partition import refine
+
+    g = _path(spark, 12)
+    bad = spark.createDataFrame(
+        [(i, i % 2) for i in range(12)], f"{ID} long, part int"
+    )
+    cap_df = spark.createDataFrame([(8,)], "cap long")
+    a = refine(g, bad, k=2, cap=8, rounds=2, seed=3)
+    b = refine(g, bad, k=2, cap=cap_df, rounds=2, seed=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
