@@ -66,6 +66,9 @@ def attach_wav_media(df: DataFrame, id_col: str) -> DataFrame:
     byte-rate, block-align, data size) is assembled field-by-field with
     little-endian ``unhex`` encoding — the decoder must genuinely parse it.
     """
+    from pyspark_graph_spark.multimodal.binary_ops import widen_for_python
+
+    df = widen_for_python(df)
     i = F.col(id_col).cast("long")
     n = (F.pmod(i, F.lit(192)) + 64).cast("long")
     sr = F.lit(WAV_SAMPLE_RATE).cast("long")

@@ -71,9 +71,25 @@ _DECODED_FIELDS = [
 ]
 
 
+def widen_for_python(df: DataFrame) -> DataFrame:
+    """Media synthesis and decoding are CPU-bound Python behind one Arrow
+    hop; a small parquet input (often a single row group, hence a single
+    split) would otherwise pin the entire codec stage to ONE task while
+    31 threads idle. Widen to the session's default parallelism when the
+    incoming plan is narrower — a few-MB round-robin shuffle of ids that
+    unlocks every executor thread. At warehouse scale the media table
+    already arrives in many splits and this is a no-op (no extra
+    shuffle), so the helper is safe to leave in the 100 TB path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
     """Synthesize a deterministic binary media column + meta struct from an
     id column (test/bench stand-in for real blob ingestion)."""
+    df = widen_for_python(df)
     rep = F.sha2(F.col(id_col).cast("string"), 256)
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
@@ -94,6 +110,7 @@ def attach_pgm_media(df: DataFrame, id_col: str) -> DataFrame:
     ``unhex`` so ingestion needs no Python, and the downstream decode is a
     genuine header-parse + reshape of a standards-conforming stream whose
     features an integer-only SQL oracle can recompute."""
+    df = widen_for_python(df)
     i = F.col(id_col).cast("long")
     w = (F.pmod(i, F.lit(48)) + 16).cast("int")
     h = (F.pmod(i, F.lit(32)) + 16).cast("int")
@@ -398,6 +415,7 @@ def attach_pgm_video(df: DataFrame, id_col: str) -> DataFrame:
     conforming). Frame ``f`` pixel ``k`` is ``(id + 7*f + k) % 256``, so
     frames differ and an integer-only oracle can recompute per-frame
     features. Small frames (8-31 px sides), 2-5 frames per id."""
+    df = widen_for_python(df)
     i = F.col(id_col).cast("long")
     w = (F.pmod(i, F.lit(24)) + 8).cast("int")
     h = (F.pmod(i, F.lit(16)) + 8).cast("int")
@@ -669,7 +687,9 @@ def attach_png_media(df: DataFrame, id_col: str) -> DataFrame:
     is ``(id + k) % 256`` over a ``(id%48+16) x (id%32+16)`` image, the
     same integer formula as the PGM fixtures, so the SQL oracle recomputes
     every decoded feature."""
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = widen_for_python(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -733,6 +753,7 @@ def attach_tiff_media(df: DataFrame, id_col: str) -> DataFrame:
     rows-per-strip, samples=1) AFTER the strip. Every multi-byte integer
     is hand-assembled little-endian from hex — the decoder must walk the
     IFD for real."""
+    df = widen_for_python(df)
     i = F.col(id_col).cast("long")
     w = (F.pmod(i, F.lit(40)) + 16).cast("int")
     h = (F.pmod(i, F.lit(24)) + 16).cast("int")

@@ -263,7 +263,11 @@ def attach_gif_media(df: DataFrame, id_col: str) -> DataFrame:
     encoder above. One Arrow-batched Python hop (the LZW bit-packing has
     no JVM expression form, unlike the PGM header path); features stay
     integer-replayable by an external oracle."""
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    from pyspark_graph_spark.multimodal.binary_ops import widen_for_python
+
+    ids = widen_for_python(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

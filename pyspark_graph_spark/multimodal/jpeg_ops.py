@@ -705,9 +705,14 @@ def attach_jpeg_media(df: DataFrame, id_col: str) -> DataFrame:
     every third image carries DRI/RSTn restart markers (interval 4). Flat
     blocks + DC quant step 8 make the decode exact, so the SQL oracle
     recomputes width/height/mean from the same integer formula."""
-    from pyspark_graph_spark.multimodal.binary_ops import MEDIA_SCHEMA
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        widen_for_python,
+    )
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = widen_for_python(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -744,9 +749,14 @@ def attach_jpeg_color_media(df: DataFrame, id_col: str) -> DataFrame:
     decode. Y blocks are flat with ``(i*11 + bx*17 + by*23) % 200 + 28``
     and chroma is neutral (Cb = Cr = 128), so R = G = B = Y exactly and
     the SQL oracle recomputes the decoded gray from the Y formula."""
-    from pyspark_graph_spark.multimodal.binary_ops import MEDIA_SCHEMA
+    from pyspark_graph_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        widen_for_python,
+    )
 
-    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    src = widen_for_python(
+        df.select(F.col(id_col).cast("long").alias("media_id"))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
