@@ -47,6 +47,14 @@ def main() -> None:
     timings_min: dict[str, float] = {}
     errors: list[str] = []
     for p in range(passes):
+        if p > 0:
+            # reset the per-application shared artifact caches so pass-2
+            # timings for cache-backed queries (ngram/CDC/matching/
+            # partition/shortest-paths consumers) measure the query, not
+            # a persisted-cache scan — min-of-passes must stay honest
+            from pyspark_graph_spark.queries import clear_shared_caches
+
+            clear_shared_caches()
         for name, fn in qs.items():
             if name in errors:
                 continue
@@ -59,6 +67,11 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
             except Exception as e:  # a bad query must not lose the line
                 errors.append(name)
+                # an errored query contributes no timing at all: totals
+                # and per-query columns must not silently include a
+                # partial or stale measurement alongside the error flag
+                timings.pop(name, None)
+                timings_min.pop(name, None)
                 print(f"# {name}: ERROR {e}", file=sys.stderr)
                 continue
             t = round(time.time() - t0, 3)

@@ -75,13 +75,25 @@ def widen_for_python(df: DataFrame) -> DataFrame:
     """Media synthesis and decoding are CPU-bound Python behind one Arrow
     hop; a small parquet input (often a single row group, hence a single
     split) would otherwise pin the entire codec stage to ONE task while
-    31 threads idle. Widen to the session's default parallelism when the
-    incoming plan is narrower — a few-MB round-robin shuffle of ids that
-    unlocks every executor thread. At warehouse scale the media table
-    already arrives in many splits and this is a no-op (no extra
-    shuffle), so the helper is safe to leave in the 100 TB path."""
+    31 threads idle. When the input is a bare file scan over fewer files
+    than the session's default parallelism, round-robin repartition to
+    full thread width — a few-MB shuffle of ids that unlocks every
+    executor thread. At warehouse scale the media table already arrives
+    in many files and this is a no-op.
+
+    The guard reads ``inputFiles()`` (a plan walk, never a job) rather
+    than ``df.rdd.getNumPartitions()``: materializing the RDD of an
+    AQE plan eagerly executes every upstream exchange as a throwaway
+    job, so the rdd probe would make any joined/aggregated input pay
+    its shuffles twice. Non-scan inputs (no discoverable files) are
+    left untouched — they have already been shuffled wide or the
+    caller owns their partitioning."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -427,10 +427,13 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Consume an expected RSTn marker and realign."""
+        """Consume an expected RSTn marker (and any T.81 fill bytes
+        preceding it) and realign."""
         self.acc = 0
         self.nbits = 0
         while self.data[self.pos] != 0xFF:
+            self.pos += 1
+        while self.data[self.pos + 1] == 0xFF:  # optional fill bytes
             self.pos += 1
         if not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
             raise ValueError("expected restart marker")
@@ -559,6 +562,10 @@ def decode_jpeg(media: bytes) -> np.ndarray:
     while True:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of optional 0xFF fill bytes may precede
+        # a marker code — skip them so conforming padded streams parse
+        while data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         if marker in _SOF_UNSUPPORTED:
             raise NotImplementedError(
@@ -648,27 +655,37 @@ def decode_jpeg(media: bytes) -> np.ndarray:
     r = _BitReader(data, pos)
     preds = {cid: 0 for cid, _, _, _ in comps}
     mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                r.restart()
-                preds = {cid: 0 for cid in preds}
-            for cid, h, v, _tq in comps:
-                dct, act = (
-                    dc_tables[scan_tables[cid][0]],
-                    ac_tables[scan_tables[cid][1]],
-                )
-                for vy in range(v):
-                    for vx in range(h):
-                        zz, preds[cid] = _decode_block(
-                            r, dct, act, preds[cid]
-                        )
-                        blk = np.zeros(64, dtype=np.int64)
-                        blk[ZIGZAG] = zz
-                        coeffs[cid][my * v + vy, mx * h + vx] = blk.reshape(
-                            8, 8
-                        )
-            mcu += 1
+    try:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    r.restart()
+                    preds = {cid: 0 for cid in preds}
+                for cid, h, v, _tq in comps:
+                    dct, act = (
+                        dc_tables[scan_tables[cid][0]],
+                        ac_tables[scan_tables[cid][1]],
+                    )
+                    for vy in range(v):
+                        for vx in range(h):
+                            zz, preds[cid] = _decode_block(
+                                r, dct, act, preds[cid]
+                            )
+                            blk = np.zeros(64, dtype=np.int64)
+                            blk[ZIGZAG] = zz
+                            coeffs[cid][
+                                my * v + vy, mx * h + vx
+                            ] = blk.reshape(8, 8)
+                mcu += 1
+    except _HitRestart:
+        # keep the module's error contract (ValueError for corrupt
+        # streams): a raw RSTn mid-block means the stream's restart
+        # cadence disagrees with its DRI declaration
+        raise ValueError(
+            f"RSTn marker inside entropy data at MCU {mcu} — restart "
+            "cadence disagrees with the DRI declaration (corrupt or "
+            "non-conforming stream)"
+        ) from None
 
     planes = {}
     for cid, h, v, tq in comps:

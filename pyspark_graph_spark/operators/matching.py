@@ -148,8 +148,11 @@ def coarsen(g: Graph, matching: DataFrame) -> tuple[Graph, DataFrame]:
     vertices map to themselves. Returns ``(coarse_graph, mapping)`` with
     ``mapping`` = (id, super) rows for EVERY input vertex. Coarse edges
     are the contracted distinct pairs with a ``weight`` column counting
-    the parallel originals (so repeated coarsening preserves cut sizes);
-    self-loops (intra-pair edges) drop. One broadcast-sized join against
+    the parallel originals; if the input edges already carry a ``weight``
+    column (i.e. the graph is itself a coarsen output), weights are
+    SUMMED instead of counted, so repeated coarsening preserves cut
+    sizes in fine-edge units at every level — not just the first.
+    Self-loops (intra-pair edges) drop. One broadcast-sized join against
     the matching (|M| ≤ |V|/2 rows), one contraction aggregate —
     |V(coarse)| = |V| − |M| by construction, which the tests pin."""
     pair_map = matching.select(
@@ -165,7 +168,12 @@ def coarsen(g: Graph, matching: DataFrame) -> tuple[Graph, DataFrame]:
         .select(ID, F.coalesce("super", F.col(ID)).alias("super"))
         .localCheckpoint()
     )
-    base = g.edges.select(SRC, DST)
+    if "weight" in g.edges.columns:
+        base = g.edges.select(SRC, DST, "weight")
+        w = F.coalesce(F.col("weight"), F.lit(1)).cast("long")
+    else:
+        base = g.edges.select(SRC, DST)
+        w = F.lit(1).cast("long")
     contracted = (
         base.join(
             mapping.withColumnsRenamed({ID: SRC, "super": "__ss"}), on=SRC
@@ -176,10 +184,11 @@ def coarsen(g: Graph, matching: DataFrame) -> tuple[Graph, DataFrame]:
         .select(
             F.least("__ss", "__sd").alias(SRC),
             F.greatest("__ss", "__sd").alias(DST),
+            w.alias("__w"),
         )
         .filter(F.col(SRC) != F.col(DST))
         .groupBy(SRC, DST)
-        .agg(F.count(F.lit(1)).alias("weight"))
+        .agg(F.sum("__w").alias("weight"))
     )
     coarse_vertices = mapping.select(
         F.col("super").alias(ID)

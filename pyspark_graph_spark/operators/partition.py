@@ -158,7 +158,19 @@ def refine(
     All steps are vertex- or part-keyed joins/aggregates; the only
     windows are partitioned by target part (k partitions of candidate
     movers). No driver-side state beyond the round loop.
+
+    ``k`` is validated against the incoming assignment (every label must
+    lie in [0, k)) — a mismatched k/parts pair raises instead of being
+    silently accepted, since balance below comes entirely from ``cap``.
     """
+    bad = parts.filter(
+        (F.col("part") < 0) | (F.col("part") >= k)
+    ).limit(1)
+    if not bad.isEmpty():
+        raise ValueError(
+            f"parts carries labels outside [0, {k}) — k disagrees with "
+            "the assignment being refined"
+        )
     # cap may be a 1-row DataFrame (single numeric column) so callers can
     # derive the balance bound distributively, with no driver collect
     cap_df = (

@@ -27,11 +27,15 @@ ICDE 2001, block-nested-loop → divide-and-conquer family):
    same reduce-then-finish shape as the library's top-k and quantile
    paths.
 
-Maximized dimensions are canonicalized by sign flip into sort keys held
-NEXT TO the original columns, so output dtypes are untouched.
+Direction flags are honored by flipping the sort order and the running
+min/max + comparison operators — the original column values are used
+as-is, never cast or negated, so 64-bit integer keys beyond 2^53 (which
+a double cast would collapse into ties) keep their exact ordering and
+output dtypes are untouched.
 
-Determinism: distinct x values make the canonical-x ordering total, so
-the surviving frontier is a pure function of the input multiset.
+Determinism: the per-x reduction leaves one row per distinct x, so the
+x ordering is total and the surviving frontier is a pure function of
+the input multiset.
 """
 
 from __future__ import annotations
@@ -62,25 +66,19 @@ class Skyline2D:
         self.minimize_x = minimize_x
         self.minimize_y = minimize_y
 
-    def _canon(self, col: str, minimize: bool):
-        c = F.col(col).cast("double")
-        return c if minimize else -c
-
     def run(self, df: DataFrame) -> DataFrame:
         x, y = self.x_col, self.y_col
-        pairs = (
-            df.groupBy(x, y)
-            .agg(F.count(F.lit(1)).alias("n_rows"))
-            .withColumn("_sy", self._canon(y, self.minimize_y))
-        )
-        # per-x best y: min canonical-y; the struct min carries that
-        # pair's original y and count along (x, y distinct => no ties)
+        minimize_x, minimize_y = self.minimize_x, self.minimize_y
+        pairs = df.groupBy(x, y).agg(F.count(F.lit(1)).alias("n_rows"))
+        # per-x best y: min (or max) struct ordered by y first; (x, y)
+        # distinct within the group => no ties, the winning pair's count
+        # rides along
+        best_agg = F.min if minimize_y else F.max
         cand = (
             pairs.groupBy(x)
             .agg(
-                F.min(
+                best_agg(
                     F.struct(
-                        F.col("_sy"),
                         F.col(y).alias("_y"),
                         F.col("n_rows").alias("_n"),
                     )
@@ -90,9 +88,7 @@ class Skyline2D:
                 F.col(x),
                 F.col("m._y").alias(y),
                 F.col("m._n").alias("n_rows"),
-                F.col("m._sy").alias("_sy"),
             )
-            .withColumn("_sx", self._canon(x, self.minimize_x))
         )
         schema = cand.schema
 
@@ -101,16 +97,29 @@ class Skyline2D:
                 if len(pdf) == 0:
                     yield pdf
                     continue
-                pdf = pdf.sort_values(["_sx", "_sy"], kind="mergesort")
-                prior_min = pdf["_sy"].cummin().shift(1)
-                yield pdf[prior_min.isna() | (pdf["_sy"] < prior_min)]
+                pdf = pdf.sort_values(
+                    x, ascending=minimize_x, kind="mergesort"
+                )
+                if minimize_y:
+                    prior = pdf[y].cummin().shift(1)
+                    keep = prior.isna() | (pdf[y] < prior)
+                else:
+                    prior = pdf[y].cummax().shift(1)
+                    keep = prior.isna() | (pdf[y] > prior)
+                yield pdf[keep]
 
         reduced = cand.mapInPandas(prefilter, schema=schema)
-        w = Window.orderBy("_sx").rowsBetween(
-            Window.unboundedPreceding, -1
+        w = Window.orderBy(
+            F.asc(x) if minimize_x else F.desc(x)
+        ).rowsBetween(Window.unboundedPreceding, -1)
+        running_best = (F.min if minimize_y else F.max)(y).over(w)
+        strictly_better = (
+            F.col(y) < F.col("_rm")
+            if minimize_y
+            else F.col(y) > F.col("_rm")
         )
         return (
-            reduced.withColumn("_rm", F.min("_sy").over(w))
-            .filter(F.col("_rm").isNull() | (F.col("_sy") < F.col("_rm")))
+            reduced.withColumn("_rm", running_best)
+            .filter(F.col("_rm").isNull() | strictly_better)
             .select(x, y, "n_rows")
         )

@@ -239,3 +239,28 @@ def test_spark_pipeline_decodes_jpeg(spark):
         vis_h = np.minimum(8, h - np.arange(vals.shape[0]) * 8)
         total = int((vals * vis_w[None, :] * vis_h[:, None]).sum())
         assert r.mean_intensity == total // (w * h)
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    code — a conforming padded stream must decode identically."""
+    vals, w, h = _fixture_blocks(7)
+    raw = encode_jpeg_gray8_flat(vals, w, h)
+    # inject two fill bytes before the SOF0 marker (FF C0 -> FF FF FF C0)
+    at = raw.index(b"\xff\xc0")
+    padded = raw[:at] + b"\xff\xff" + raw[at:]
+    assert (decode_jpeg(padded) == decode_jpeg(raw)).all()
+
+
+def test_restart_cadence_mismatch_raises_valueerror():
+    """A raw RSTn inside entropy data with no (or disagreeing) DRI must
+    surface as the module's documented ValueError, not escape as a
+    private exception class."""
+    vals = np.array([[40, 200, 40, 200, 40, 200]], dtype=np.int64)
+    raw = encode_jpeg_gray8_flat(vals, 48, 8, restart_interval=2)
+    # strip the DRI segment (FF DD len=0004 interval) so the decoder
+    # expects an uninterrupted scan but the stream still carries RSTn
+    at = raw.index(b"\xff\xdd")
+    stripped = raw[:at] + raw[at + 6 :]
+    with pytest.raises(ValueError, match="RSTn|restart"):
+        decode_jpeg(stripped)

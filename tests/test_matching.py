@@ -139,3 +139,28 @@ def test_coarsen_matching_contraction(spark):
     base = g.edges.select("src", "dst").collect()
     crossing = [r for r in base if sup[r.src] != sup[r.dst]]
     assert total_weight == len(crossing)
+
+
+def test_coarsen_twice_preserves_fine_edge_weights(spark):
+    """Level-2 coarse weights must stay in FINE-edge units: a second
+    coarsen() sums the level-1 weight column instead of counting
+    level-1 edges, so Σ weight over level-2 edges equals the number of
+    fine edges whose endpoints land in different level-2 supers."""
+    from pyspark_graph_spark.operators.matching import coarsen
+
+    g = sample2(spark, directed=False)
+    m1 = MaximalMatching(seed=0).run(g)
+    c1, map1 = coarsen(g, m1)
+    m2 = MaximalMatching(seed=1).run(c1)
+    if m2.isEmpty():  # nothing contractible at level 1: vacuous
+        return
+    c2, map2 = coarsen(c1, m2)
+    # compose fine -> level-2 super
+    s1 = {r.id: r.super for r in map1.collect()}
+    s2 = {r.id: r.super for r in map2.collect()}
+    fine = g.edges.select("src", "dst").collect()
+    crossing = [
+        r for r in fine if s2[s1[r.src]] != s2[s1[r.dst]]
+    ]
+    total_weight = sum(r.weight for r in c2.edges.collect())
+    assert total_weight == len(crossing)

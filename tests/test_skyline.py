@@ -84,3 +84,21 @@ def test_skyline_preserves_dtypes(spark):
     out = Skyline2D("x", "y", False, True).run(df)
     dt = dict(out.dtypes)
     assert dt["x"] == "bigint" and dt["y"] == "double"
+
+
+def test_skyline_exact_beyond_double_precision(spark):
+    """64-bit keys past 2^53 must keep their exact ordering: a double
+    cast would collapse 2**53 and 2**53 + 1 into a tie and could drop a
+    true skyline point."""
+    from pyspark_graph_spark.operators.skyline import Skyline2D
+
+    big = 2**53
+    rows = [(big, 10), (big + 1, 5), (big + 2, 5)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y)
+        for r in Skyline2D("x", "y").run(df).collect()
+    }
+    # (big+1, 5) dominates (big+2, 5) via strictly smaller x; (big, 10)
+    # survives on x
+    assert got == {(big, 10), (big + 1, 5)}
