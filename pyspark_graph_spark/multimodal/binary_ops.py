@@ -81,19 +81,25 @@ def widen_for_python(df: DataFrame) -> DataFrame:
     executor thread. At warehouse scale the media table already arrives
     in many files and this is a no-op.
 
-    The guard reads ``inputFiles()`` (a plan walk, never a job) rather
-    than ``df.rdd.getNumPartitions()``: materializing the RDD of an
-    AQE plan eagerly executes every upstream exchange as a throwaway
-    job, so the rdd probe would make any joined/aggregated input pay
-    its shuffles twice. Non-scan inputs (no discoverable files) are
-    left untouched — they have already been shuffled wide or the
-    caller owns their partitioning."""
+    Guard order matters. ``inputFiles()`` (a plan walk, never a job)
+    gates first: inputs with no discoverable files (already-shuffled
+    frames, local relations) are left untouched — materializing the RDD
+    of an arbitrary AQE plan eagerly executes every upstream exchange as
+    a throwaway job, so an unconditional rdd probe would make a joined
+    input pay its shuffles twice. Only for a FEW-FILE scan (fewer files
+    than threads — scan-only lineage, so the rdd probe schedules no
+    jobs) does the split count decide: a handful of huge splittable
+    files already scans as many partitions and must NOT be collapsed to
+    thread width. Pass bare scans or id projections of scans; anything
+    else owns its partitioning."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if 0 < n_files < target:
+    if n_files == 0 or n_files >= target:
+        return df
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

@@ -427,14 +427,24 @@ class _BitReader:
         return v
 
     def restart(self) -> None:
-        """Consume an expected RSTn marker (and any T.81 fill bytes
-        preceding it) and realign."""
+        """Consume an expected RSTn marker and realign, skipping anything
+        T.81 allows before it: unconsumed entropy padding, stuffed
+        ``FF 00`` pairs (a final padded-to-1s entropy byte is itself
+        stuffed), and optional ``FF`` fill bytes."""
         self.acc = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF:
-            self.pos += 1
-        while self.data[self.pos + 1] == 0xFF:  # optional fill bytes
-            self.pos += 1
+        while True:
+            if self.data[self.pos] != 0xFF:
+                self.pos += 1
+                continue
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed data byte, not a marker
+                self.pos += 2
+                continue
+            if nxt == 0xFF:  # optional fill byte
+                self.pos += 1
+                continue
+            break
         if not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
             raise ValueError("expected restart marker")
         self.pos += 2
@@ -547,8 +557,18 @@ def decode_jpeg(media: bytes) -> np.ndarray:
 
     Raises ``NotImplementedError`` for out-of-scope streams (progressive,
     arithmetic, 16-bit, CMYK, sampling factors > 2) — the formal
-    codec-boundary contract, mirroring binary_ops.py's PNG/TIFF notes."""
-    data = bytes(media)
+    codec-boundary contract, mirroring binary_ops.py's PNG/TIFF notes —
+    and ``ValueError`` for corrupt or truncated streams (a truncated
+    stream must not leak an IndexError past the error contract)."""
+    try:
+        return _decode_jpeg_impl(bytes(media))
+    except IndexError:
+        raise ValueError(
+            "truncated JPEG stream (ran past end of data)"
+        ) from None
+
+
+def _decode_jpeg_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
     qtables: dict[int, np.ndarray] = {}

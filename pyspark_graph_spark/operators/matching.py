@@ -140,7 +140,9 @@ class MaximalMatching:
         )
 
 
-def coarsen(g: Graph, matching: DataFrame) -> tuple[Graph, DataFrame]:
+def coarsen(
+    g: Graph, matching: DataFrame, sum_weights: bool = False
+) -> tuple[Graph, DataFrame]:
     """Contract a matching into a supervertex graph — the multilevel
     partitioner's coarsening step (Karypis & Kumar, METIS).
 
@@ -148,10 +150,14 @@ def coarsen(g: Graph, matching: DataFrame) -> tuple[Graph, DataFrame]:
     vertices map to themselves. Returns ``(coarse_graph, mapping)`` with
     ``mapping`` = (id, super) rows for EVERY input vertex. Coarse edges
     are the contracted distinct pairs with a ``weight`` column counting
-    the parallel originals; if the input edges already carry a ``weight``
-    column (i.e. the graph is itself a coarsen output), weights are
-    SUMMED instead of counted, so repeated coarsening preserves cut
-    sizes in fine-edge units at every level — not just the first.
+    the parallel originals. With ``sum_weights=True`` the input's own
+    ``weight`` column is SUMMED instead (each input edge contributes its
+    weight, default 1 when NULL): pass it when contracting a graph that
+    is itself a coarsen output, so repeated coarsening preserves cut
+    sizes in fine-edge units at every level — not just the first. The
+    flag is explicit rather than keyed on column presence so a caller
+    whose graph carries an unrelated user ``weight`` column keeps the
+    documented parallel-edge-count semantics.
     Self-loops (intra-pair edges) drop. One broadcast-sized join against
     the matching (|M| ≤ |V|/2 rows), one contraction aggregate —
     |V(coarse)| = |V| − |M| by construction, which the tests pin."""
@@ -168,7 +174,12 @@ def coarsen(g: Graph, matching: DataFrame) -> tuple[Graph, DataFrame]:
         .select(ID, F.coalesce("super", F.col(ID)).alias("super"))
         .localCheckpoint()
     )
-    if "weight" in g.edges.columns:
+    if sum_weights:
+        if "weight" not in g.edges.columns:
+            raise ValueError(
+                "sum_weights=True requires an edge 'weight' column "
+                "(coarsen outputs carry one)"
+            )
         base = g.edges.select(SRC, DST, "weight")
         w = F.coalesce(F.col("weight"), F.lit(1)).cast("long")
     else:

@@ -81,7 +81,9 @@ class MultilevelPartition:
                 m = MaximalMatching(seed=self.seed + lvl).run(cur)
             if m.isEmpty():
                 break  # nothing contractible (isolated residue)
-            cur, mapping = coarsen(cur, m)
+            # level >= 1 edges carry coarsen's own weight column: sum it
+            # so cut bookkeeping stays in fine-edge units at every level
+            cur, mapping = coarsen(cur, m, sum_weights=(lvl > 0))
             comp = (
                 comp.join(
                     mapping.select(
@@ -160,17 +162,12 @@ def refine(
     movers). No driver-side state beyond the round loop.
 
     ``k`` is validated against the incoming assignment (every label must
-    lie in [0, k)) — a mismatched k/parts pair raises instead of being
-    silently accepted, since balance below comes entirely from ``cap``.
+    be non-NULL and lie in [0, k)) — a mismatched k/parts pair raises
+    instead of being silently accepted, since balance below comes
+    entirely from ``cap``. The check runs on the checkpointed frame so
+    it scans materialized rows instead of re-executing the caller's
+    (possibly expensive, unpersisted) partitioning lineage twice.
     """
-    bad = parts.filter(
-        (F.col("part") < 0) | (F.col("part") >= k)
-    ).limit(1)
-    if not bad.isEmpty():
-        raise ValueError(
-            f"parts carries labels outside [0, {k}) — k disagrees with "
-            "the assignment being refined"
-        )
     # cap may be a 1-row DataFrame (single numeric column) so callers can
     # derive the balance bound distributively, with no driver collect
     cap_df = (
@@ -182,6 +179,16 @@ def refine(
         g.edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
     )
     cur = parts.select(ID, "part").localCheckpoint()
+    bad = cur.filter(
+        F.col("part").isNull()
+        | (F.col("part") < 0)
+        | (F.col("part") >= k)
+    ).limit(1)
+    if not bad.isEmpty():
+        raise ValueError(
+            f"parts carries NULL labels or labels outside [0, {k}) — "
+            "k disagrees with the assignment being refined"
+        )
     for r in range(rounds):
         nw = (
             sym.join(

@@ -93,6 +93,8 @@ class Skyline2D:
         schema = cand.schema
 
         def prefilter(batches: Iterator) -> Iterator:
+            import numpy as np
+
             for pdf in batches:
                 if len(pdf) == 0:
                     yield pdf
@@ -100,12 +102,20 @@ class Skyline2D:
                 pdf = pdf.sort_values(
                     x, ascending=minimize_x, kind="mergesort"
                 )
+                # running best via numpy accumulate on the NATIVE dtype:
+                # pandas' .shift(1) promotes int64 to float64 (NaN slot),
+                # which collapses y values beyond 2^53 into ties and
+                # would drop true skyline points
+                vals = pdf[y].to_numpy()
+                acc = (
+                    np.minimum if minimize_y else np.maximum
+                ).accumulate(vals)
+                keep = np.empty(len(vals), dtype=bool)
+                keep[0] = True
                 if minimize_y:
-                    prior = pdf[y].cummin().shift(1)
-                    keep = prior.isna() | (pdf[y] < prior)
+                    keep[1:] = vals[1:] < acc[:-1]
                 else:
-                    prior = pdf[y].cummax().shift(1)
-                    keep = prior.isna() | (pdf[y] > prior)
+                    keep[1:] = vals[1:] > acc[:-1]
                 yield pdf[keep]
 
         reduced = cand.mapInPandas(prefilter, schema=schema)

@@ -12829,8 +12829,9 @@ FROM supplier
 def q_coarsen_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO multilevel coarsening steps, verifying that weight
     conservation holds through REPEATED contraction — the level-2
-    contract: because coarsen() sums an existing weight column instead
-    of counting level-1 edges, Σ weight over level-2 edges must equal
+    contract: because the level-2 contraction runs with sum_weights=True
+    (summing level-1 weights instead of counting level-1 edges),
+    Σ weight over level-2 edges must equal
     the number of FINE edges whose endpoints land in different level-2
     supervertices (composed through both mappings), and
     |V(level-2)| = |V| − |M1| − |M2| exactly. This is the invariant a
@@ -12847,7 +12848,7 @@ def q_coarsen_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     m1 = _supplier_matching(spark, sf_dir)
     c1, map1 = coarsen(g, m1)
     m2 = MaximalMatching(seed=1).run(c1)
-    c2, map2 = coarsen(c1, m2)
+    c2, map2 = coarsen(c1, m2, sum_weights=True)
     comp = (
         map1.join(
             map2.select(

@@ -264,3 +264,26 @@ def test_restart_cadence_mismatch_raises_valueerror():
     stripped = raw[:at] + raw[at + 6 :]
     with pytest.raises(ValueError, match="RSTn|restart"):
         decode_jpeg(stripped)
+
+
+def test_restart_after_stuffed_ff_padding_byte():
+    """T.81: if the final entropy byte before an RSTn pads to 0xFF it is
+    byte-stuffed (FF 00 FF Dn) — restart() must skip the stuffed pair,
+    not mistake it for a missing marker."""
+    from pyspark_graph_spark.multimodal.jpeg_ops import _BitReader
+
+    r = _BitReader(b"\xff\x00\xff\xd3\xab", 0)
+    r.restart()
+    assert r.pos == 4  # positioned on the byte after FF D3
+
+
+def test_truncated_stream_raises_valueerror():
+    """A stream cut mid-scan (or ending in an 0xFF run) must surface as
+    the documented ValueError, never an IndexError."""
+    vals, w, h = _fixture_blocks(11)
+    raw = encode_jpeg_gray8_flat(vals, w, h)
+    for cut in (len(raw) // 2, len(raw) - 3):
+        with pytest.raises(ValueError):
+            decode_jpeg(raw[:cut])
+    with pytest.raises(ValueError):
+        decode_jpeg(raw[: len(raw) // 2] + b"\xff\xff\xff")

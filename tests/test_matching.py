@@ -154,7 +154,7 @@ def test_coarsen_twice_preserves_fine_edge_weights(spark):
     m2 = MaximalMatching(seed=1).run(c1)
     if m2.isEmpty():  # nothing contractible at level 1: vacuous
         return
-    c2, map2 = coarsen(c1, m2)
+    c2, map2 = coarsen(c1, m2, sum_weights=True)
     # compose fine -> level-2 super
     s1 = {r.id: r.super for r in map1.collect()}
     s2 = {r.id: r.super for r in map2.collect()}

@@ -6,15 +6,17 @@ min-of-passes measures the query, not a persisted-cache scan)."""
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyspark_graph_spark.queries as Q
 
-SF = "/root/testdata/sf0.001"
 
-
-def test_clear_shared_caches_evicts_and_repopulates(spark):
-    n1 = Q.QUERIES["maximal_matching"](spark, SF).count()
+def test_clear_shared_caches_evicts_and_repopulates(spark, sf_dir):
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    n1 = Q.QUERIES["maximal_matching"](spark, sf_dir).count()
     assert len(Q._MATCHING_CACHE) == 1
     Q.clear_shared_caches()
     for cache in (
@@ -25,7 +27,7 @@ def test_clear_shared_caches_evicts_and_repopulates(spark):
         Q._PARTITION_CACHE,
     ):
         assert not cache
-    n2 = Q.QUERIES["maximal_matching"](spark, SF).count()
+    n2 = Q.QUERIES["maximal_matching"](spark, sf_dir).count()
     assert len(Q._MATCHING_CACHE) == 1
     assert n1 == n2
 

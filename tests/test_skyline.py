@@ -102,3 +102,17 @@ def test_skyline_exact_beyond_double_precision(spark):
     # (big+1, 5) dominates (big+2, 5) via strictly smaller x; (big, 10)
     # survives on x
     assert got == {(big, 10), (big + 1, 5)}
+
+
+def test_skyline_y_beyond_double_precision(spark):
+    """The pandas prefilter must not promote int64 y to float64 (a
+    .shift(1) NaN slot does): 2**53 and 2**53 + 1 collapse as doubles,
+    and the true skyline point (2, 2**53) would be dropped."""
+    from pyspark_graph_spark.operators.skyline import Skyline2D
+
+    big = 2**53
+    df = spark.createDataFrame(
+        [(1, big + 1), (2, big)], "x long, y long"
+    )
+    got = {(r.x, r.y) for r in Skyline2D("x", "y").run(df).collect()}
+    assert got == {(1, big + 1), (2, big)}
