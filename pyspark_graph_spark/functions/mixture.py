@@ -42,12 +42,13 @@ def mixture_plan(
     # full outer join against the weight keys: a group listed in `weights`
     # but absent from the inventory must still appear in the plan (tokens
     # 0, achievable 0) so callers renormalizing see the shortfall instead
-    # of silently missing the group (ADVICE r2)
-    wdf = F.broadcast(
-        spark.createDataFrame(
-            [(g, float(wt)) for g, wt in sorted(weights.items())],
-            schema=f"`{group_col}` string, `__w` double",
-        )
+    # of silently missing the group (ADVICE r2). No broadcast hint: Spark
+    # cannot broadcast-build either side of a full outer hash join (the
+    # hint is ignored with a warning), and both sides are group-cardinality
+    # aggregates — tiny either way.
+    wdf = spark.createDataFrame(
+        [(g, float(wt)) for g, wt in sorted(weights.items())],
+        schema=f"`{group_col}` string, `__w` double",
     )
     joined = (
         inventory.select(
