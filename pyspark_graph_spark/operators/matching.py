@@ -16,7 +16,13 @@ a driver-side sequential greedy, edge for edge.
 Per round: one incident-edge min aggregation (one shuffle keyed on
 vertex), one broadcast-sized winner filter, two anti-joins on the
 shrinking checkpointed edge list — the same peel-and-repeat shape as
-MIS/k-core, with edge granularity. Maximal matching is the standard
+MIS/k-core, with edge granularity. Once the residual edge list fits
+``batch_finish`` rows, the greedy finishes sequentially inside one
+bounded Arrow batch (the same bounded-batch finish as the multilevel
+partitioner's coarsest-level assignment): the tail rounds of the peel
+each decide a handful of edges yet cost three fixed-overhead jobs, and
+the equivalence theorem makes the batch continuation bit-identical to
+running the peel to fixpoint. Maximal matching is the standard
 coarsening step of multilevel graph partitioners and a 2-approximation
 of maximum matching / vertex cover.
 """
@@ -45,10 +51,20 @@ class MaximalMatching:
         max_iterations: int = 60,
         seed: int = 0,
         weight_col: str | None = None,
+        batch_finish: int = 100_000,
     ):
         self.max_iterations = max_iterations
         self.seed = seed
         self.weight_col = weight_col
+        # once the residual edge list fits this bound, finish the greedy
+        # sequentially inside ONE Arrow batch instead of paying 3 fixed-
+        # overhead Spark jobs per peeling round for a dwindling tail.
+        # Provably identical output: the peeling fixpoint equals
+        # sequential greedy in priority order (module docstring), and the
+        # residual graph's greedy is the exact continuation of the global
+        # one — every higher-priority edge has already been decided and
+        # removed. 0 disables the batch finish (pure distributed peel).
+        self.batch_finish = batch_finish
 
     def run(self, g: Graph) -> DataFrame:
         w = self.weight_col
@@ -86,8 +102,31 @@ class MaximalMatching:
             # narrow-coalesce so consumers see one frame's worth of tasks
             return out.coalesce(spark.sparkContext.defaultParallelism)
 
+        def _batch_greedy(pdf):
+            pdf = pdf.sort_values(["__np", "__p", SRC, DST])
+            matched: set[int] = set()
+            out = []
+            for s, d in zip(pdf[SRC], pdf[DST]):
+                if s not in matched and d not in matched:
+                    matched.add(s)
+                    matched.add(d)
+                    out.append((int(s), int(d)))
+            import pandas as pd
+
+            return pd.DataFrame(out, columns=[SRC, DST])
+
         for _ in range(self.max_iterations):
-            if edges.isEmpty():
+            n_edges = edges.count()
+            if n_edges == 0:
+                return _merged()
+            if self.batch_finish and n_edges <= self.batch_finish:
+                tail = (
+                    edges.select(SRC, DST, "__p", "__np")
+                    .withColumn("__g", F.lit(0))
+                    .groupBy("__g")
+                    .applyInPandas(_batch_greedy, f"{SRC} long, {DST} long")
+                )
+                rounds.append(tail)
                 return _merged()
             key = F.struct(
                 F.col("__np"), F.col("__p"), F.col(SRC), F.col(DST)

@@ -44,8 +44,17 @@ def assert_equals_greedy(spark, g):
         for r in canonical_edges_with_priority(g).collect()
     ]
     expected = sequential_greedy(prio)
-    got = {(r[SRC], r[DST]) for r in MaximalMatching().run(g).collect()}
-    assert got == expected
+    # all three execution paths must agree with sequential greedy:
+    # pure distributed peel, pure batch finish (default swallows these
+    # small graphs whole), and the hybrid transition (peel a few rounds,
+    # then batch the residual)
+    for mm in (
+        MaximalMatching(batch_finish=0),
+        MaximalMatching(),
+        MaximalMatching(batch_finish=8),
+    ):
+        got = {(r[SRC], r[DST]) for r in mm.run(g).collect()}
+        assert got == expected, f"batch_finish={mm.batch_finish}"
 
 
 def test_matching_equals_sequential_greedy_fixtures(spark):
@@ -112,11 +121,14 @@ def test_weighted_matching_equals_sequential_greedy_by_weight(spark):
         if s not in matched_v and d not in matched_v:
             matched_v.update((s, d))
             expected.add((s, d))
-    got = {
-        (r[SRC], r[DST])
-        for r in MaximalMatching(weight_col="w").run(g).collect()
-    }
-    assert got == expected
+    for bf in (0, 8, 100_000):
+        got = {
+            (r[SRC], r[DST])
+            for r in MaximalMatching(
+                weight_col="w", batch_finish=bf
+            ).run(g).collect()
+        }
+        assert got == expected, f"batch_finish={bf}"
 
 
 def test_coarsen_matching_contraction(spark):
