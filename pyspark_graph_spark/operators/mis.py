@@ -25,9 +25,28 @@ from pyspark_graph_spark.graph import Graph
 
 
 class MaximalIndependentSet:
-    def __init__(self, max_iterations: int = 50, seed: int = 0):
+    def __init__(
+        self,
+        max_iterations: int = 50,
+        seed: int = 0,
+        batch_finish: int = 100_000,
+    ):
         self.max_iterations = max_iterations
         self.seed = seed
+        # once BOTH the undecided vertex list and the residual edge list
+        # fit this bound, the remaining Luby rounds run inside one
+        # cogrouped Arrow batch — BIT-IDENTICAL to the distributed
+        # continuation because the batch consumes the same Spark-computed
+        # xxhash64(id, seed, round) priorities (shipped as columns) and
+        # applies the same strict-majority rule per round. The peel's
+        # tail rounds each decide a handful of vertices yet cost several
+        # fixed-overhead jobs. 0 disables the batch finish.
+        self.batch_finish = batch_finish
+
+    # how many rounds one batch simulates before handing leftovers back
+    # to the distributed loop (Luby clears a 100k residual in well under
+    # this w.h.p.; leftovers are correct, just slower)
+    _LOCAL_ROUNDS = 32
 
     def run(self, g: Graph) -> DataFrame:
         """Vertex ids of the set (single ``id`` column)."""
@@ -48,9 +67,43 @@ class MaximalIndependentSet:
         spark = undecided.sparkSession
         chosen = spark.createDataFrame([], f"{ID} long")
 
-        for rnd in range(self.max_iterations):
-            if undecided.isEmpty():
+        rnd = 0
+        while rnd < self.max_iterations:
+            n_und = undecided.count()
+            if n_und == 0:
                 break
+            if (
+                self.batch_finish
+                and n_und <= self.batch_finish
+                and edges.count() <= self.batch_finish
+            ):
+                res = self._batch_rounds(undecided, edges, rnd)
+                chosen = chosen.unionByName(
+                    res.filter(F.col("chosen")).select(ID)
+                ).localCheckpoint()
+                undecided = (
+                    res.filter(~F.col("chosen"))
+                    .select(ID)
+                    .localCheckpoint()
+                )
+                rnd += self._LOCAL_ROUNDS
+                if undecided.isEmpty():
+                    break
+                edges = (
+                    edges.join(
+                        undecided.withColumnRenamed(ID, SRC),
+                        on=SRC,
+                        how="semi",
+                    )
+                    .join(
+                        undecided.withColumnRenamed(ID, DST),
+                        on=DST,
+                        how="semi",
+                    )
+                    .select(SRC, DST)
+                    .localCheckpoint()
+                )
+                continue
             pri = undecided.withColumn(
                 "__p", F.xxhash64(F.col(ID), F.lit(self.seed), F.lit(rnd))
             )
@@ -85,7 +138,93 @@ class MaximalIndependentSet:
                 .select(SRC, DST)
                 .localCheckpoint()
             )
+            rnd += 1
         return chosen
+
+    def _batch_rounds(
+        self, undecided: DataFrame, edges: DataFrame, rnd: int
+    ) -> DataFrame:
+        """Simulate up to ``_LOCAL_ROUNDS`` Luby rounds in one cogrouped
+        Arrow batch. Priorities are the SAME Spark expressions the
+        distributed rounds would use, projected as columns before the
+        batch, so the result is bit-identical to continuing the loop.
+        Returns (id, chosen) covering chosen winners AND any vertices
+        still undecided after the local budget (handed back to the
+        distributed loop)."""
+        n_rounds = self._LOCAL_ROUNDS
+
+        vb = undecided.select(
+            ID,
+            *[
+                F.xxhash64(
+                    F.col(ID), F.lit(self.seed), F.lit(rnd + j)
+                ).alias(f"__p{j}")
+                for j in range(n_rounds)
+            ],
+        ).withColumn("__g", F.lit(0))
+        eb = edges.select(SRC, DST).withColumn("__g", F.lit(0))
+
+        def local_luby(vp, ep):
+            import numpy as np
+            import pandas as pd
+
+            ids = vp[ID].to_numpy()
+            n = len(ids)
+            idx = {v: i for i, v in enumerate(ids)}
+            s = np.fromiter(
+                (idx[v] for v in ep[SRC]), dtype=np.int64, count=len(ep)
+            )
+            d = np.fromiter(
+                (idx[v] for v in ep[DST]), dtype=np.int64, count=len(ep)
+            )
+            pri = np.stack(
+                [vp[f"__p{j}"].to_numpy() for j in range(n_rounds)], axis=1
+            )
+            alive = np.ones(n, dtype=bool)
+            chosen = np.zeros(n, dtype=bool)
+            for j in range(n_rounds):
+                if not alive.any():
+                    break
+                live = alive[s] & alive[d]
+                ls, ld = s[live], d[live]
+                p = pri[:, j]
+                # max undecided-neighbor priority; isolated vertices win
+                nbr = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+                np.maximum.at(nbr, ls, p[ld])
+                win = alive & (p > nbr)
+                if not win.any():
+                    continue  # all-tie round: same as the distributed rule
+                chosen |= win
+                dead = win.copy()
+                # neighbors of winners leave the game too
+                wd = win[ld]
+                dead[ls[wd]] = True
+                wl = win[ls]
+                dead[ld[wl]] = True
+                alive &= ~dead
+                keep = alive[s] & alive[d]
+                s, d = s[keep], d[keep]
+            return pd.DataFrame(
+                {
+                    ID: np.concatenate([ids[chosen], ids[alive]]),
+                    "chosen": np.concatenate(
+                        [
+                            np.ones(int(chosen.sum()), dtype=bool),
+                            np.zeros(int(alive.sum()), dtype=bool),
+                        ]
+                    ),
+                }
+            )
+
+        def wrapped(key, vp, ep):
+            return local_luby(vp, ep)
+
+        return (
+            vb.groupBy("__g")
+            .cogroup(eb.groupBy("__g"))
+            .applyInPandas(wrapped, f"{ID} long, chosen boolean")
+            .localCheckpoint()
+        )
 
 
 def greedy_coloring(g: Graph, max_colors: int = 64) -> DataFrame:
