@@ -12,11 +12,13 @@ Two strategies, mirroring the MinHash/NgramJaccard pairing:
   driver collect, no per-element interpreted HOFs (measured ~40× faster
   than the zip_with/aggregate formulation at 500 vectors). Still O(n²)
   work: use where one side fits a broadcast.
-- ``lsh`` — random-hyperplane LSH forest candidates (the only shuffle is
-  the self-join on (table, bucket)) + exact cosine verify. The 100 TB
-  path: candidate volume is corpus×tables spread over 2^bits buckets, and
-  every emitted pair is exactly verified, so precision is 1.0 and only
-  recall depends on the forest geometry.
+- ``lsh`` — random-hyperplane LSH forest candidates + exact cosine
+  verify. The 100 TB path: the bucket self-join carries (id, table,
+  bucket) rows only — candidate volume is corpus×tables spread over
+  2^bits buckets and each candidate row is two longs; vectors re-join
+  once per surviving distinct pair for the verify. Every emitted pair is
+  exactly verified, so precision is 1.0 and only recall depends on the
+  forest geometry.
 """
 
 from __future__ import annotations
@@ -92,14 +94,25 @@ class EmbeddingDedup:
             id_col="id",
             vec_col="__v",
         )
-        sk = lsh.sketch(base)
-        a = sk.withColumnsRenamed({"id": "src", "__v": "__sv"})
-        b = sk.withColumnsRenamed({"id": "dst", "__v": "__dv"})
+        # bucket join carries ids ONLY — at scale each candidate row is two
+        # longs, not two dim-wide vectors; vectors re-join after distinct
+        # (the verify stage touches each surviving pair exactly once).
+        sk = lsh.sketch(base).select("id", "table", "bucket")
+        a = sk.withColumnRenamed("id", "src")
+        b = sk.withColumnRenamed("id", "dst")
         cand = (
             a.join(b, on=["table", "bucket"])
             .filter(F.col("src") < F.col("dst"))
-            .select("src", "dst", "__sv", "__dv")
+            .select("src", "dst")
             .distinct()
+        )
+        vecs = base
+        cand = cand.join(
+            vecs.select(F.col("id").alias("src"), F.col("__v").alias("__sv")),
+            on="src",
+        ).join(
+            vecs.select(F.col("id").alias("dst"), F.col("__v").alias("__dv")),
+            on="dst",
         )
         return self._verify(cand)
 
