@@ -139,6 +139,18 @@ class MaximalIndependentSet:
                 .localCheckpoint()
             )
             rnd += 1
+        # Mirror MaximalMatching's contract: returning with undecided
+        # vertices would silently yield a non-maximal set (round-5 ADVICE).
+        # The batch finish charges _LOCAL_ROUNDS against the budget, so a
+        # leftover-heavy batch can overshoot max_iterations — fail loudly
+        # rather than hand back a set that violates the documented
+        # maximality invariant.
+        if not undecided.isEmpty():
+            raise ValueError(
+                "MaximalIndependentSet did not decide every vertex within "
+                f"max_iterations={self.max_iterations}; Luby rounds are "
+                "O(log n) w.h.p. — raise the budget for adversarial graphs"
+            )
         return chosen
 
     def _batch_rounds(

@@ -16,10 +16,13 @@ max part load <= (total/k) + max item, which ``run`` exposes as an
 exactly checkable invariant (the gate oracle pins its violation count to
 zero).
 
-Refinement (KL/FM boundary moves) is intentionally absent: matching-based
-coarsening plus balanced coarse assignment is the load-bearing multilevel
-structure; a boundary-move pass is a quality knob, not a correctness one,
-and is documented as the extension point.
+Refinement (FM-flavored boundary moves) ships as ``refine()`` below: per
+round it thins positive-gain movers to a Luby-style independent set and
+caps per-part intake, which makes the cut improvement provably monotone
+(accepted movers are pairwise non-adjacent, so gains are exact and
+additive against the frozen neighbor assignment). The gate query
+``partition_refine`` pins cut_after <= cut_before, balance <= cap, and
+assignment totality as zero-defect invariants.
 """
 
 from __future__ import annotations
@@ -188,6 +191,22 @@ def refine(
         raise ValueError(
             f"parts carries NULL labels or labels outside [0, {k}) — "
             "k disagrees with the assignment being refined"
+        )
+    # Duplicate vertex ids would fan out through every join below
+    # (neighbor weights, movers, size counts), silently voiding the
+    # monotone-cut and cap invariants this function advertises as
+    # provable — one aggregate on the already-checkpointed frame
+    # (round-5 ADVICE).
+    dup = (
+        cur.groupBy(ID)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+    )
+    if not dup.isEmpty():
+        raise ValueError(
+            "parts carries duplicate vertex ids — the assignment must "
+            "have exactly one row per vertex"
         )
     for r in range(rounds):
         nw = (

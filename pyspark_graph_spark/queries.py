@@ -6058,6 +6058,35 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wedge_budget_guard(sym: DataFrame, query_name: str) -> None:
+    """Raise when the wedge self-join's row budget Σ_v C(deg(v), 2) exceeds
+    SPARK_GRAFT_WEDGE_BUDGET (default 2_000_000_000). One degree
+    aggregation + a 1-row collect — O(E) probe vs the O(Σ deg²) join it
+    guards. Read from the env at call time so tests (and operators run
+    under tighter memory) can lower it without re-importing."""
+    import os
+
+    budget = int(os.environ.get("SPARK_GRAFT_WEDGE_BUDGET", "2000000000"))
+    wedges = (
+        sym.groupBy(DST)
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - F.lit(1)) / 2).alias("w")
+        )
+        .collect()[0]["w"]
+    )
+    wedges = int(wedges or 0)
+    if wedges > budget:
+        raise ValueError(
+            f"{query_name}: exact wedge census needs {wedges:,} wedge rows"
+            f" > budget {budget:,} (SPARK_GRAFT_WEDGE_BUDGET). On hub-heavy"
+            " graphs this join exhausts spill disk (SCALE.md 'REAL sf1');"
+            " use the registered `four_cycles_estimate` scale path (edge"
+            " sparsifier, exact identity on the subgraph, 1/p^4 scaling)"
+            " or raise the budget explicitly."
+        )
+
+
 @query(
     "four_cycles",
     oracle=f"""
@@ -6077,9 +6106,19 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4 = ½ Σ_{{u<v}} C(codeg(u,v), 2): one wedge self-join keyed on the
     shared middle vertex (output O(Σ deg²), the same shape the Jaccard
     operator already carries at this scale), one aggregation, no 4-way
-    join ever materialized."""
+    join ever materialized.
+
+    Budget guard (round-6 verdict item 3): the exact census demonstrably
+    dies at real-sf1 (23.2 B wedges exhausted spill disk, SCALE.md "REAL
+    sf1"), so before building the wedge join we probe Σ C(deg,2) with one
+    cheap degree aggregation (a bounded 1-row driver action, same class
+    as the adjudicated BPE merge-table collect) and raise — loudly, like
+    MultilevelPartition.run on unbounded batches — when it exceeds
+    SPARK_GRAFT_WEDGE_BUDGET (default 2e9), naming `four_cycles_estimate`
+    as the registered scale path."""
     g = supplier_co_occurrence_graph(spark, sf_dir)
     sym = g.symmetric_edges.select(SRC, DST)
+    _wedge_budget_guard(sym, query_name="four_cycles")
     a = sym.alias("a")
     b = sym.alias("b")
     cn = (
