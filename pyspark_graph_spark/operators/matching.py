@@ -29,7 +29,7 @@ of maximum matching / vertex cover.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
@@ -52,10 +52,20 @@ class MaximalMatching:
         seed: int = 0,
         weight_col: str | None = None,
         batch_finish: int = 100_000,
+        priority: str = "xxhash64",
     ):
+        if priority not in ("xxhash64", "md5"):
+            raise ValueError("priority must be 'xxhash64' or 'md5'")
         self.max_iterations = max_iterations
         self.seed = seed
         self.weight_col = weight_col
+        # 'xxhash64' is the fast JVM default; 'md5' switches edge
+        # priorities to md5_hash60(src,dst,seed) — bit-identical in
+        # DuckDB (functions/hashing.py), which makes the greedy fixpoint
+        # REPLAYABLE by an external SQL oracle (sequential greedy over
+        # edges in priority order = this peel's fixpoint, module
+        # docstring). graph_coarsen's mapping-level gate oracle uses it.
+        self.priority = priority
         # once the residual edge list fits this bound, finish the greedy
         # sequentially inside ONE Arrow batch instead of paying 3 fixed-
         # overhead Spark jobs per peeling round for a dwindling tail.
@@ -65,6 +75,17 @@ class MaximalMatching:
         # one — every higher-priority edge has already been decided and
         # removed. 0 disables the batch finish (pure distributed peel).
         self.batch_finish = batch_finish
+
+    def _priority_col(self) -> Column:
+        if self.priority == "md5":
+            from pyspark_graph_spark.functions.hashing import (
+                md5_hash60_concat,
+            )
+
+            return md5_hash60_concat(
+                F.col(SRC), F.col(DST), F.lit(self.seed)
+            )
+        return F.xxhash64(F.col(SRC), F.col(DST), F.lit(self.seed))
 
     def run(self, g: Graph) -> DataFrame:
         w = self.weight_col
@@ -79,10 +100,7 @@ class MaximalMatching:
             )
             .filter(F.col(SRC) < F.col(DST))
             .distinct()
-            .withColumn(
-                "__p",
-                F.xxhash64(F.col(SRC), F.col(DST), F.lit(self.seed)),
-            )
+            .withColumn("__p", self._priority_col())
             .withColumn(
                 "__np",
                 -F.col(w).cast("double") if w else F.lit(0.0),

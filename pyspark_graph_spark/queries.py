@@ -12741,7 +12741,10 @@ def _supplier_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators import MaximalMatching
 
     g = supplier_co_occurrence_graph(spark, sf_dir)
-    m = MaximalMatching().run(g).persist()
+    # md5 priorities: bit-identical in DuckDB, so graph_coarsen's
+    # mapping-level oracle can REPLAY this exact matching (sequential
+    # greedy over priority order = the peel's fixpoint)
+    m = MaximalMatching(priority="md5").run(g).persist()
     for old_key in list(_MATCHING_CACHE):
         if old_key != key:
             _MATCHING_CACHE.pop(old_key).unpersist()
@@ -12837,80 +12840,103 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("size")
 
 
+_MATCH_PRIORITY_SQL = _h60sql(
+    "CAST(src AS VARCHAR) || ',' || CAST(dst AS VARCHAR) || ',0'"
+)
+
+
 @query(
     "graph_coarsen",
-    oracle="""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
-       CAST(0 AS BIGINT) AS vertex_defect,
-       CAST(0 AS BIGINT) AS mapping_defect,
-       CAST(0 AS BIGINT) AS edge_defect
-FROM supplier
+    oracle=f"""
+WITH RECURSIVE {SUPPLIER_EDGES_CTE.strip()},
+pe AS (
+    SELECT src, dst, {_MATCH_PRIORITY_SQL} AS p
+    FROM supplier_edges
+),
+greedy AS (
+    SELECT CAST([] AS BIGINT[]) AS matched
+    UNION ALL
+    SELECT g.matched || [pick.src, pick.dst]
+    FROM greedy g, LATERAL (
+        SELECT src, dst FROM pe
+        WHERE NOT list_contains(g.matched, pe.src)
+          AND NOT list_contains(g.matched, pe.dst)
+        ORDER BY p, src, dst LIMIT 1
+    ) pick
+),
+final AS (
+    SELECT matched FROM greedy ORDER BY len(matched) DESC LIMIT 1
+),
+m AS (
+    SELECT matched[2 * x.i - 1] AS src, matched[2 * x.i] AS dst
+    FROM final,
+         LATERAL (
+             SELECT unnest(range(1, len(final.matched) // 2 + 1)) AS i
+         ) x
+),
+map AS (
+    SELECT v.id, COALESCE(pm.super, v.id) AS super
+    FROM (SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier) v
+    LEFT JOIN (
+        SELECT src AS id, LEAST(src, dst) AS super FROM m
+        UNION ALL
+        SELECT dst AS id, LEAST(src, dst) AS super FROM m
+    ) pm USING (id)
+),
+coarse AS (
+    SELECT LEAST(ms.super, md.super) AS csrc,
+           GREATEST(ms.super, md.super) AS cdst,
+           COUNT(*) AS weight
+    FROM supplier_edges e
+    JOIN map ms ON e.src = ms.id
+    JOIN map md ON e.dst = md.id
+    WHERE ms.super <> md.super
+    GROUP BY 1, 2
+),
+sw AS (
+    SELECT super, SUM(weight) AS w FROM (
+        SELECT csrc AS super, weight FROM coarse
+        UNION ALL
+        SELECT cdst AS super, weight FROM coarse
+    ) GROUP BY 1
+)
+SELECT map.id, map.super,
+       CAST(COALESCE(sw.w, 0) AS BIGINT) AS super_weight
+FROM map LEFT JOIN sw ON map.super = sw.super
 """,
 )
 def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One multilevel coarsening step (Karypis & Kumar, METIS): contract
     a maximal matching of the supplier co-occurrence graph into
-    supervertices, verified by construction invariants the oracle pins
-    to zero — |V(coarse)| = |V| − |M| (every matched pair collapses to
-    one supervertex, nothing else merges), the vertex→super mapping is
-    total and functional (|mapping| = |V|, one super per id), and the
-    coarse edge weights conserve exactly the cross-super fine edges
-    (Σ weight = fine edges whose endpoints land in different supers;
-    intra-pair edges drop as self-loops). Like `maximal_matching`, the
-    exact invariant recomputation IS the query — a defect in the peel,
-    the contraction joins, or the weight aggregate breaks a zero. The
-    matching comes from the shared per-application cache
-    (_supplier_matching), so the ~19 s peel is paid once across both
-    its consumers."""
+    supervertices. MAPPING-LEVEL oracle (round-5 verdict item 8): the
+    matching uses md5 priorities, so the DuckDB oracle REPLAYS the exact
+    peel — sequential greedy over edges in (priority, src, dst) order
+    via a recursive CTE equals the distributed peeling fixpoint
+    (Blelloch/Fineman/Shun SPAA'12) — then recomputes the contraction.
+    Output is one row per fine vertex: its supervertex (the actual
+    id→super mapping, value-checked, not just invariant-checked) and the
+    total coarse edge weight incident to that supervertex (value-checks
+    the weight aggregation of the contraction too: Σ incident weights =
+    cross-super fine edge count per super). The matching comes from the
+    shared per-application cache (_supplier_matching), so the peel is
+    paid once across `maximal_matching`, this query, and the
+    multilevel partitioner."""
     from pyspark_graph_spark.operators.matching import coarsen
 
     g = supplier_co_occurrence_graph(spark, sf_dir)
     m = _supplier_matching(spark, sf_dir)
     cg, mapping = coarsen(g, m)
 
-    nf = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
-    nm = m.agg(F.count(F.lit(1)).alias("__m"))
-    nc = cg.vertices.agg(F.count(F.lit(1)).alias("__c"))
-    mp = mapping.agg(
-        F.count(F.lit(1)).alias("__mp"),
-        F.count_distinct(ID).alias("__mpd"),
-    )
-    ew = cg.edges.agg(
-        F.coalesce(F.sum("weight"), F.lit(0)).cast("long").alias("__w")
-    )
-    cross = (
-        g.edges.select(SRC, DST)
-        .join(
-            mapping.withColumnsRenamed({ID: SRC, "super": "__ss"}),
-            on=SRC,
-        )
-        .join(
-            mapping.withColumnsRenamed({ID: DST, "super": "__sd"}),
-            on=DST,
-        )
-        .filter(F.col("__ss") != F.col("__sd"))
-        .agg(F.count(F.lit(1)).alias("__x"))
-    )
+    inc = cg.edges.select(
+        F.col(SRC).alias("super"), F.col("weight")
+    ).unionByName(cg.edges.select(F.col(DST).alias("super"), "weight"))
+    sw = inc.groupBy("super").agg(F.sum("weight").alias("__w"))
     return (
-        nf.crossJoin(nm)
-        .crossJoin(nc)
-        .crossJoin(mp)
-        .crossJoin(ew)
-        .crossJoin(cross)
+        mapping.join(sw, on="super", how="left")
         .select(
-            "n_vertices",
-            (
-                F.col("__c") - (F.col("n_vertices") - F.col("__m"))
-            )
-            .cast("long")
-            .alias("vertex_defect"),
-            (
-                F.abs(F.col("__mp") - F.col("n_vertices"))
-                + F.abs(F.col("__mpd") - F.col("n_vertices"))
-            )
-            .cast("long")
-            .alias("mapping_defect"),
-            (F.col("__w") - F.col("__x")).cast("long").alias("edge_defect"),
+            ID,
+            "super",
+            F.coalesce("__w", F.lit(0)).cast("long").alias("super_weight"),
         )
     )
 
