@@ -58,8 +58,6 @@ ADJUDICATED_BOUNDED: dict[str, tuple[int, str]] = {
     "union consumes the pair subtree twice, duplicating its broadcast"),
     "dedup_embedding": (1, "broadcast = LSH-bucketed candidate centroids, "
     "bounded by n_planes"),
-    "xlingual_mining": (1, "brute oracle-twin strategy: broadcast = packed "
-    "chunk rows; the LSH forest path is the scale shape"),
     "ann_topk": (1, "broadcast = the k query points, bounded by k"),
     "ann_topk_ivf": (2, "broadcast = nlist IVF centroids + query points"),
     "ann_recall": (2, "broadcast = the 10 query points, once per ranking "
