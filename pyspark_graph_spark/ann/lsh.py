@@ -78,7 +78,18 @@ class RandomHyperplaneLSH:
         execution (nested-literal transform); this shape measured fastest
         and scales: ~(rows × dim × planes) codegen join rows, two shuffles
         of (rows × tables) keys.
+
+        The input is widened first: the explode fans every input row out
+        ×dim×(tables·planes), so a few-split scan (single-row-group
+        parquet) would pin the whole sketch stage to one task — measured
+        as a 2-core ceiling on a 20k-vector corpus at real-sf1. Same
+        plan-shape-gated repartition as the media codec hop.
         """
+        from pyspark_graph_spark.multimodal.binary_ops import (
+            widen_for_python,
+        )
+
+        df = widen_for_python(df)
         exploded = df.select(
             F.col(self.id_col).alias("id"),
             F.posexplode(F.col(self.vec_col).cast("array<double>")).alias(

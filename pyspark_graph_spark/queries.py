@@ -10012,10 +10012,26 @@ _XLINGUAL_LSH_ORACLE = f"""
 WITH planes(tbl, plane, w) AS (VALUES
 {_lsh_forest_planes_values(dim=64, num_tables=16, planes_per_table=6, seed=42)}
 ),
+dim_stats AS (
+    SELECT i, ROUND(AVG(x), 6) AS mu,
+           CASE WHEN ROUND(STDDEV_POP(x), 6) = 0 THEN 1.0
+                ELSE ROUND(STDDEV_POP(x), 6) END AS sd
+    FROM (
+        SELECT UNNEST(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                   AS x,
+               UNNEST(range(1, len(embedding) + 1)) AS i
+        FROM embeddings
+    ) GROUP BY i
+),
+stat_arr AS (
+    SELECT list(mu ORDER BY i) AS m, list(sd ORDER BY i) AS s
+    FROM dim_stats
+),
 vecs AS (
     SELECT vec_id,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
+           list_transform(range(1, 65),
+                i -> (CAST(embedding[i] AS DOUBLE) - m[i]) / s[i]) AS v
+    FROM embeddings, stat_arr
 ),
 dots AS (
     SELECT vec_id, tbl, plane,
