@@ -218,3 +218,91 @@ def test_matching_cache_single_sf_dir_eviction(spark):
     assert len(Q._MATCHING_CACHE) == 1  # old sf evicted + unpersisted
     assert next(iter(Q._MATCHING_CACHE)) != first_key
     Q.clear_shared_caches()
+
+
+# ---------------------------------------------------------------------------
+# anisotropic corpora: standardization must keep the forest selective
+# ---------------------------------------------------------------------------
+
+def test_lsh_standardization_survives_anisotropy(spark):
+    """Real embedding corpora concentrate in a common direction
+    ("all-but-the-top"); raw hyperplane bits then all compute
+    sign(w0*x0) and every vector lands in one bucket per table (measured
+    2.25 B candidate pairs at real-sf1). The z-scored forest must (a)
+    still find a planted near-duplicate pair and (b) keep the candidate
+    volume far below all-pairs on exactly that corpus shape."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspark_graph_spark.ann.lsh import RandomHyperplaneLSH
+    from pyspark_graph_spark.dedup import EmbeddingDedup
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(400):
+        # dominant dim 0 (mean 100, std 30) + tiny isotropic remainder
+        v = [rng.gauss(100, 30)] + [rng.gauss(0, 1) for _ in range(15)]
+        rows.append((i, v))
+    # planted near-dup: same direction, small perturbation
+    base_v = rows[7][1]
+    rows.append((400, [x * 1.001 + rng.gauss(0, 1e-4) for x in base_v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    dd = EmbeddingDedup(
+        threshold=0.9999, strategy="lsh", dim=16, planes_per_table=6
+    )
+    found = {(r["src"], r["dst"]) for r in dd.pairs(df).collect()}
+    assert (7, 400) in found
+
+    # candidate volume check: z-scored buckets must spread. Reproduce the
+    # standardization, sketch, and bound max bucket well below n.
+    base = df.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("__v")
+    )
+    stats = (
+        base.select(
+            F.posexplode(F.col("__v").cast("array<double>")).alias(
+                "dim", "__x"
+            )
+        )
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("__x"), 6).alias("__mu"),
+            F.round(F.stddev_pop("__x"), 6).alias("__sd"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "__mu", "__sd"))
+            ).alias("__s")
+        )
+        .select(
+            F.transform(F.col("__s"), lambda s: s["__mu"]).alias("__mean"),
+            F.transform(F.col("__s"), lambda s: s["__sd"]).alias("__scale"),
+        )
+    )
+    centered = base.crossJoin(F.broadcast(stats)).select(
+        "id",
+        F.zip_with(
+            F.zip_with(
+                F.col("__v").cast("array<double>"),
+                F.col("__mean"),
+                lambda a, b: a - b,
+            ),
+            F.col("__scale"),
+            lambda a, s: a / s,
+        ).alias("__v"),
+    )
+    lsh = RandomHyperplaneLSH(
+        dim=16, num_tables=16, planes_per_table=6, multi_probe=False,
+        seed=42, id_col="id", vec_col="__v",
+    )
+    spread = (
+        lsh.sketch(centered)
+        .groupBy("table", "bucket")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    # raw vectors put ~all 401 in one bucket; z-scored must spread
+    assert spread < 200
