@@ -61,7 +61,13 @@ class MinHashLSH:
         lambdas run interpreted (~µs/element), which measured 30 s at
         sf0.1 vs ~4 s for the whole-stage-codegen aggregate path. Costs
         one shuffle on the doc id (combine-heavy: 64 longs per doc).
+        The input is widened first: shingling+explode fuse into the scan
+        stage, and a single-split parquet would pin them to one task
+        (functions/widen.py; 2.9 s → 2.2 s warm at sf0.1).
         """
+        from pyspark_graph_spark.functions.widen import widen_for_python
+
+        docs = widen_for_python(docs)
         base = (
             docs.select(
                 F.col(self.id_col).alias("id"),

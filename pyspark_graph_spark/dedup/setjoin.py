@@ -60,7 +60,11 @@ class PrefixFilterSetJoin:
         shingle vocabulary are ~10⁻¹¹-rare — the same bet Graph indexing
         makes), so every downstream shuffle/array moves 8-byte longs
         instead of shingle strings — measured 2-3× off the index build
-        and the verification join."""
+        and the verification join. Widened: shingling fuses into the
+        scan stage (functions/widen.py)."""
+        from pyspark_graph_spark.functions.widen import widen_for_python
+
+        docs = widen_for_python(docs)
         return (
             docs.select(
                 F.col(self.id_col).alias("id"),

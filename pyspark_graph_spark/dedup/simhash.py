@@ -84,6 +84,11 @@ class SimHashDedup:
         self.blocks = max_hamming + 1
 
     def fingerprints(self, docs: DataFrame) -> DataFrame:
+        # per-token hashing fuses into the scan stage; widen few-split
+        # inputs so it runs at thread width (2.6 s → 1.1 s at sf0.1)
+        from pyspark_graph_spark.functions.widen import widen_for_python
+
+        docs = widen_for_python(docs)
         return docs.select(
             F.col(self.id_col).alias("id"),
             simhash64(F.col(self.text_col), self.token_hash).alias(SIMHASH),

@@ -50,6 +50,11 @@ def duplicate_spans(
     ``clean_fingerprint`` is the md5 of the document with those tokens
     removed (token order preserved).
     """
+    from pyspark_graph_spark.functions.widen import widen_for_python
+
+    # tokenization + per-window hashing fuse into the scan stage; widen
+    # few-split inputs so they run at thread width (functions/widen.py)
+    docs = widen_for_python(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(

