@@ -92,6 +92,37 @@ def main() -> None:
         "queries": timings,
         "sf": sf_val,
     }
+    # Shared-artifact FAMILY subtotals (round-6 verdict item 6): queries
+    # consuming a per-application cache (CDC clusters, supplier matching,
+    # landmark SP, ...) charge the build cost to whichever member runs
+    # first, so per-query numbers swing wildly with gate-order changes
+    # (dedup_keep_policy 0.25 <-> 8.68 s across r5/r6 with zero code
+    # delta) while the family total is conserved. Compare THESE across
+    # rounds; per-member deltas within a family are attribution noise.
+    try:
+        from pyspark_graph_spark.queries import SHARED_FAMILIES
+
+        payload["families"] = {
+            fam: {
+                "members": members,
+                "sec": round(
+                    sum(timings.get(m, 0.0) for m in members), 3
+                ),
+                **(
+                    {
+                        "sec_min": round(
+                            sum(timings_min.get(m, 0.0) for m in members),
+                            3,
+                        )
+                    }
+                    if passes > 1
+                    else {}
+                ),
+            }
+            for fam, members in SHARED_FAMILIES.items()
+        }
+    except ImportError:
+        pass
     if passes > 1:
         payload["passes"] = passes
         payload["queries_min"] = timings_min

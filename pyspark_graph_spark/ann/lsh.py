@@ -68,8 +68,12 @@ class RandomHyperplaneLSH:
         ]
         return spark.createDataFrame(rows, "dim int, table int, plane int, w double")
 
-    def sketch(self, df: DataFrame) -> DataFrame:
-        """(id, __v, table, bucket) — one row per table per vector.
+    def sketch(self, df: DataFrame, attach_vectors: bool = True) -> DataFrame:
+        """(id, __v, table, bucket) — one row per table per vector; with
+        ``attach_vectors=False``, (id, table, bucket) only, skipping the
+        rows×tables re-join entirely (the dedup candidate path carries ids
+        alone into its bucket self-join and re-joins vectors only for the
+        surviving distinct pairs — round-6 advice).
 
         Sketching is a broadcast equi-join against the weight table plus two
         partial aggregations — every operator whole-stage-codegen. Earlier
@@ -96,10 +100,15 @@ class RandomHyperplaneLSH:
                 "dim", "__x"
             ),
         )
+        # the dot is rounded to 9 decimals BEFORE the sign test: Spark sums
+        # the partials in partition order (nondeterministic) while a SQL
+        # oracle sums sequentially, so a dot within float-accumulation
+        # error of zero could otherwise flip a bucket bit between engines
+        # (round-6 advice; mirrors the 6-dp treatment of the z-score stats)
         dots = (
             exploded.join(F.broadcast(self._plane_df(df)), on="dim")
             .groupBy("id", "table", "plane")
-            .agg(F.sum(F.col("__x") * F.col("w")).alias("__dot"))
+            .agg(F.round(F.sum(F.col("__x") * F.col("w")), 9).alias("__dot"))
         )
         buckets = dots.groupBy("id", "table").agg(
             F.sum(
@@ -111,6 +120,8 @@ class RandomHyperplaneLSH:
             .cast("int")
             .alias("bucket")
         )
+        if not attach_vectors:
+            return buckets
         return buckets.join(
             df.select(
                 F.col(self.id_col).alias("id"),

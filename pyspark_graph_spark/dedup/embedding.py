@@ -61,28 +61,40 @@ class EmbeddingDedup:
         self.planes_per_table = planes_per_table
         self.seed = seed
 
-    def _verify(self, cand: DataFrame) -> DataFrame:
-        """Exact-cosine filter over candidate (src, dst, __sv, __dv) rows;
-        rounded to 6 decimals before thresholding so the emitted value (and
-        any boundary decision) is reproducible across engines."""
-        return (
-            cand.select(
-                "src",
-                "dst",
-                F.round(
-                    cosine_similarity_arrow(F.col("__sv"), F.col("__dv")), 6
-                ).alias(SIM),
-            )
-            .filter(F.col(SIM) >= self.threshold)
+    def _score(self, cand: DataFrame) -> DataFrame:
+        """Exact cosine over candidate (src, dst, __sv, __dv) rows, rounded
+        to 6 decimals so the emitted value (and any boundary decision) is
+        reproducible across engines."""
+        return cand.select(
+            "src",
+            "dst",
+            F.round(
+                cosine_similarity_arrow(F.col("__sv"), F.col("__dv")), 6
+            ).alias(SIM),
         )
 
     def pairs(self, df: DataFrame) -> DataFrame:
         """(src, dst, cosine_sim) with src < dst and cosine >= threshold."""
+        if self.strategy == "brute":
+            base = df.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.vec_col).alias("__v"),
+            )
+            return self._brute(base)
+        return self.scored_pairs(df).filter(F.col(SIM) >= self.threshold)
+
+    def scored_pairs(self, df: DataFrame) -> DataFrame:
+        """Every distinct LSH-forest candidate pair (src < dst), exactly
+        cosine-scored, NO threshold — the margin-mining entry point: at
+        scale a global cosine threshold is output-quadratic on anisotropic
+        corpora (82.7% of all real-sf1 pairs clear 0.35), so per-query
+        top-k/margin consumers rank these scored candidates instead of
+        thresholding them. LSH strategy only."""
+        if self.strategy != "lsh":
+            raise ValueError("scored_pairs requires strategy='lsh'")
         base = df.select(
             F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("__v")
         )
-        if self.strategy == "brute":
-            return self._brute(base)
 
         # widen HERE while the lineage is still a bare scan projection:
         # the centering crossJoin below hides the scan from the
@@ -165,7 +177,9 @@ class EmbeddingDedup:
         # bucket join carries ids ONLY — at scale each candidate row is two
         # longs, not two dim-wide vectors; vectors re-join after distinct
         # (the verify stage touches each surviving pair exactly once).
-        sk = lsh.sketch(centered).select("id", "table", "bucket")
+        # attach_vectors=False skips sketch()'s rows×tables vector re-join
+        # outright instead of projecting it away (round-6 advice).
+        sk = lsh.sketch(centered, attach_vectors=False)
         a = sk.withColumnRenamed("id", "src")
         b = sk.withColumnRenamed("id", "dst")
         cand = (
@@ -182,7 +196,7 @@ class EmbeddingDedup:
             vecs.select(F.col("id").alias("dst"), F.col("__v").alias("__dv")),
             on="dst",
         )
-        return self._verify(cand)
+        return self._score(cand)
 
     def _brute(self, base: DataFrame, chunk: int = 1024) -> DataFrame:
         """All-pairs cosine via broadcast chunks + NumPy mat-vecs.

@@ -6115,7 +6115,15 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the adjudicated BPE merge-table collect) and raise — loudly, like
     MultilevelPartition.run on unbounded batches — when it exceeds
     SPARK_GRAFT_WEDGE_BUDGET (default 2e9), naming `four_cycles_estimate`
-    as the registered scale path."""
+    as the registered scale path.
+
+    LAZINESS CAVEAT (round-6 advice): unlike every other registered
+    query, CALLING this builder executes one eager Spark job (the degree
+    aggregation inside _wedge_budget_guard) before returning the lazy
+    census frame, and re-runs it on every invocation — the price of
+    refusing to even CONSTRUCT a plan that would die downstream. Callers
+    that only want the plan shape (explain/audit tooling) should expect
+    that one O(E) job at call time; tools/plan_audit.py already does."""
     g = supplier_co_occurrence_graph(spark, sf_dir)
     sym = g.symmetric_edges.select(SRC, DST)
     _wedge_budget_guard(sym, query_name="four_cycles")
@@ -9984,33 +9992,19 @@ def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _lsh_forest_planes_values(
-    dim: int, num_tables: int, planes_per_table: int, seed: int
-) -> str:
-    """DuckDB VALUES rows ``(tbl, plane, [w1,...,wdim])`` for the EXACT
-    hyperplane weights RandomHyperplaneLSH derives from ``seed`` — same
-    seeded generator, so the oracle recomputes the same forest. repr()
-    round-trips each double exactly; DuckDB parses to the identical bits."""
-    from pyspark_graph_spark.ann.lsh import RandomHyperplaneLSH
+# FROZEN plane literals (ann/frozen_planes.py): the oracle verifies a fixed
+# forest checked in as constants, NOT one regenerated at import time from the
+# implementation under test — so a drift in RandomHyperplaneLSH's generator
+# diverges the gate instead of being silently mirrored into the oracle
+# (round-6 advice). tests/test_round7_fixes.py asserts the shipping generator
+# still produces these exact constants; tools/freeze_planes.py regenerates.
+from pyspark_graph_spark.ann.frozen_planes import XLINGUAL_PLANES_VALUES
 
-    planes = RandomHyperplaneLSH(
-        dim=dim,
-        num_tables=num_tables,
-        planes_per_table=planes_per_table,
-        seed=seed,
-    ).planes
-    rows = []
-    for t in range(num_tables):
-        for p in range(planes_per_table):
-            w = planes[t * planes_per_table + p]
-            lit = "[" + ", ".join(repr(x) for x in w) + "]"
-            rows.append(f"({t}, {p}, {lit})")
-    return ",\n".join(rows)
-
-
-_XLINGUAL_LSH_ORACLE = f"""
-WITH planes(tbl, plane, w) AS (VALUES
-{_lsh_forest_planes_values(dim=64, num_tables=16, planes_per_table=6, seed=42)}
+# Shared forest replay (planes → z-score → buckets → candidates → exact
+# verify): the CTE prefix both xlingual oracles build on.
+_XLINGUAL_FOREST_CTES = f"""
+planes(tbl, plane, w) AS (VALUES
+{XLINGUAL_PLANES_VALUES}
 ),
 dim_stats AS (
     SELECT i, ROUND(AVG(x), 6) AS mu,
@@ -10034,8 +10028,11 @@ vecs AS (
     FROM embeddings, stat_arr
 ),
 dots AS (
+    -- ROUND(.,9) before the sign test mirrors sketch(): Spark's partial
+    -- aggregation sums in partition order, DuckDB's list_sum sequentially
     SELECT vec_id, tbl, plane,
-           list_sum(list_transform(range(1, 65), i -> v[i] * w[i])) AS dot
+           ROUND(list_sum(list_transform(range(1, 65), i -> v[i] * w[i])), 9)
+               AS dot
     FROM vecs CROSS JOIN planes
 ),
 buckets AS (
@@ -10068,12 +10065,47 @@ prs AS (
     JOIN n a ON c.src = a.vec_id
     JOIN n b ON c.dst = b.vec_id
 )
+"""
+
+_XLINGUAL_LSH_ORACLE = f"""
+WITH {_XLINGUAL_FOREST_CTES.strip()}
 SELECT p.src, p.dst, da.lang AS lang_src, db.lang AS lang_dst,
        p.cosine_sim
 FROM prs p
 JOIN documents da ON p.src = da.doc_id
 JOIN documents db ON p.dst = db.doc_id
 WHERE p.cosine_sim >= 0.35 AND da.lang <> db.lang
+"""
+
+_XLINGUAL_MARGIN_ORACLE = f"""
+WITH {_XLINGUAL_FOREST_CTES.strip()},
+dirs AS (
+    SELECT src AS q, dst AS nb, cosine_sim FROM prs
+    UNION ALL
+    SELECT dst AS q, src AS nb, cosine_sim FROM prs
+),
+xl AS (
+    SELECT d.q, d.nb, d.cosine_sim
+    FROM dirs d
+    JOIN documents dq ON d.q = dq.doc_id
+    JOIN documents dn ON d.nb = dn.doc_id
+    WHERE dq.lang <> dn.lang
+),
+ranked AS (
+    SELECT q, nb, cosine_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY q ORDER BY cosine_sim DESC, nb
+           ) AS rnk
+    FROM xl
+)
+SELECT q AS query_id,
+       MAX(CASE WHEN rnk = 1 THEN nb END) AS best_id,
+       MAX(CASE WHEN rnk = 1 THEN cosine_sim END) AS best_sim,
+       ROUND(MAX(CASE WHEN rnk = 1 THEN cosine_sim END)
+             - COALESCE(MAX(CASE WHEN rnk = 2 THEN cosine_sim END), 0.0),
+             6) AS margin
+FROM ranked
+GROUP BY q
 """
 
 
@@ -10112,6 +10144,70 @@ def q_xlingual_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("lang_src") != F.col("lang_dst"))
         .select("src", "dst", "lang_src", "lang_dst", "cosine_sim")
+    )
+
+
+@query("xlingual_margin", oracle=_XLINGUAL_MARGIN_ORACLE)
+def q_xlingual_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query TOP-K MARGIN mining — the production shape of parallel-
+    corpus mining at 100 TB (round-6 verdict item 2): SCALE.md measured
+    that 82.7% of ALL real-sf1 embedding pairs clear a 0.35 raw-cosine
+    threshold (anisotropy saturates global thresholds — the output itself
+    is quadratic no matter the index), so the mining-correct form ranks
+    each query's candidates and scores the best-vs-second-best MARGIN
+    (Artetxe & Schwenk 2019 margin criterion, absolute variant). Plan:
+    the same z-scored 16×6 LSH forest as `xlingual_mining` produces
+    scored candidates (no threshold), both directions of each candidate
+    pair are considered as (query, neighbor), cross-lingual pairs are
+    kept, and one (query)-partitioned window ranks by exact cosine —
+    output is ≤1 row per document, never a pair list. The oracle replays
+    the FROZEN forest (ann/frozen_planes.py) and the ranking in DuckDB,
+    so the gate binds bit-for-bit."""
+    from pyspark_graph_spark.dedup import EmbeddingDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = EmbeddingDedup(strategy="lsh", dim=64).scored_pairs(emb)
+    dirs = scored.select(
+        F.col("src").alias("q"), F.col("dst").alias("nb"), "cosine_sim"
+    ).unionByName(
+        scored.select(
+            F.col("dst").alias("q"), F.col("src").alias("nb"), "cosine_sim"
+        )
+    )
+    xl = (
+        dirs.join(
+            docs.select(
+                F.col("doc_id").alias("q"), F.col("lang").alias("__lq")
+            ),
+            on="q",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("nb"), F.col("lang").alias("__ln")
+            ),
+            on="nb",
+        )
+        .filter(F.col("__lq") != F.col("__ln"))
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cosine_sim"), F.asc("nb"))
+    ranked = xl.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= 2
+    )
+    return ranked.groupBy(F.col("q").alias("query_id")).agg(
+        F.max(F.when(F.col("__r") == 1, F.col("nb"))).alias("best_id"),
+        F.max(F.when(F.col("__r") == 1, F.col("cosine_sim"))).alias(
+            "best_sim"
+        ),
+        F.round(
+            F.max(F.when(F.col("__r") == 1, F.col("cosine_sim")))
+            - F.coalesce(
+                F.max(F.when(F.col("__r") == 2, F.col("cosine_sim"))),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("margin"),
     )
 
 
@@ -12744,6 +12840,11 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MATCHING_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+_MATCH_PRIORITY_SQL = _h60sql(
+    "CAST(src AS VARCHAR) || ',' || CAST(dst AS VARCHAR) || ',0'"
+)
+
+
 def _supplier_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy maximal matching of the supplier co-occurrence graph,
     computed once per Spark application + sf_dir and persisted — both
@@ -12770,44 +12871,54 @@ def _supplier_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "maximal_matching",
-    oracle="""
-SELECT CAST(0 AS BIGINT) AS matching_violations,
-       CAST(0 AS BIGINT) AS maximality_violations,
-       CAST(COUNT(*) AS BIGINT) AS n_vertices
-FROM supplier
+    oracle=f"""
+WITH RECURSIVE {SUPPLIER_EDGES_CTE.strip()},
+pe AS (
+    SELECT src, dst, {_MATCH_PRIORITY_SQL} AS p
+    FROM supplier_edges
+),
+greedy AS (
+    SELECT CAST([] AS BIGINT[]) AS matched
+    UNION ALL
+    SELECT g.matched || [pick.src, pick.dst]
+    FROM greedy g, LATERAL (
+        SELECT src, dst FROM pe
+        WHERE NOT list_contains(g.matched, pe.src)
+          AND NOT list_contains(g.matched, pe.dst)
+        ORDER BY p, src, dst LIMIT 1
+    ) pick
+),
+final AS (
+    SELECT matched FROM greedy ORDER BY len(matched) DESC LIMIT 1
+),
+m AS (
+    SELECT matched[2 * x.i - 1] AS src, matched[2 * x.i] AS dst
+    FROM final,
+         LATERAL (
+             SELECT unnest(range(1, len(final.matched) // 2 + 1)) AS i
+         ) x
+)
+SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM m
 """,
 )
 def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parallel greedy maximal matching on the supplier co-occurrence
-    graph (operators/matching.py — fixed xxhash64 edge priorities, so
-    the peeling fixpoint equals sequential greedy, proved edge-for-edge
-    in test_matching.py). Like `maximal_independent_set`, the matching
-    itself is not SQL-derivable but its DEFINING invariants are exactly
-    checkable: vertex-disjointness (no vertex in two matched edges —
-    must be 0) and maximality (no graph edge with both endpoints
-    unmatched — must be 0), plus the vertex count anchor the oracle
-    reads from the base table. All computed distributively, no collect.
-    The matching itself comes from the shared per-application cache
-    (_supplier_matching) that `graph_coarsen` also consumes."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    graph (operators/matching.py). VALUE-LEVEL oracle (round-6 verdict
+    item 4): the matching uses md5 edge priorities, so the peeling
+    fixpoint equals sequential greedy over (priority, src, dst) order
+    (Blelloch/Fineman/Shun SPAA'12) and the DuckDB oracle REPLAYS that
+    exact greedy with the same recursive CTE `graph_coarsen` uses,
+    emitting the matched edge SET itself — every matched (src, dst)
+    hash-checked, not just the disjointness/maximality invariants (those
+    remain property-tested edge-for-edge in test_matching.py). The
+    matching comes from the shared per-application cache
+    (_supplier_matching) that `graph_coarsen` and the multilevel
+    partitioner also consume."""
     m = _supplier_matching(spark, sf_dir)
-    mv = (
-        m.select(F.col(SRC).alias(ID))
-        .unionByName(m.select(F.col(DST).alias(ID)))
+    return m.select(
+        F.col(SRC).cast("long").alias(SRC),
+        F.col(DST).cast("long").alias(DST),
     )
-    viol = mv.groupBy(ID).agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") > 1
-    ).agg(F.count(F.lit(1)).alias("matching_violations"))
-    base = g.edges.select(SRC, DST)
-    uncovered = (
-        base.join(
-            mv.distinct().withColumnRenamed(ID, SRC), on=SRC, how="anti"
-        )
-        .join(mv.distinct().withColumnRenamed(ID, DST), on=DST, how="anti")
-        .agg(F.count(F.lit(1)).alias("maximality_violations"))
-    )
-    nverts = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
-    return viol.crossJoin(uncovered).crossJoin(nverts)
 
 
 @query(
@@ -12854,11 +12965,6 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sky.select(
         "size", "price", F.col("n_rows").alias("n_parts")
     ).orderBy("size")
-
-
-_MATCH_PRIORITY_SQL = _h60sql(
-    "CAST(src AS VARCHAR) || ',' || CAST(dst AS VARCHAR) || ',0'"
-)
 
 
 @query(
@@ -13208,68 +13314,102 @@ def q_partition_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Driver gate ordering (round 6 — closing window)
+# Driver gate ordering (round 7 — rotation maintenance)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the
-# ``queries()`` dict.  Rounds 1-5 drove 199 distinct queries hard-signal
-# green (CORRECTNESS_r01 ∪ … ∪ r05, disjoint windows).  This round rotates
-# ALL 48 remaining never-driver-verified queries into the window, closing
-# the gate at 247/247 distinct.  The round-5 verdict's off-by-one is fixed:
-# `multimodal_decode` (whose only driver history is `err: no_oracle` from
-# r01/r02, before its sha256-tile oracle existed) leads the list, followed
-# by the 47 pre-registered names in chronological registration order.
-# Positions 49-50 fall through to _reorder_gate()'s registration-order
-# tail (already-verified queries; harmless re-checks).
+# ``queries()`` dict.  Round 6 closed the rotation: all 247 then-registered
+# queries are driver-verified and every query's LATEST driver check is green
+# (fold CORRECTNESS_r01..r06 latest-wins).  Round-7 policy (per the r6 plan):
+# window (a) anything NEW or semantically CHANGED this round, then (b) the
+# stalest greens.  (a) = `xlingual_margin` (new: top-k margin miner),
+# `maximal_matching` (upgraded invariant → value-level oracle),
+# `xlingual_mining` (oracle re-frozen + 9-dp dot rounding in sketch()).
+# (b) = the 47 queries whose latest check is round 2 — five rounds of shared
+# scan-stage code movement ago — in registration order.  3 + 47 = 50 exactly.
+# The full-suite backstop is ORACLE_FULL_r7.json (tools/check_oracle.py over
+# all registered queries at the benched commit).
 GATE_PRIORITY: list[str] = [
-    "multimodal_decode",
-    "four_cycles_estimate",
-    "xlingual_mining",
-    "dyad_census",
-    "seasonal_decompose",
-    "kmv_intersection",
-    "dedup_rate_curve",
-    "degree_ccdf",
-    "er_clusters_multipass",
-    "dedup_keep_policy",
-    "bowtie_structure",
-    "edge_cut",
-    "conversion_lag",
-    "dedup_cluster_sizes",
-    "rfm_segments",
-    "parts_supplier_counts",
-    "idle_customers",
-    "ppl_filter_calibration",
-    "seasonality_strength",
-    "markov_stationary",
-    "stickiness",
-    "hourly_profile",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_jpeg_color",
-    "boilerplate_chunks",
-    "forecast_revenue",
-    "volume_shipping",
-    "top_supplier",
-    "small_qty_revenue",
-    "special_revenue",
-    "waiting_suppliers",
-    "heaps_law",
-    "token_zipf_fit",
-    "ann_recall",
-    "stratified_sample",
-    "vertex_annotation",
-    "party_union",
-    "min_cost_supplier",
-    "important_parts",
-    "priority_line_counts",
-    "customer_order_distribution",
-    "dominant_suppliers",
+    "xlingual_margin",
     "maximal_matching",
-    "skyline_parts",
-    "graph_coarsen",
-    "coarsen_two_level",
-    "multilevel_partition",
-    "partition_refine",
+    "xlingual_mining",
+    "in_degrees",
+    "adjacency",
+    "triplets",
+    "degree_topk",
+    "triangle_count",
+    "jaccard",
+    "overlap",
+    "jaccard_suppliers",
+    "datalog_non_adjacent",
+    "datalog_triangles",
+    "connected_components",
+    "connected_components_pregel",
+    "bfs",
+    "aggregate_messages",
+    "label_propagation",
+    "wl_kernel",
+    "shortest_paths",
+    "katz",
+    "doc_fingerprints",
+    "ngram_jaccard",
+    "dedup_minhash",
+    "dedup_embedding",
+    "dedup_simhash",
+    "text_stats",
+    "ann_topk",
+    "doc_tokenize_fingerprint",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "session_stats",
+    "session_window_stats",
+    "tumbling_windows",
+    "events_json",
+    "multimodal_decode_pgm",
+    "pagerank",
+    "pricing_summary",
+    "revenue_rollup",
+    "top_customers_per_nation",
+    "strongly_connected_components",
+    "graph_summary",
+    "bipartite_projection",
+    "containment",
+    "weighted_shortest_paths",
+    "clustering_coefficient",
+    "dedup_clusters",
+    "value_percentiles",
+    "personalized_pagerank",
+    "motif_find",
 ]
+
+
+# Queries consuming a shared per-application cached artifact, keyed by
+# family (the cache that binds them). The artifact's build cost lands on
+# whichever member a suite pass runs FIRST, so per-member timings are
+# attribution noise across gate-order changes while the family subtotal is
+# conserved — bench.py reports these subtotals (round-6 verdict item 6).
+# Kept adjacent to the caches; tests/test_round7_fixes assertions are not
+# needed because bench.py imports this mapping directly.
+SHARED_FAMILIES: dict[str, list[str]] = {
+    "ngram_pairs": ["ngram_jaccard", "dedup_rate_curve"],
+    "landmark_sp": [
+        "closeness_centrality",
+        "harmonic_centrality",
+        "eccentricity",
+    ],
+    "cdc_clusters": [
+        "cdc_dedup_clusters",
+        "leakage_safe_split",
+        "dedup_keep_policy",
+        "dedup_cluster_sizes",
+    ],
+    "supplier_matching": [
+        "maximal_matching",
+        "graph_coarsen",
+        "coarsen_two_level",
+        "multilevel_partition",
+        "partition_refine",
+    ],
+}
 
 
 def clear_shared_caches() -> None:
