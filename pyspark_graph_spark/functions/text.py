@@ -15,6 +15,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from pyspark_graph_spark.session import (
+    default_parallelism as _default_parallelism,
+)
+
 # tiny per-language function-word lists for the n-gram/stopword heuristic
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to"],
@@ -150,7 +154,7 @@ def winnow_fingerprints(
     # back into one partition, re-serializing the expensive projection
     # that follows
     return (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        df.repartition(_default_parallelism(df.sparkSession))
         .select(F.col(id_col), t.alias("__t"), F.explode(idx).alias("__i"))
         .select(
             id_col,

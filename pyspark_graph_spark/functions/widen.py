@@ -31,7 +31,10 @@ _BARE_SCAN_NODES = frozenset(
 def _is_bare_scan(df: DataFrame) -> bool:
     """True iff the optimized logical plan contains only
     Relation/Project/Filter/LocalRelation nodes — the structural check
-    behind widen_for_python's 'pass bare scans only' contract."""
+    behind widen_for_python's 'pass bare scans only' contract. Under Spark
+    Connect there is no ``_jdf`` and the probe returns False, which makes
+    widen_for_python a documented no-op there (at warehouse scale inputs
+    arrive in many files and it is a no-op anyway)."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
@@ -60,7 +63,9 @@ def widen_for_python(df: DataFrame) -> DataFrame:
     still decides the final step: a handful of huge splittable files
     already scans as many partitions and must NOT be collapsed to
     thread width."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    from pyspark_graph_spark.session import default_parallelism
+
+    target = default_parallelism(df.sparkSession)
     try:
         n_files = len(df.inputFiles())
     except Exception:

@@ -34,6 +34,9 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.session import (
+    default_parallelism as _default_parallelism,
+)
 
 
 class MaximalMatching:
@@ -118,7 +121,7 @@ class MaximalMatching:
                 out = out.unionByName(w_df)
             # the union stacks every round's checkpointed partitions;
             # narrow-coalesce so consumers see one frame's worth of tasks
-            return out.coalesce(spark.sparkContext.defaultParallelism)
+            return out.coalesce(_default_parallelism(spark))
 
         def _batch_greedy(pdf):
             pdf = pdf.sort_values(["__np", "__p", SRC, DST])

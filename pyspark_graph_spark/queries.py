@@ -27,6 +27,10 @@ from pyspark_graph_spark.constants import (
     SRC,
 )
 from pyspark_graph_spark.datalog import DatalogQuery, Edge, Vertex
+from pyspark_graph_spark.session import (
+    app_key as _app_key,
+    default_parallelism as _default_parallelism,
+)
 from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.operators.similarity import (
     JaccardSimilarity,
@@ -703,7 +707,7 @@ def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.dedup import NgramJaccardDedup
     from pyspark_graph_spark.sources.tables import load_table
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (_app_key(spark), sf_dir)
     cached = _NGRAM_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -936,7 +940,7 @@ def q_doc_tokenize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # single-file parquet -> 1 split; spread before the per-char regex work
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        _default_parallelism(spark)
     )
     counts = docs.select(
         "doc_id", subword_token_count(F.col("text")).alias("n_subwords")
@@ -1763,7 +1767,7 @@ def _landmark_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark application + sf_dir and persisted — the 12-round Pregel is the
     dominant cost of all three queries, and per-query each plan is fine
     but as a suite it was executed 3x (r2 verdict item 3)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (_app_key(spark), sf_dir)
     df = _SP_CACHE.get(key)
     if df is None:
         from pyspark_graph_spark.operators import ShortestPaths
@@ -2477,7 +2481,7 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        _default_parallelism(spark)
     )
     return decode_audio(attach_wav_media(docs, "doc_id"))
 
@@ -2517,7 +2521,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        _default_parallelism(spark)
     )
     return extract_frames(attach_pgm_video(docs, "doc_id"), every_n=2)
 
@@ -5215,7 +5219,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-position hash lambdas are the real work here, so spread them
     # (measured 48 s -> ~3 s at sf0.1 on local[32])
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        _default_parallelism(spark), "doc_id"
     )
     return cdc_chunks(docs, window=3, divisor=16)
 
@@ -5331,7 +5335,7 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep policy) and leakage_safe_split consume the identical result, the
     same suite-level sharing the landmark-SP cache applies (r2 verdict
     item 3)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (_app_key(spark), sf_dir)
     cached = _CDC_CACHE.get(key)
     if cached is not None:
         return cached
@@ -5344,7 +5348,7 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     spread = docs.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+        _default_parallelism(spark), "doc_id"
     )
     ch = cdc_chunks(spread, window=3, divisor=16).select(
         "doc_id", "fingerprint"
@@ -6826,7 +6830,7 @@ def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        _default_parallelism(spark)
     )
     return winnow_matches(docs, k=16, w=8, min_shared=3)
 
@@ -7090,7 +7094,7 @@ def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        _default_parallelism(spark)
     )
     return PrefixFilterSetJoin(threshold=0.8, n=2).run(docs)
 
@@ -8494,7 +8498,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        _default_parallelism(spark)
     )
     return tfidf_cosine_pairs(docs, threshold=0.9)
 
@@ -12851,7 +12855,7 @@ def _supplier_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     `maximal_matching` (invariant audit) and `graph_coarsen` (contraction)
     consume the identical ~19 s peel, the same suite-level sharing the
     CDC cluster table applies. Latest-entry eviction mirrors _CDC_CACHE."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (_app_key(spark), sf_dir)
     cached = _MATCHING_CACHE.get(key)
     if cached is not None:
         return cached
@@ -13151,7 +13155,7 @@ def _supplier_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted — consumed by `multilevel_partition` (invariant audit) and
     `partition_refine` (boundary improvement). Same cache contract as
     _MATCHING_CACHE / _CDC_CACHE."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (_app_key(spark), sf_dir)
     cached = _PARTITION_CACHE.get(key)
     if cached is not None:
         return cached

@@ -8,6 +8,7 @@ AQE on for runtime re-planning, skew-join handling, broadcast threshold).
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -38,3 +39,63 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Spark Connect capability shims
+# ---------------------------------------------------------------------------
+# The reference's one stated design commitment is "pure DataFrame API for
+# Spark Connect compatibility" (reference README.md:17-19). Every algorithm
+# in this engine honors that, but the perf-hygiene layer (scan widening,
+# file-size-targeted writes, per-application caches) touches py4j-backed
+# driver internals (`sparkContext`, `df._jdf`, `df.rdd`) that do not exist
+# under Connect. These helpers are the single place that touches them: on a
+# classic session they return the real values; on Connect they fall back to
+# documented degraded behavior instead of raising — parallelism from
+# spark.sql.shuffle.partitions, cache keys from a per-session UUID, and the
+# plan probes report "unavailable" so their callers no-op.
+
+_SESSION_KEYS: dict[int, str] = {}
+
+
+def supports_jvm_internals(spark: SparkSession) -> bool:
+    """True on a classic py4j-backed session, False under Spark Connect
+    (where ``sparkContext`` raises and DataFrames have no ``_jdf``)."""
+    try:
+        spark.sparkContext  # noqa: B018 — the probe IS the access
+        return True
+    except Exception:
+        return False
+
+
+def default_parallelism(spark: SparkSession) -> int:
+    """``sparkContext.defaultParallelism`` on classic; under Connect, the
+    session's shuffle partition count — the same knob a cluster operator
+    sizes to core count, and the fan-out every shuffle in the plan already
+    uses, so repartition/coalesce targets stay consistent."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return 200  # Spark's shuffle-partition default
+
+
+def app_key(spark: SparkSession) -> str:
+    """Stable per-application cache key: ``applicationId`` on classic; under
+    Connect (no sparkContext) the server-side ``spark.app.id`` conf when
+    readable, else a UUID pinned to this client session object — caches then
+    scope to the client session, which is the conservative degradation (a
+    reconnect rebuilds instead of reusing a stale server artifact)."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        pass
+    try:
+        v = spark.conf.get("spark.app.id", None)
+        if v:
+            return v
+    except Exception:
+        pass
+    return _SESSION_KEYS.setdefault(id(spark), f"session-{uuid.uuid4()}")

@@ -74,9 +74,26 @@ def write_sized(
     ``target_file_bytes=None``.
     """
     if target_file_bytes:
-        est = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
+        try:
+            est = int(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            # Spark Connect: no _jdf plan access. Documented degraded
+            # mode — skip the size-targeted repartition and let the
+            # plan's own partitioning decide file count (same result as
+            # target_file_bytes=None); `compact` still reports actual
+            # file sizes afterwards, so oversized outputs are visible.
+            est = None
+        if est is None:
+            writer = df.write.mode(mode)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(path)
+            return
         n_files = max(1, -(-est // target_file_bytes))
         if partition_by:
             # hash on the partition columns so each writer task holds whole
