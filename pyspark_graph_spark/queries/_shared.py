@@ -1,0 +1,281 @@
+"""Shared SQL fragments, per-application caches, and cross-domain helpers.
+
+Split out of the single-file registry in round 7; every constant and cache
+object here is re-exported by the package __init__ so external references
+(pyspark_graph_spark.queries._CDC_CACHE etc.) keep working."""
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark_graph_spark.constants import DST
+from pyspark_graph_spark.session import app_key as _app_key
+from pyspark_graph_spark.sources.tables import (
+    customer_supplier_graph,
+    supplier_co_occurrence_graph,
+)
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (must mirror sources/tables.py builders exactly)
+# ---------------------------------------------------------------------------
+
+# supplier co-occurrence edges: src < dst suppliers sharing an order
+SUPPLIER_EDGES_CTE = """
+supplier_pairs AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+supplier_edges AS (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM supplier_pairs a
+    JOIN supplier_pairs b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+supplier_sym AS (
+    SELECT src, dst FROM supplier_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM supplier_edges
+)
+"""
+
+# customer->supplier bipartite edges in the disjoint 2k / 2k+1 id space
+BIPARTITE_EDGES_CTE = """
+bipartite_edges AS (
+    SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+"""
+
+# nation graph: pairs sharing a region, canonical order
+NATION_EDGES_CTE = """
+nation_edges AS (
+    SELECT CAST(a.n_nationkey AS BIGINT) AS src,
+           CAST(b.n_nationkey AS BIGINT) AS dst
+    FROM nation a
+    JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+),
+nation_sym AS (
+    SELECT src, dst FROM nation_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM nation_edges
+)
+"""
+
+# ---------------------------------------------------------------------------
+# M4 — training-data pipeline: dedup, ANN, text analysis, events
+# ---------------------------------------------------------------------------
+_TOKS_CTE = r"""
+toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+    FROM documents
+)
+"""
+
+# Shared n-gram Jaccard pair table: `ngram_jaccard` and
+# `dedup_rate_curve` both consume the same (n=3, threshold=0.5) exact
+# pair set — computed once per (applicationId, sf_dir) and persisted,
+# the same suite-level sharing as the CDC cluster table (_CDC_CACHE);
+# bounded to one entry with unpersist-on-eviction.
+_NGRAM_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+def _shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_graph_spark.dedup import NgramJaccardDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    key = (_app_key(spark), sf_dir)
+    cached = _NGRAM_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = NgramJaccardDedup(n=3, threshold=0.5).pairs(docs).persist()
+    for old_key in list(_NGRAM_PAIRS_CACHE):
+        if old_key != key:
+            _NGRAM_PAIRS_CACHE.pop(old_key).unpersist()
+    _NGRAM_PAIRS_CACHE[key] = pairs
+    return pairs
+
+_SP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+def _landmark_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ShortestPaths([3,5,7,9], max_iterations=12) run shared by the
+    closeness / harmonic / eccentricity gate queries.  Computed once per
+    Spark application + sf_dir and persisted — the 12-round Pregel is the
+    dominant cost of all three queries, and per-query each plan is fine
+    but as a suite it was executed 3x (r2 verdict item 3)."""
+    key = (_app_key(spark), sf_dir)
+    df = _SP_CACHE.get(key)
+    if df is None:
+        from pyspark_graph_spark.operators import ShortestPaths
+
+        g = customer_supplier_graph(spark, sf_dir, directed=False)
+        df = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
+        df = df.persist()
+        _SP_CACHE[key] = df
+    return df
+
+def _walks_ctes(length: int, seed: int) -> list:
+    """CTE list replaying the deterministic walks step-for-step (shared
+    by the walk gate and the walk-PMI composition)."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    ctes = [
+        "bip_sym AS MATERIALIZED (SELECT src, dst FROM bipartite_edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM bipartite_edges)",
+        "adj AS MATERIALIZED (SELECT src AS id, "
+        "list_sort(list(DISTINCT dst)) AS nbrs FROM bip_sym GROUP BY src)",
+        "verts AS (SELECT CAST(c_custkey * 2 AS BIGINT) AS id FROM customer "
+        "UNION ALL SELECT CAST(s_suppkey * 2 + 1 AS BIGINT) FROM supplier)",
+        "s1 AS MATERIALIZED (SELECT "
+        + md5_hash60_sql(f"CAST(id AS VARCHAR) || ',0,{seed}'")
+        + " AS walk_id, id AS start, id AS cur, "
+        "CAST(id AS VARCHAR) AS path FROM verts)",
+    ]
+    for t in range(1, length):
+        h = md5_hash60_sql(f"CAST(walk_id AS VARCHAR) || ',{t},{seed}'")
+        pick = f"nbrs[CAST({h} % len(nbrs) AS INT) + 1]"
+        ctes.append(
+            f"s{t+1} AS MATERIALIZED (SELECT walk_id, start, "
+            f"CASE WHEN nbrs IS NULL THEN NULL ELSE {pick} END AS cur, "
+            "CASE WHEN nbrs IS NULL THEN path "
+            f"ELSE path || ',' || CAST({pick} AS VARCHAR) END AS path "
+            f"FROM (SELECT p.walk_id, p.start, p.path, a.nbrs "
+            f"FROM s{t} p LEFT JOIN adj a ON p.cur = a.id))"
+        )
+    return ctes
+
+def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
+    """Unrolled Lloyd's in ANSI SQL: assign/update blocks repeated
+    n_iter times over list-typed embeddings."""
+    sq = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (e.v[i]-c.centroid[i])*(e.v[i]-c.centroid[i])))"
+    )
+    parts = [
+        "WITH emb AS (",
+        "    SELECT vec_id, list_transform(embedding,",
+        "           x -> CAST(x AS DOUBLE)) AS v FROM embeddings",
+        "),",
+        "c0 AS (",
+        "    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)",
+        "             AS cluster, v AS centroid",
+        f"    FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k})",
+        ")",
+    ]
+    for it in range(n_iter):
+        parts += [
+            f", s{it} AS (",
+            f"    SELECT e.vec_id, e.v, c.cluster, {sq} AS sq",
+            f"    FROM emb e CROSS JOIN c{it} c",
+            ")",
+            f", a{it} AS (",
+            f"    SELECT * FROM s{it} QUALIFY row_number() OVER (",
+            "        PARTITION BY vec_id ORDER BY sq, cluster) = 1",
+            ")",
+        ]
+        if it < n_iter - 1:
+            parts += [
+                f", c{it + 1} AS (",
+                "    SELECT cluster, list(m ORDER BY dim) AS centroid FROM (",
+                "        SELECT a.cluster, d.dim, avg(a.v[d.dim]) AS m",
+                f"        FROM a{it} a CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS dim) d",
+                "        GROUP BY a.cluster, d.dim",
+                "    ) GROUP BY cluster",
+                ")",
+            ]
+    parts += [
+        "SELECT vec_id, cluster, ROUND(sq, 6) AS sq_dist",
+        f"FROM a{n_iter - 1}",
+    ]
+    return "\n".join(parts)
+
+# Keyed by (applicationId, sf_dir); bounded to ONE entry — a long-lived
+# application touching many sf_dirs would otherwise pin executor storage
+# indefinitely, so switching sf_dir unpersists and evicts the old table.
+# Within one (app, sf_dir) the files are assumed immutable for the app's
+# lifetime (the suite's batch contract); restart the app if they change.
+_CDC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+def _wedge_budget_guard(sym: DataFrame, query_name: str) -> None:
+    """Raise when the wedge self-join's row budget Σ_v C(deg(v), 2) exceeds
+    SPARK_GRAFT_WEDGE_BUDGET (default 2_000_000_000). One degree
+    aggregation + a 1-row collect — O(E) probe vs the O(Σ deg²) join it
+    guards. Read from the env at call time so tests (and operators run
+    under tighter memory) can lower it without re-importing."""
+    import os
+
+    budget = int(os.environ.get("SPARK_GRAFT_WEDGE_BUDGET", "2000000000"))
+    wedges = (
+        sym.groupBy(DST)
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.col("d") * (F.col("d") - F.lit(1)) / 2).alias("w")
+        )
+        .collect()[0]["w"]
+    )
+    wedges = int(wedges or 0)
+    if wedges > budget:
+        raise ValueError(
+            f"{query_name}: exact wedge census needs {wedges:,} wedge rows"
+            f" > budget {budget:,} (SPARK_GRAFT_WEDGE_BUDGET). On hub-heavy"
+            " graphs this join exhausts spill disk (SCALE.md 'REAL sf1');"
+            " use the registered `four_cycles_estimate` scale path (edge"
+            " sparsifier, exact identity on the subgraph, 1/p^4 scaling)"
+            " or raise the budget explicitly."
+        )
+
+_MATCHING_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+def _supplier_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching of the supplier co-occurrence graph,
+    computed once per Spark application + sf_dir and persisted — both
+    `maximal_matching` (invariant audit) and `graph_coarsen` (contraction)
+    consume the identical ~19 s peel, the same suite-level sharing the
+    CDC cluster table applies. Latest-entry eviction mirrors _CDC_CACHE."""
+    key = (_app_key(spark), sf_dir)
+    cached = _MATCHING_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark_graph_spark.operators import MaximalMatching
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    # md5 priorities: bit-identical in DuckDB, so graph_coarsen's
+    # mapping-level oracle can REPLAY this exact matching (sequential
+    # greedy over priority order = the peel's fixpoint)
+    m = MaximalMatching(priority="md5").run(g).persist()
+    for old_key in list(_MATCHING_CACHE):
+        if old_key != key:
+            _MATCHING_CACHE.pop(old_key).unpersist()
+    _MATCHING_CACHE[key] = m
+    return m
+
+_PARTITION_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+def _supplier_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel 4-way partition (id, part, super) of the supplier
+    co-occurrence graph, computed once per application + sf_dir and
+    persisted — consumed by `multilevel_partition` (invariant audit) and
+    `partition_refine` (boundary improvement). Same cache contract as
+    _MATCHING_CACHE / _CDC_CACHE."""
+    key = (_app_key(spark), sf_dir)
+    cached = _PARTITION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark_graph_spark.operators.partition import MultilevelPartition
+
+    g = supplier_co_occurrence_graph(spark, sf_dir)
+    parts = (
+        MultilevelPartition(
+            k=4,
+            max_coarse=32,
+            first_matching=_supplier_matching(spark, sf_dir),
+        )
+        .run(g)
+        .persist()
+    )
+    for old_key in list(_PARTITION_CACHE):
+        if old_key != key:
+            _PARTITION_CACHE.pop(old_key).unpersist()
+    _PARTITION_CACHE[key] = parts
+    return parts

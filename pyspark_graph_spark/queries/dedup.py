@@ -1,0 +1,1084 @@
+"""Exact/MinHash/SimHash/embedding/CDC deduplication pipelines."""
+
+from __future__ import annotations
+
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark_graph_spark.constants import DST, ID, SRC
+from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.session import (
+    app_key as _app_key,
+    default_parallelism as _default_parallelism,
+)
+from pyspark_graph_spark.sources.tables import nation_graph
+
+from pyspark_graph_spark.queries._registry import query
+from pyspark_graph_spark.queries._shared import (
+    NATION_EDGES_CTE,
+    _CDC_CACHE,
+    _TOKS_CTE,
+    _kmeans_oracle,
+    _shared_ngram_pairs,
+)
+
+
+_SHINGLE_JACCARD_SQL = rf"""
+WITH {_TOKS_CTE.strip()},
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT src, dst, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON src = sa.doc_id
+JOIN sizes sb ON dst = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
+
+def _simhash_sql() -> str:
+    """Full SimHash pipeline in SQL: per-token md5-60-bit hash, per-bit
+    ±1 vote sums, sign fingerprint, 4x16-bit pigeonhole blocks, block-join
+    candidates, exact bit_count(xor) verify. Bits 60-63 of the token hash
+    are structurally 0, so their vote sums are negative and those
+    fingerprint bits are 0 on both engines — the bit loop stops at 60."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql("tok")
+    return rf"""
+WITH {_TOKS_CTE.strip()},
+th AS MATERIALIZED (
+    SELECT doc_id, {h} AS h
+    FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)
+),
+bits AS MATERIALIZED (
+    SELECT doc_id, j,
+           CAST(SUM(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1
+                         THEN 1 ELSE -1 END) AS BIGINT) AS s
+    FROM th CROSS JOIN UNNEST(range(0, 60)) AS r(j)
+    GROUP BY doc_id, j
+),
+fp AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0
+                         THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                         ELSE 0 END) AS BIGINT) AS f
+    FROM bits GROUP BY doc_id
+),
+blocked AS MATERIALIZED (
+    SELECT doc_id, f, b, (f >> CAST(b * 16 AS INT)) & 65535 AS bv
+    FROM fp CROSS JOIN UNNEST([0, 1, 2, 3]) AS bb(b)
+)
+SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst,
+       CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+FROM blocked a
+JOIN blocked b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: admit a new batch against a standing corpus
+# ---------------------------------------------------------------------------
+_INCREMENTAL_DEDUP_ORACLE = rf"""
+WITH {_TOKS_CTE.strip()},
+bfp AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id % 2 = 1
+),
+cfp AS (
+    SELECT DISTINCT
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id % 2 = 0
+),
+exact_hit AS (SELECT DISTINCT doc_id FROM bfp JOIN cfp USING (fp)),
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS bid, b.doc_id AS cid, COUNT(*) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh
+    WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    GROUP BY 1, 2
+),
+near_hit AS (
+    SELECT DISTINCT bid AS doc_id
+    FROM common
+    JOIN sizes sa ON bid = sa.doc_id
+    JOIN sizes sb ON cid = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT doc_id FROM exact_hit)
+  AND d.doc_id NOT IN (SELECT doc_id FROM near_hit)
+"""
+
+def _cdc_sql(window: int, divisor: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    gram_hash = md5_hash60_sql(
+        f"array_to_string(list_slice(t, p + 1, p + {window}), ' ')"
+    )
+    return f"""
+WITH {_TOKS_CTE.strip()},
+b AS (
+    SELECT doc_id, t,
+           CASE WHEN len(t) >= {window + 1} THEN
+               list_filter(range(1, len(t)),
+                   p -> p + {window} <= len(t)
+                        AND ({gram_hash}) % {divisor} = 0)
+           ELSE CAST([] AS BIGINT[]) END AS bpos
+    FROM toks
+),
+s AS (SELECT doc_id, t, list_prepend(0, bpos) AS starts FROM b),
+c AS (
+    SELECT doc_id, g.j - 1 AS chunk_id,
+           list_slice(t, starts[g.j] + 1,
+                      COALESCE(starts[g.j + 1], len(t))) AS ctoks
+    FROM s CROSS JOIN UNNEST(range(1, len(starts) + 1)) AS g(j)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(ctoks) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ctoks, ' ')) AS fingerprint
+FROM c WHERE len(ctoks) > 0
+"""
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (dedup/semdedup.py) — round 3
+# ---------------------------------------------------------------------------
+def _semdedup_sql(k: int, n_iter: int, dim: int, tau: float) -> str:
+    """Wraps the unrolled-kmeans oracle as a subquery, then replays the
+    within-cluster pairwise keep rule (closer-to-centroid survives,
+    ties by id; similarities rounded to 6 on both engines)."""
+    km = _kmeans_oracle(k=k, n_iter=n_iter, dim=dim)
+    cos = (
+        f"ROUND(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> a.v[i] * b.v[i])) "
+        "/ (sqrt(list_sum(list_transform(a.v, x -> x*x))) "
+        "* sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6)"
+    )
+    return f"""
+WITH km AS MATERIALIZED (
+    SELECT vec_id, cluster, sq_dist FROM ({km})
+),
+emb2 AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+m AS (
+    SELECT km.vec_id, km.cluster, km.sq_dist, emb2.v
+    FROM km JOIN emb2 USING (vec_id)
+),
+drops AS (
+    SELECT DISTINCT b.vec_id
+    FROM m a JOIN m b
+      ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+     AND (a.sq_dist < b.sq_dist
+          OR (a.sq_dist = b.sq_dist AND a.vec_id < b.vec_id))
+    WHERE {cos} >= {tau}
+)
+SELECT m.vec_id, m.cluster, (d.vec_id IS NULL) AS kept
+FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
+"""
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup clustering: cdc_chunks -> shared-fingerprint edges -> CC
+# ---------------------------------------------------------------------------
+def _cdc_clusters_oracle(window: int, divisor: int) -> str:
+    """Replays cdc_chunks as a subquery, links docs sharing a chunk
+    fingerprint, then resolves clusters with a recursive min-label
+    reachability CTE."""
+    chunks = _cdc_sql(window=window, divisor=divisor).strip()
+    return f"""
+WITH RECURSIVE
+chunks AS MATERIALIZED (
+    SELECT * FROM ({chunks})
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+    FROM chunks a JOIN chunks b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+),
+sym AS (
+    SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+),
+reach(a, b) AS (
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+)
+SELECT a AS doc_id, MIN(b) AS component
+FROM reach GROUP BY a
+"""
+
+def _leakage_split_sql(window: int, divisor: int, train_pct: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    clusters = _cdc_clusters_oracle(window=window, divisor=divisor).strip()
+    h = md5_hash60_sql("CAST(component AS VARCHAR)")
+    return f"""
+SELECT doc_id, component,
+       CASE WHEN ({h}) % 100 < {train_pct} THEN 'train' ELSE 'val' END
+         AS split
+FROM ({clusters})
+"""
+
+def _dup_spans_sql(n: int) -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+
+    # the fold inside md5_hash60_sql binds a lambda variable `i`, which
+    # would capture a same-named outer column — use a distinct name
+    h = md5_hash60_sql(f"array_to_string(t[s0:s0+{n-1}], ' ')")
+    return rf"""
+WITH {_TOKS_CTE.strip()},
+grams AS (
+    SELECT doc_id, s0 AS start, {h} AS h
+    FROM toks CROSS JOIN UNNEST(range(1, len(t) - {n} + 2)) AS g(s0)
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+occ AS (SELECT DISTINCT g.doc_id, g.start FROM grams g JOIN dup USING (h)),
+covered AS (
+    SELECT DISTINCT doc_id, start + o AS pos
+    FROM occ CROSS JOIN UNNEST(range(0, {n})) AS c(o)
+),
+tokpos AS (
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM toks CROSS JOIN UNNEST(range(1, len(t) + 1)) AS p(i)
+),
+kept AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM tokpos tp
+    LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+    WHERE c.doc_id IS NULL
+),
+cleanfp AS (
+    SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_fingerprint
+    FROM kept GROUP BY doc_id
+),
+dc AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM covered GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(dc.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN len(t.t) > 0
+            THEN ROUND(COALESCE(dc.dup_tokens, 0) / len(t.t), 6)
+            ELSE 0.0 END AS dup_ratio,
+       COALESCE(cf.clean_fingerprint, md5('')) AS clean_fingerprint
+FROM toks t
+LEFT JOIN dc USING (doc_id)
+LEFT JOIN cleanfp cf USING (doc_id)
+"""
+
+@query(
+    "doc_fingerprints",
+    oracle=r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+),
+c AS (SELECT fingerprint, COUNT(*) AS dup_count FROM fp GROUP BY fingerprint)
+SELECT fp.doc_id, fp.fingerprint, c.dup_count
+FROM fp JOIN c USING (fingerprint)
+""",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup pass: md5 content fingerprint + duplicate-group size."""
+    from pyspark_graph_spark.dedup import ExactDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ExactDedup().fingerprints(docs)
+
+@query("ngram_jaccard", oracle=_SHINGLE_JACCARD_SQL)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (inverted-index join).
+    The pair table is shared with `dedup_rate_curve` via the bounded
+    per-application cache."""
+    return _shared_ngram_pairs(spark, sf_dir)
+
+@query("dedup_minhash", oracle=_SHINGLE_JACCARD_SQL)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact-Jaccard verify. Shares the exact
+    oracle: at jaccard >= 0.5 with 16x4 banding, miss probability per true
+    pair is < 1e-19, and the xxhash pipeline is fully deterministic."""
+    from pyspark_graph_spark.dedup import MinHashLSH
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return MinHashLSH(n=3, num_hashes=64, bands=16, threshold=0.5).pairs(docs)
+
+@query(
+    "dedup_embedding",
+    oracle="""
+WITH n AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+)
+SELECT src, dst, cosine_sim FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROUND(
+             list_sum(list_transform(range(1, len(a.embedding)+1),
+                  i -> CAST(a.embedding[i] AS DOUBLE)
+                       * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+WHERE cosine_sim >= 0.4
+""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (semantic dedup), brute strategy —
+    the exact all-pairs oracle twin of the LSH scale path (whose candidate
+    recall is covered in tests; these synthetic uniform embeddings have no
+    planted near-dups, so the threshold sits in the distribution tail)."""
+    from pyspark_graph_spark.dedup import EmbeddingDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return EmbeddingDedup(threshold=0.4, strategy="brute").pairs(emb)
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the cross-engine md5-60-bit token hash
+    (the operator's default stays xxhash64 — faster, same distribution).
+    The oracle recomputes fingerprints, blocking, and Hamming verify from
+    scratch in SQL, so every stage of the pipeline is value-checked."""
+    from pyspark_graph_spark.dedup import SimHashDedup
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SimHashDedup(max_hamming=3, token_hash=md5_hash60).pairs(docs)
+
+@query(
+    "containment",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+deg AS (
+    SELECT src AS id, COUNT(DISTINCT dst) AS d FROM nation_sym GROUP BY src
+),
+common AS (
+    SELECT a.src AS src, b.src AS dst, COUNT(*) AS c
+    FROM nation_sym a
+    JOIN nation_sym b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src
+)
+SELECT src, dst, c * 1.0 / da.d AS containment
+FROM common JOIN deg da ON src = da.id
+UNION ALL
+SELECT dst AS src, src AS dst, c * 1.0 / db.d AS containment
+FROM common JOIN deg db ON dst = db.id
+""",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric neighborhood containment on the nation graph."""
+    from pyspark_graph_spark.operators import NeighborhoodContainment
+
+    return NeighborhoodContainment().run(nation_graph(spark, sf_dir))
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_TOKS_CTE.strip()},
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT src, dst FROM common
+    JOIN sizes sa ON src = sa.doc_id
+    JOIN sizes sb ON dst = sb.doc_id
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+),
+sym AS (
+    SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+),
+members AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM members
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN sym e ON e.src = reach.id
+)
+SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline composition: MinHash-LSH near-dup pairs ->
+    connected components -> cluster ids for every doc in a duplicate group.
+    The oracle recomputes clusters from the exact-Jaccard pair set (LSH
+    recall is 1 at this threshold, verified)."""
+    from pyspark_graph_spark.dedup import MinHashLSH
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators import AlternatingConnectedComponents
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = MinHashLSH(n=3, threshold=0.5).pairs(docs).localCheckpoint()
+    members = (
+        pairs.select(F.col("src").alias(ID))
+        .unionByName(pairs.select(F.col("dst").alias(ID)))
+        .distinct()
+    )
+    g = Graph(members, pairs.select("src", "dst"), directed=False, indexed=True)
+    return AlternatingConnectedComponents().run(g).withColumnRenamed(
+        "component", "cluster_id"
+    )
+
+@query(
+    "decontamination",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+bench AS (
+    SELECT doc_id AS bench_id, gram FROM shingles WHERE doc_id < 5
+),
+bench_sizes AS (
+    SELECT bench_id, COUNT(*) AS bench_n FROM bench GROUP BY bench_id
+),
+hits AS (
+    SELECT s.doc_id, b.bench_id, COUNT(*) AS n_overlap
+    FROM shingles s JOIN bench b ON s.gram = b.gram
+    GROUP BY s.doc_id, b.bench_id
+)
+SELECT h.doc_id, h.bench_id, h.n_overlap,
+       ROUND(h.n_overlap * 1.0 / bs.bench_n, 6) AS overlap_frac
+FROM hits h JOIN bench_sizes bs ON h.bench_id = bs.bench_id
+WHERE ROUND(h.n_overlap * 1.0 / bs.bench_n, 6) >= 0.04
+""",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram collisions between every
+    training doc and a 5-doc 'benchmark' set (docs 0-4 standing in for a
+    held-out eval), emitting pairs leaking >= 4% of a benchmark's grams
+    (threshold picked so the synthetic corpus's real cross-doc template
+    sharing lands above the cut, not only the 5 self-pairs).
+    Benchmark grams broadcast; the corpus side is explode->filter->one
+    aggregate — never two exploded corpora joined."""
+    from pyspark_graph_spark.functions.decontam import benchmark_overlap
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return benchmark_overlap(docs, bench, n=3, min_frac=0.04)
+
+@query("incremental_dedup", oracle=_INCREMENTAL_DEDUP_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission filter: odd-id documents form the incoming batch, even-id
+    documents the standing corpus; a batch doc is admitted iff it is
+    neither an exact-fingerprint nor a verified MinHash near-duplicate
+    (shingle Jaccard >= 0.5) of any corpus doc. Only bucket collisions are
+    joined — never the batch x corpus product — and in production the
+    corpus side is a precomputed bucketed index so admitting a batch
+    shuffles only the batch. Oracle recomputes both passes exactly (the
+    exact-Jaccard twin of the LSH path)."""
+    from pyspark_graph_spark.dedup.incremental import IncrementalDedup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    out = IncrementalDedup(threshold=0.5).admitted(corpus, batch)
+    return out.select("doc_id", "lang", "source")
+
+@query("cdc_chunks", oracle=_cdc_sql(window=3, divisor=16))
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin-style k-gram boundaries, expected
+    chunk ~16 tokens) with md5 chunk fingerprints — the chunk-level dedup
+    unit.  All boundary arithmetic is per-row array lambdas inside
+    whole-stage codegen; no token-level shuffle (functions/packing.py)."""
+    from pyspark_graph_spark.functions.packing import cdc_chunks
+    from pyspark_graph_spark.sources.tables import load_table
+
+    # sf0.1 documents is ONE parquet file -> one input partition; the
+    # per-position hash lambdas are the real work here, so spread them
+    # (measured 48 s -> ~3 s at sf0.1 on local[32])
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _default_parallelism(spark), "doc_id"
+    )
+    return cdc_chunks(docs, window=3, divisor=16)
+
+@query("semdedup", oracle=_semdedup_sql(k=8, n_iter=2, dim=64, tau=0.42))
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    drop within-cluster members whose cosine to a closer-to-centroid
+    member exceeds the threshold.  Quadratic term bounded by cluster size
+    — at 100 TB raise k so clusters stay constant-sized; no all-pairs
+    path.  Threshold sits in this synthetic corpus's distribution tail
+    (no planted near-dups), same convention as dedup_embedding."""
+    from pyspark_graph_spark.dedup.semdedup import SemDeDup
+    from pyspark_graph_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SemDeDup(k=8, n_iter=2, threshold=0.42).run(emb)
+
+@query("cdc_dedup_clusters", oracle=_cdc_clusters_oracle(window=3, divisor=16))
+def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end chunk-level dedup: content-defined chunks -> docs sharing
+    a chunk fingerprint become edges -> connected components label each
+    near-dup cluster (min doc id).  Composes two scale-safe pieces: CDC is
+    shuffle-free per-row arithmetic; the fingerprint self-join is bucketed
+    by fingerprint (never all-pairs).  Pregel min-label CC fits here —
+    shared-chunk clusters are clique-dense, so diameter stays tiny; swap
+    in AlternatingConnectedComponents for adversarial chain-shaped
+    corpora.  The cluster table is computed once per Spark application +
+    sf_dir and persisted — three gate queries (clusters, size histogram,
+    keep policy) and leakage_safe_split consume the identical result, the
+    same suite-level sharing the landmark-SP cache applies (r2 verdict
+    item 3)."""
+    key = (_app_key(spark), sf_dir)
+    cached = _CDC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    from pyspark_graph_spark.functions.packing import cdc_chunks
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators.connected_components import (
+        ConnectedComponents,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(
+        _default_parallelism(spark), "doc_id"
+    )
+    ch = cdc_chunks(spread, window=3, divisor=16).select(
+        "doc_id", "fingerprint"
+    )
+    a = ch.select(F.col("doc_id").alias(SRC), "fingerprint")
+    b = ch.select(F.col("doc_id").alias(DST), "fingerprint")
+    # materialize once: ACC's rounds + convergence probes would otherwise
+    # re-execute the chunking + fingerprint join per round
+    pairs = (
+        a.join(b, on="fingerprint")
+        .filter(F.col(SRC) < F.col(DST))
+        .select(SRC, DST)
+        .distinct()
+        .localCheckpoint()
+    )
+    g = Graph(
+        docs.select(F.col("doc_id").alias(ID)),
+        pairs,
+        directed=False,
+        indexed=True,
+    )
+    out = ConnectedComponents(max_iterations=10).run(g)
+    result = out.select(
+        F.col(ID).alias("doc_id"), F.col("component").alias("component")
+    ).persist()
+    for old_key in list(_CDC_CACHE):
+        if old_key != key:
+            _CDC_CACHE.pop(old_key).unpersist()
+    _CDC_CACHE[key] = result
+    return result
+
+@query(
+    "leakage_safe_split",
+    oracle=_leakage_split_sql(window=3, divisor=16, train_pct=90),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split assigned at the DEDUP-CLUSTER level, not the doc
+    level: hash the near-dup cluster label, so no two near-duplicate
+    documents ever straddle the split boundary (the classic eval-leakage
+    bug doc-level hashing cannot prevent).  Pure composition:
+    cdc_dedup_clusters + one deterministic hash expression."""
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+
+    clusters = q_cdc_dedup_clusters(spark, sf_dir)
+    h = F.pmod(md5_hash60(F.col("component").cast("string")), F.lit(100))
+    return clusters.select(
+        "doc_id",
+        "component",
+        F.when(h < 90, F.lit("train")).otherwise(F.lit("val")).alias(
+            "split"
+        ),
+    )
+
+@query("dup_spans", oracle=_dup_spans_sql(n=8))
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication (Lee et al. 2022): tokens covered by any
+    8-gram whose hash recurs across documents, plus the fingerprint of the
+    document with those spans stripped. The duplicate-hash vocabulary is
+    output-sized (only genuinely repeated text) and broadcasts back onto
+    the occurrence stream; no all-pairs stage anywhere."""
+    from pyspark_graph_spark.dedup.spans import duplicate_spans
+    from pyspark_graph_spark.sources.tables import load_table
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"), n=8)
+
+@query(
+    "winnow_dedup",
+    oracle=r"""
+WITH norm AS (
+    SELECT doc_id,
+           substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                  1, 512) AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(length(t) - 15, 0) + 1),
+                          i -> md5(substr(t, CAST(i AS INT), 16))) AS hs
+    FROM norm
+),
+sel AS (
+    SELECT DISTINCT doc_id, u.fp
+    FROM grams,
+         UNNEST(list_distinct(list_transform(
+             range(1, greatest(len(hs) - 7, 0) + 1),
+             i -> list_min(hs[i:i+7])))) AS u(fp)
+)
+SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared_fps
+FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3
+""",
+)
+def q_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) substring-level duplicate detection: md5 every
+    16-char window of the normalized prefix, keep the min of each run of
+    8 consecutive hashes (guarantees any shared substring >= 23 chars
+    surfaces an identical fingerprint in both docs), then match docs
+    through the inverted fingerprint index — a bucketed equi-join, never
+    all-pairs. Complements MinHash (whole-doc resemblance) with
+    contiguous-substring evidence."""
+    from pyspark_graph_spark.dedup.winnow import winnow_matches
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _default_parallelism(spark)
+    )
+    return winnow_matches(docs, k=16, w=8, min_shared=3)
+
+@query(
+    "set_similarity_join",
+    oracle=rf"""
+WITH {_TOKS_CTE.strip()},
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t))) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT common.a, common.b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.a = sa.doc_id
+JOIN sizes sb ON common.b = sb.doc_id
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+""",
+)
+def q_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered set-similarity join: exact bigram-set
+    Jaccard >= 0.8 pairs where candidates come ONLY from shared
+    rarest-first prefix tokens (|s| - ceil(t·|s|) + 1 of them), then get
+    exact-verified over the full index. The oracle is the BRUTE all-pairs
+    computation — an independent algorithm — so a prefix-filter false
+    negative would fail the row-count match, not just a value hash."""
+    from pyspark_graph_spark.dedup.setjoin import PrefixFilterSetJoin
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _default_parallelism(spark)
+    )
+    return PrefixFilterSetJoin(threshold=0.8, n=2).run(docs)
+
+@query(
+    "sorted_neighborhood",
+    oracle=r"""
+WITH keyed AS (
+    SELECT doc_id,
+           substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                  1, 24) AS k
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS r
+    FROM keyed
+)
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(b.r - a.r AS INT) AS gap
+FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 2
+""",
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking: rank the corpus by a 24-char
+    normalized prefix key and emit every pair within a 3-wide sliding
+    window of the sort order — O(N·w) candidates, zero token explosion.
+    The global rank is two-phase (per-range-bucket window + broadcast
+    offsets), never a single-task sort; the oracle ranks with one
+    ROW_NUMBER and must produce identical pairs, proving the phase split
+    changes nothing."""
+    from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+        1,
+        24,
+    )
+    return sorted_neighborhood_pairs(docs, key, window=3)
+
+@query(
+    "er_clusters",
+    oracle=rf"""
+WITH RECURSIVE
+norm AS (
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+    FROM documents
+),
+rk AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY substr(nt, 1, 24), doc_id) AS r
+    FROM norm
+),
+cand AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM rk a JOIN rk b ON b.r - a.r IN (1, 2)
+),
+{_TOKS_CTE.strip()},
+sg AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+common AS (
+    SELECT c.u, c.v, COUNT(*) AS cnt
+    FROM cand c
+    JOIN sg x ON x.doc_id = c.u
+    JOIN sg y ON y.doc_id = c.v AND y.g3 = x.g3
+    GROUP BY c.u, c.v
+),
+ver AS (
+    SELECT u, v FROM common
+    JOIN sizes su ON u = su.doc_id
+    JOIN sizes sv ON v = sv.doc_id
+    WHERE cnt * 1.0 / (su.n + sv.n - cnt) >= 0.5
+),
+sym AS (SELECT u, v FROM ver UNION SELECT v AS u, u AS v FROM ver),
+reach(a, b) AS (
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+)
+SELECT a AS doc_id, MIN(b) AS component
+FROM reach GROUP BY a
+""",
+)
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: sorted-neighborhood blocking on the
+    normalized-text prefix (O(N·w) candidates, never all-pairs) -> exact
+    3-gram Jaccard verification restricted to candidates -> connected
+    components assign each document its duplicate-cluster label (min doc
+    id). Composes three independently-oracled pieces; the verify join is
+    keyed by shingle so each candidate pair costs its intersection."""
+    from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+    from pyspark_graph_spark.functions.text import (
+        normalized_text,
+        word_shingles,
+    )
+    from pyspark_graph_spark.operators.connected_components import (
+        ConnectedComponents,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.substring(normalized_text(F.col("text")), 1, 24)
+    cand = sorted_neighborhood_pairs(
+        docs, key, window=3, id_col="doc_id"
+    ).select("a", "b")
+    sg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g3")
+    ).localCheckpoint()
+    sizes = sg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sg.select(F.col("doc_id").alias("a"), "g3"), on="a")
+        .join(sg.select(F.col("doc_id").alias("b"), "g3"), on=["b", "g3"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ver = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+            on="a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            on="b",
+        )
+        .filter(
+            F.col("cnt") / (F.col("na") + F.col("nb") - F.col("cnt"))
+            >= 0.5
+        )
+        .select(F.col("a").alias(SRC), F.col("b").alias(DST))
+        .localCheckpoint()
+    )
+    g = Graph(
+        docs.select(F.col("doc_id").alias(ID)),
+        ver,
+        directed=False,
+        indexed=True,
+    )
+    out = ConnectedComponents(max_iterations=10).run(g)
+    return out.select(F.col(ID).alias("doc_id"), "component")
+
+@query(
+    "dedup_rate_curve",
+    oracle=f"""
+WITH p AS MATERIALIZED (SELECT jaccard FROM ({_SHINGLE_JACCARD_SQL}))
+SELECT CAST(0.5 AS DOUBLE) AS threshold,
+       CAST(COUNT(*) FILTER (WHERE jaccard >= 0.5) AS BIGINT) AS n_pairs
+FROM p
+UNION ALL SELECT 0.6, CAST(COUNT(*) FILTER (WHERE jaccard >= 0.6) AS BIGINT) FROM p
+UNION ALL SELECT 0.7, CAST(COUNT(*) FILTER (WHERE jaccard >= 0.7) AS BIGINT) FROM p
+UNION ALL SELECT 0.8, CAST(COUNT(*) FILTER (WHERE jaccard >= 0.8) AS BIGINT) FROM p
+UNION ALL SELECT 0.9, CAST(COUNT(*) FILTER (WHERE jaccard >= 0.9) AS BIGINT) FROM p
+""",
+)
+def q_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup tuning curve: how many near-dup pairs survive each Jaccard
+    threshold — the evidence behind choosing a production cutoff. One
+    pass over the already-computed pair set with five conditional sums
+    (no per-threshold rescan), exploded to rows. Consumes the SHARED
+    ngram pair table (one computation per application + sf_dir,
+    `_shared_ngram_pairs`) instead of re-deriving the inverted-index
+    join `ngram_jaccard` already paid for."""
+    prs = _shared_ngram_pairs(spark, sf_dir)
+    ts = [0.5, 0.6, 0.7, 0.8, 0.9]
+    ag = prs.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("jaccard") >= t).cast("long")), F.lit(0)
+            ).alias(f"c{i}")
+            for i, t in enumerate(ts)
+        ]
+    )
+    return ag.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("threshold"),
+                        F.col(f"c{i}").alias("n_pairs"),
+                    )
+                    for i, t in enumerate(ts)
+                ]
+            )
+        ).alias("s")
+    ).select("s.threshold", "s.n_pairs")
+
+@query(
+    "er_clusters_multipass",
+    oracle=rf"""
+WITH RECURSIVE
+norm AS (
+    SELECT doc_id,
+           regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+    FROM documents
+),
+rk1 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY substr(nt, 1, 24), doc_id) AS r
+    FROM norm
+),
+rk2 AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY reverse(nt), doc_id) AS r
+    FROM norm
+),
+cand AS (
+    SELECT a.doc_id AS u, b.doc_id AS v
+    FROM rk1 a JOIN rk1 b ON b.r - a.r IN (1, 2)
+    UNION
+    SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id)
+    FROM rk2 a JOIN rk2 b ON b.r - a.r IN (1, 2)
+),
+{_TOKS_CTE.strip()},
+sg AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sg GROUP BY doc_id),
+common AS (
+    SELECT c.u, c.v, COUNT(*) AS cnt
+    FROM cand c
+    JOIN sg x ON x.doc_id = c.u
+    JOIN sg y ON y.doc_id = c.v AND y.g3 = x.g3
+    GROUP BY c.u, c.v
+),
+ver AS (
+    SELECT u, v FROM common
+    JOIN sizes su ON u = su.doc_id
+    JOIN sizes sv ON v = sv.doc_id
+    WHERE cnt * 1.0 / (su.n + sv.n - cnt) >= 0.5
+),
+sym AS (SELECT u, v FROM ver UNION SELECT v AS u, u AS v FROM ver),
+reach(a, b) AS (
+    SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM documents
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN sym e ON r.b = e.u
+)
+SELECT a AS doc_id, MIN(b) AS component
+FROM reach GROUP BY a
+""",
+)
+def q_er_clusters_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass entity resolution (Hernández–Stolfo): a SECOND
+    sorted-neighborhood pass keyed on the REVERSED normalized text
+    catches near-dups whose divergence sits in the prefix (the classic
+    single-key blind spot); candidate sets union before the shared
+    Jaccard verify + CC labeling. Each pass stays O(N·w); multi-pass
+    recall costs passes, never pairs."""
+    from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+    from pyspark_graph_spark.functions.text import (
+        normalized_text,
+        word_shingles,
+    )
+    from pyspark_graph_spark.operators.connected_components import (
+        ConnectedComponents,
+    )
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = normalized_text(F.col("text"))
+    p1 = sorted_neighborhood_pairs(
+        docs, F.substring(nt, 1, 24), window=3, id_col="doc_id"
+    ).select("a", "b")
+    p2 = (
+        sorted_neighborhood_pairs(
+            docs, F.reverse(nt), window=3, id_col="doc_id"
+        )
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+    )
+    cand = p1.unionByName(p2).distinct()
+    sg = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g3")
+    ).localCheckpoint()
+    sizes = sg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sg.select(F.col("doc_id").alias("a"), "g3"), on="a")
+        .join(sg.select(F.col("doc_id").alias("b"), "g3"), on=["b", "g3"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ver = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")),
+            on="a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")),
+            on="b",
+        )
+        .filter(
+            F.col("cnt") / (F.col("na") + F.col("nb") - F.col("cnt"))
+            >= 0.5
+        )
+        .select(F.col("a").alias(SRC), F.col("b").alias(DST))
+        .localCheckpoint()
+    )
+    g = Graph(
+        docs.select(F.col("doc_id").alias(ID)),
+        ver,
+        directed=False,
+        indexed=True,
+    )
+    out = ConnectedComponents(max_iterations=10).run(g)
+    return out.select(F.col(ID).alias("doc_id"), "component")
+
+@query(
+    "dedup_keep_policy",
+    oracle=f"""
+WITH c AS MATERIALIZED (
+    SELECT doc_id, component
+    FROM ({_cdc_clusters_oracle(window=3, divisor=16)})
+),
+scored AS (
+    SELECT c.doc_id, c.component, d.n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, c.doc_id
+           ) AS rnk
+    FROM c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, component, (rnk = 1) AS kept
+FROM scored
+""",
+)
+def q_dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection closing the dedup loop: within each near-dup
+    cluster keep the longest document (ties broken by id), drop the rest
+    — the keep-one-per-cluster policy production pipelines apply after
+    clustering. The rank window partitions BY CLUSTER, so state is
+    bounded by cluster size at any corpus scale."""
+    from pyspark_graph_spark.sources.tables import load_table
+
+    clusters = q_cdc_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs, on="doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id", "component", (F.col("rnk") == 1).alias("kept")
+        )
+    )
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""
+WITH c AS MATERIALIZED (
+    SELECT component FROM ({_cdc_clusters_oracle(window=3, divisor=16)})
+),
+s AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM c GROUP BY component
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM s GROUP BY cluster_size
+""",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (the shape analysts check before
+    choosing keep-one-per-cluster policies): sizes of the CDC dedup
+    components, then a histogram of sizes — two map-side-combinable
+    aggregates over the cluster labels."""
+    clusters = q_cdc_dedup_clusters(spark, sf_dir)
+    sizes = clusters.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -6,10 +6,18 @@ in DuckDB over the same parquet views, then compares row count, column
 names, and an order-insensitive multiset of canonicalized values.
 
 Usage: python tools/check_oracle.py [query ...]   (default: all)
+
+Set SPARK_GRAFT_ORACLE_JSON=<path> to also write a machine-readable record
+({name: {"ok": bool, "rows": n, "spark_sec": s, "duck_sec": s,
+"problems": [...]}, ...}) — the per-round full-suite sweep committed as
+ORACLE_FULL_r{N}.json (round-6 verdict item 1: the driver window verifies
+50/round, so the committed sweep is the regression backstop for the other
+~200 while shared scan-stage code keeps moving).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -97,6 +105,7 @@ def main(names: list[str] | None = None) -> int:
         )
 
     failures = []
+    record: dict[str, dict] = {}
     for name in targets:
         t0 = time.time()
         try:
@@ -106,10 +115,20 @@ def main(names: list[str] | None = None) -> int:
         except Exception as e:  # keep checking the remaining queries
             print(f"  {name}: ERROR {type(e).__name__}: {str(e)[:200]}")
             failures.append((name, f"exception: {e}"))
+            record[name] = {
+                "ok": False,
+                "problems": [f"exception: {type(e).__name__}: {str(e)[:200]}"],
+            }
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             print(f"  {name}: rows-only ({len(srows)} rows, spark {t_spark:.1f}s)")
+            record[name] = {
+                "ok": bool(srows),
+                "rows": len(srows),
+                "spark_sec": round(t_spark, 2),
+                "problems": [] if srows else ["rows-only query returned 0 rows"],
+            }
             if not srows:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
@@ -162,6 +181,28 @@ def main(names: list[str] | None = None) -> int:
         for p in problems:
             print(f"      {p}")
             failures.append((name, p))
+        record[name] = {
+            "ok": not problems,
+            "rows": len(srows),
+            "spark_sec": round(t_spark, 2),
+            "duck_sec": round(t_duck, 2),
+            "problems": problems,
+        }
+    out_path = os.environ.get("SPARK_GRAFT_ORACLE_JSON")
+    if out_path:
+        ok = sum(1 for r in record.values() if r["ok"])
+        with open(out_path, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_queries": len(record),
+                    "n_ok": ok,
+                    "queries": record,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {out_path} ({ok}/{len(record)} ok)")
     print()
     if failures:
         print(f"{len(failures)} problem(s)")
