@@ -260,6 +260,16 @@ def coarsen(
         .filter(F.col(SRC) != F.col(DST))
         .groupBy(SRC, DST)
         .agg(F.sum("__w").alias("weight"))
+        # checkpoint the contracted edge list: multilevel consumers run
+        # SEVERAL actions per level (vertex count, the next peel's edge
+        # prep, the next contraction) and without this each one re-executes
+        # the entire contraction chain back to the fine graph — measured at
+        # real-sf1 as a ~20-30 s floor per level even at V=313/E=49k
+        # (SCALE.md round 7). The engine's own §3b rule: iterate on
+        # checkpointed frames. mapping below was already eager, so this
+        # does not change the call's laziness class; the frame is the
+        # post-contraction edge list, which halves every level.
+        .localCheckpoint()
     )
     coarse_vertices = mapping.select(
         F.col("super").alias(ID)

@@ -27,12 +27,58 @@ assignment totality as zero-defect invariants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.operators.matching import MaximalMatching, coarsen
+
+
+def two_hop_pairs(g: Graph, matching: DataFrame) -> DataFrame:
+    """Pair UNMATCHED vertices that share a neighbor — 2-hop matching
+    (Karypis, METIS 5 / LaSalle & Karypis mt-Metis: the hub-star fix).
+
+    On hub-skewed graphs an edge matching leaves almost every star leaf
+    unmatched (the hub can match only one of them), so the per-level
+    shrink factor of matching-based coarsening degrades from ~0.55 toward
+    1 and level count explodes — measured at real-sf1 as the 8.7× weak-
+    scale row in SCALE.md round 7. Leaves that share a hub are
+    interchangeable for partitioning purposes, so contracting them
+    PAIRWISE restores ~0.5 shrink without touching the hub itself.
+
+    Deterministic, all vertex-keyed: each unmatched vertex picks its
+    minimum-id neighbor as its anchor, leaves are ranked per anchor by
+    id, and consecutive ranks pair up (odd leaf out stays unmatched).
+    Returned pairs are vertex-disjoint from ``matching`` (both endpoints
+    were unmatched) and from each other (each rank appears once), so the
+    union is still a valid contraction set for ``coarsen`` — which uses
+    pairs only as a vertex mapping, never as edges."""
+    matched = matching.select(F.col(SRC).alias(ID)).unionByName(
+        matching.select(F.col(DST).alias(ID))
+    )
+    sym = g.edges.select(SRC, DST).unionByName(
+        g.edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    )
+    anchors = (
+        sym.join(matched.withColumnRenamed(ID, SRC), on=SRC, how="anti")
+        .groupBy(SRC)
+        .agg(F.min(DST).alias("__anchor"))
+    )
+    w = Window.partitionBy("__anchor").orderBy(SRC)
+    ranked = anchors.withColumn(
+        "__pair", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(2))
+    )
+    return (
+        ranked.groupBy("__anchor", "__pair")
+        .agg(
+            F.min(SRC).alias(SRC),
+            F.max(SRC).alias(DST),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .filter(F.col("__n") == 2)
+        .select(SRC, DST)
+    )
 
 
 class MultilevelPartition:
@@ -58,6 +104,7 @@ class MultilevelPartition:
         max_batch: int = 100_000,
         seed: int = 0,
         first_matching: DataFrame | None = None,
+        two_hop: bool = True,
     ):
         if k < 1:
             raise ValueError("k must be positive")
@@ -70,6 +117,11 @@ class MultilevelPartition:
         # peel is the partitioner's dominant cost and is often already
         # computed by a sibling consumer (the gate's shared matching cache)
         self.first_matching = first_matching
+        # augment every level's edge matching with 2-hop pairs of the
+        # unmatched star leaves (two_hop_pairs above) — restores ~0.5
+        # per-level shrink on hub-skewed graphs; False reverts to pure
+        # edge-matching coarsening
+        self.two_hop = two_hop
 
     def run(self, g: Graph) -> DataFrame:
         cur = g
@@ -82,6 +134,12 @@ class MultilevelPartition:
                 m = self.first_matching
             else:
                 m = MaximalMatching(seed=self.seed + lvl).run(cur)
+            if self.two_hop:
+                m = (
+                    m.select(SRC, DST)
+                    .unionByName(two_hop_pairs(cur, m))
+                    .localCheckpoint()
+                )
             if m.isEmpty():
                 break  # nothing contractible (isolated residue)
             # level >= 1 edges carry coarsen's own weight column: sum it

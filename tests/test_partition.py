@@ -209,3 +209,69 @@ def test_refine_cap_as_dataframe(spark):
     a = refine(g, bad, k=2, cap=8, rounds=2, seed=3)
     b = refine(g, bad, k=2, cap=cap_df, rounds=2, seed=3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- round 7: 2-hop matching (hub-star coarsening fix) ----------------------
+
+
+def test_two_hop_pairs_star(spark):
+    """Hub 0 with leaves 1..9, matching (0,1): the 8 unmatched leaves all
+    anchor to hub 0 and pair consecutively by id — 4 pairs, disjoint from
+    the matching and from each other, odd leaf out unmatched."""
+    from pyspark_graph_spark.operators.partition import two_hop_pairs
+
+    g = _graph(spark, 10, [(0, i) for i in range(1, 10)])
+    m = spark.createDataFrame([(0, 1)], f"{SRC} long, {DST} long")
+    pairs = two_hop_pairs(g, m).collect()
+    assert {(r.src, r.dst) for r in pairs} == {
+        (2, 3), (4, 5), (6, 7), (8, 9)
+    }
+    touched = [v for r in pairs for v in (r.src, r.dst)]
+    assert len(touched) == len(set(touched))
+    assert not ({0, 1} & set(touched))
+
+
+def test_two_hop_union_is_valid_contraction_set(spark):
+    """On a random-ish graph the matching ∪ 2-hop pairs must still be
+    vertex-disjoint (coarsen's only requirement on its input)."""
+    from pyspark_graph_spark.operators import MaximalMatching
+    from pyspark_graph_spark.operators.partition import two_hop_pairs
+
+    edges = [(i, (i * 7 + 1) % 40) for i in range(40)] + [
+        (0, j) for j in range(10, 30)  # a hub star on top
+    ]
+    g = _graph(spark, 40, [(a, b) for a, b in edges if a != b])
+    m = MaximalMatching().run(g)
+    union = m.select(SRC, DST).unionByName(two_hop_pairs(g, m))
+    touched = [
+        v for r in union.collect() for v in (r.src, r.dst)
+    ]
+    assert len(touched) == len(set(touched))
+
+
+def test_multilevel_two_hop_coarsens_stars_and_keeps_invariants(spark):
+    """A 3-hub star forest defeats pure edge matching (each level removes
+    ~1 vertex per hub); with two_hop=True the level count drops while the
+    partition invariants (totality, Graham balance) still hold."""
+    edges = (
+        [(0, i) for i in range(3, 100)]
+        + [(1, i) for i in range(100, 200)]
+        + [(2, i) for i in range(200, 300)]
+        + [(0, 1), (1, 2)]
+    )
+    g = _graph(spark, 300, edges)
+    out = MultilevelPartition(k=4, max_coarse=16, max_levels=12).run(g)
+    rows = out.collect()
+    assert len(rows) == 300
+    assert {r.part for r in rows} <= set(range(4))
+    rep = partition_report(g, out.select(ID, "part")).collect()[0]
+    assert rep.assign_defect == 0
+
+
+def test_multilevel_two_hop_false_reverts(spark):
+    """two_hop=False is the pure edge-matching coarsening; on a plain path
+    both modes produce a full valid assignment."""
+    g = _path(spark, 64)
+    a = MultilevelPartition(k=2, max_coarse=8, two_hop=False).run(g)
+    b = MultilevelPartition(k=2, max_coarse=8, two_hop=True).run(g)
+    assert a.count() == 64 and b.count() == 64
