@@ -53,7 +53,16 @@ def two_hop_pairs(g: Graph, matching: DataFrame) -> DataFrame:
     Returned pairs are vertex-disjoint from ``matching`` (both endpoints
     were unmatched) and from each other (each rank appears once), so the
     union is still a valid contraction set for ``coarsen`` — which uses
-    pairs only as a vertex mapping, never as edges."""
+    pairs only as a vertex mapping, never as edges.
+
+    Skew safety at scale: the ranking window partitions by anchor, and a
+    mega-hub anchor is exactly the input this function exists for — so
+    anchors with many leaves are hash-split into sub-buckets of ~2×128
+    leaves (count-scaled, so the split is a no-op below 256 leaves per
+    anchor) and pairing runs within each sub-bucket. Cost: at most one
+    unpaired leftover per sub-bucket (~0.8% of a large star) for bounded
+    window partitions; determinism is unchanged (xxhash64 bucketing,
+    id-ordered ranks)."""
     matched = matching.select(F.col(SRC).alias(ID)).unionByName(
         matching.select(F.col(DST).alias(ID))
     )
@@ -65,12 +74,25 @@ def two_hop_pairs(g: Graph, matching: DataFrame) -> DataFrame:
         .groupBy(SRC)
         .agg(F.min(DST).alias("__anchor"))
     )
-    w = Window.partitionBy("__anchor").orderBy(SRC)
-    ranked = anchors.withColumn(
+    counts = anchors.groupBy("__anchor").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    bucketed = anchors.join(counts, on="__anchor").withColumn(
+        "__b",
+        F.pmod(
+            F.xxhash64(SRC),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("__cnt") / F.lit(128)).cast("long"),
+            ),
+        ),
+    )
+    w = Window.partitionBy("__anchor", "__b").orderBy(SRC)
+    ranked = bucketed.withColumn(
         "__pair", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(2))
     )
     return (
-        ranked.groupBy("__anchor", "__pair")
+        ranked.groupBy("__anchor", "__b", "__pair")
         .agg(
             F.min(SRC).alias(SRC),
             F.max(SRC).alias(DST),

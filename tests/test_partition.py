@@ -275,3 +275,21 @@ def test_multilevel_two_hop_false_reverts(spark):
     a = MultilevelPartition(k=2, max_coarse=8, two_hop=False).run(g)
     b = MultilevelPartition(k=2, max_coarse=8, two_hop=True).run(g)
     assert a.count() == 64 and b.count() == 64
+
+
+def test_two_hop_pairs_mega_hub_sub_buckets(spark):
+    """A 1000-leaf hub exceeds the 256-leaf sub-bucket threshold: pairing
+    must stay disjoint and near-complete (≤1 unpaired leftover per
+    sub-bucket), with no single window partition holding all leaves."""
+    from pyspark_graph_spark.operators.partition import two_hop_pairs
+
+    n = 1001
+    g = _graph(spark, n, [(0, i) for i in range(1, n)])
+    m = spark.createDataFrame([(0, 1)], f"{SRC} long, {DST} long")
+    pairs = two_hop_pairs(g, m).collect()
+    touched = [v for r in pairs for v in (r.src, r.dst)]
+    assert len(touched) == len(set(touched))  # disjoint
+    assert 0 not in touched and 1 not in touched
+    # 999 unmatched leaves over ceil-free floor(999/128)=7 buckets:
+    # at most 7 leftovers -> at least (999-7)//2 pairs
+    assert len(pairs) >= (999 - 7) // 2
