@@ -18,9 +18,22 @@ With b bands of r rows, the candidate probability for a pair with Jaccard s
 is 1-(1-s^r)^b (the classic S-curve); the default 16×4 targets s ≈ 0.5.
 
 Scale: the band join shuffles (bucket, doc) pairs — sublinear in corpus
-pairs; hot buckets (boilerplate docs) are AQE-skew-splittable and the
-verify step caps the damage. This is the 100 TB path; the exact
-``NgramJaccardDedup`` is its small-scale oracle twin.
+pairs. Hot buckets (a viral-boilerplate cluster of n docs sharing a band
+value) would emit O(n²) candidate pairs, which AQE skew-splitting balances
+but cannot shrink; ``max_bucket_size`` (default 1024) deterministically
+hash-thins any bucket above the cap down to ~cap members *before* the
+self-join, bounding per-bucket output at ~cap²/2 pairs. Recall contract:
+a true near-dup pair is lost only if it is thinned out of **every** band
+it collides in — with b=16 bands and per-band survival (cap/n)², a pair
+of identical docs in an n-doc bucket is still found w.p.
+1-(1-(cap/n)²)¹⁶; more importantly, members of such mega-clusters are
+interchangeable (they all exceeded the same bucket), so downstream
+connected-components clustering loses only pair edges, not cluster
+membership of the surviving representatives. The cap is far above any
+gate-corpus bucket (measured max 4 at sf0.1), so exact-oracle parity is
+unaffected; at 100 TB it is the difference between a bounded job and a
+quadratic one. This is the 100 TB path; the exact ``NgramJaccardDedup``
+is its small-scale oracle twin.
 """
 
 from __future__ import annotations
@@ -42,9 +55,12 @@ class MinHashLSH:
         threshold: float = 0.5,
         id_col: str = "doc_id",
         text_col: str = "text",
+        max_bucket_size: int | None = 1024,
     ):
         if num_hashes % bands != 0:
             raise ValueError("num_hashes must be divisible by bands")
+        if max_bucket_size is not None and max_bucket_size < 2:
+            raise ValueError("max_bucket_size must be >= 2 (or None)")
         self.n = n
         self.num_hashes = num_hashes
         self.bands = bands
@@ -52,6 +68,7 @@ class MinHashLSH:
         self.threshold = threshold
         self.id_col = id_col
         self.text_col = text_col
+        self.max_bucket_size = max_bucket_size
 
     def signatures(self, docs: DataFrame) -> DataFrame:
         """(id, shingles, signature array<long>).
@@ -115,8 +132,15 @@ class MinHashLSH:
     def pairs(self, docs: DataFrame) -> DataFrame:
         """(src, dst, jaccard) LSH candidates passing the exact-Jaccard
         verification, canonical src < dst."""
+        from pyspark_graph_spark.dedup.capping import cap_buckets
+
         signed = self.signatures(docs).localCheckpoint()
-        buckets = self.band_buckets(signed)
+        buckets = cap_buckets(
+            self.band_buckets(signed),
+            keys=("band", "bucket"),
+            member_col="id",
+            cap=self.max_bucket_size,
+        )
 
         a = buckets.alias("a")
         b = buckets.alias("b")

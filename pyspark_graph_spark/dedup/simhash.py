@@ -12,7 +12,13 @@ bit blocks, so a self-equi-join on (block_idx, block_value) finds all of
 them; a ``bit_count(xor)`` filter verifies exactly.
 
 Scale: one shuffle for the block join; block keys are 16-bit values so
-buckets stay shallow unless the corpus is pathologically uniform.
+buckets stay shallow unless the corpus is pathologically uniform — but a
+mass-boilerplate cluster (identical fingerprints) IS that pathology, and
+its block bucket would emit O(n²) candidate pairs. ``max_block_size``
+(default 4096) deterministically hash-thins any block bucket above the
+cap before the join (see :mod:`pyspark_graph_spark.dedup.capping` for the
+mechanism and recall contract; measured gate-corpus max block size is 170
+at sf0.1, so oracle parity is unaffected).
 """
 
 from __future__ import annotations
@@ -76,12 +82,16 @@ class SimHashDedup:
         id_col: str = "doc_id",
         text_col: str = "text",
         token_hash=None,
+        max_block_size: int | None = 4096,
     ):
+        if max_block_size is not None and max_block_size < 2:
+            raise ValueError("max_block_size must be >= 2 (or None)")
         self.max_hamming = max_hamming
         self.id_col = id_col
         self.text_col = text_col
         self.token_hash = token_hash
         self.blocks = max_hamming + 1
+        self.max_block_size = max_block_size
 
     def fingerprints(self, docs: DataFrame) -> DataFrame:
         # per-token hashing fuses into the scan stage; widen few-split
@@ -111,6 +121,14 @@ class SimHashDedup:
                     ]
                 )
             ).alias("block", "block_val"),
+        )
+        from pyspark_graph_spark.dedup.capping import cap_buckets
+
+        blocked = cap_buckets(
+            blocked,
+            keys=("block", "block_val"),
+            member_col="id",
+            cap=self.max_block_size,
         )
         a = blocked.alias("a")
         b = blocked.alias("b")

@@ -1,0 +1,111 @@
+"""Round-8 hardening: hot-bucket caps in the banded dedup joins.
+
+A viral-boilerplate cluster of n identical docs collides in every MinHash
+band (and every SimHash pigeonhole block), so the banded self-join emits
+O(n²) candidate pairs — AQE can rebalance that shuffle but not shrink it.
+These tests plant exactly that cluster and pin that the deterministic
+hash-thinning cap (``max_bucket_size`` / ``max_block_size``) bounds the
+explosion, stays a value-level no-op when no bucket exceeds the cap, and
+is partition-invariant.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.dedup import MinHashLSH, SimHashDedup
+from pyspark_graph_spark.dedup.capping import cap_buckets
+
+N_HOT = 200
+BOILER = (
+    "subscribe to our newsletter for the latest updates terms of service "
+    "apply all rights reserved contact us for more information"
+)
+
+
+def _hot_docs(spark):
+    """N_HOT identical boilerplate docs + one planted near-dup pair +
+    two unrelated docs."""
+    rows = [(i, BOILER) for i in range(N_HOT)]
+    rows += [
+        (1000, "the quick brown fox jumps over the lazy dog every day"),
+        (1001, "the quick brown fox jumps over the lazy dog every night"),
+        (2000, "completely unrelated text about spark physical planning"),
+        (2001, "another lone document concerning parquet column pruning"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+
+
+def test_minhash_hot_bucket_capped(spark):
+    docs = _hot_docs(spark)
+    capped = MinHashLSH(n=3, threshold=0.5, max_bucket_size=8).pairs(docs)
+    rows = capped.collect()
+    hot = [r for r in rows if r["src"] < N_HOT and r["dst"] < N_HOT]
+    # uncapped would emit C(200,2)=19900 boilerplate pairs; with cap=8 each
+    # of the 16 bands keeps ~8 members (binomial), so the union of per-band
+    # pair sets stays ~16*C(8,2) — pin an order-of-magnitude bound
+    assert 0 < len(hot) < 2500
+    # the planted near-dup pair lives in cold buckets and must survive
+    assert any(r["src"] == 1000 and r["dst"] == 1001 for r in rows)
+    # unrelated docs still produce no pairs
+    assert not any(r["src"] >= 2000 or r["dst"] >= 2000 for r in rows)
+
+
+def test_minhash_uncapped_explodes(spark):
+    # the counterfactual: cap=None on the same corpus really is quadratic
+    docs = _hot_docs(spark)
+    pairs = MinHashLSH(n=3, threshold=0.5, max_bucket_size=None).pairs(docs)
+    hot = pairs.filter((F.col("src") < N_HOT) & (F.col("dst") < N_HOT))
+    assert hot.count() == N_HOT * (N_HOT - 1) // 2
+
+
+def test_minhash_cap_noop_below_threshold(spark):
+    # no bucket exceeds the default cap on a small distinct corpus ->
+    # capped and uncapped plans are value-identical
+    rows = [(i, f"document number {i} about topic {i % 5} with words {i*7}")
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = MinHashLSH(n=3, threshold=0.3).pairs(docs)
+    uncapped = MinHashLSH(n=3, threshold=0.3, max_bucket_size=None).pairs(docs)
+    assert sorted(map(tuple, capped.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+
+def test_simhash_hot_block_capped(spark):
+    docs = _hot_docs(spark)
+    capped = SimHashDedup(max_hamming=3, max_block_size=8).pairs(docs)
+    hot = capped.filter((F.col("src") < N_HOT) & (F.col("dst") < N_HOT))
+    n = hot.count()
+    assert 0 < n < 2500
+    uncapped = SimHashDedup(max_hamming=3, max_block_size=None).pairs(docs)
+    assert (
+        uncapped.filter(
+            (F.col("src") < N_HOT) & (F.col("dst") < N_HOT)
+        ).count()
+        == N_HOT * (N_HOT - 1) // 2
+    )
+
+
+def test_cap_buckets_deterministic_and_partition_invariant(spark):
+    rows = [(i, i % 3, 7) for i in range(300)]
+    df1 = spark.createDataFrame(rows, ["id", "k1", "k2"]).repartition(2)
+    df2 = spark.createDataFrame(rows, ["id", "k1", "k2"]).repartition(17)
+    kept1 = sorted(
+        map(tuple, cap_buckets(df1, ("k1", "k2"), "id", 10).collect())
+    )
+    kept2 = sorted(
+        map(tuple, cap_buckets(df2, ("k1", "k2"), "id", 10).collect())
+    )
+    assert kept1 == kept2
+    # every bucket thinned to roughly the cap (binomial around 10 of 100)
+    from collections import Counter
+
+    per_bucket = Counter(k for _, k, _ in kept1)
+    assert all(2 <= c <= 25 for c in per_bucket.values())
+
+
+def test_cap_validation():
+    with pytest.raises(ValueError):
+        MinHashLSH(max_bucket_size=1)
+    with pytest.raises(ValueError):
+        SimHashDedup(max_block_size=0)
