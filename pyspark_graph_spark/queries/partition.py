@@ -555,3 +555,126 @@ def q_partition_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cut_increase_defect"),
         )
     )
+
+@query(
+    "partition_star",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT o_custkey) + COUNT(DISTINCT o_orderkey) AS BIGINT)
+         AS n_vertices,
+       CAST(LEAST(4, COUNT(DISTINCT o_custkey) + COUNT(DISTINCT o_orderkey))
+         AS BIGINT) AS parts_used,
+       CAST(0 AS BIGINT) AS assign_defect,
+       CAST(0 AS BIGINT) AS balance_defect,
+       CAST(0 AS BIGINT) AS super_span_defect
+FROM orders WHERE o_custkey % 16 = 0
+""",
+)
+def q_partition_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way multilevel partition of the customer→orders STAR FOREST — the
+    graph class 2-hop matching exists for (operators/partition.py
+    two_hop_pairs; SCALE.md round 8 measures O(n)→O(log n) levels on a
+    1 M-vertex star forest). Each customer is a hub whose orders are
+    leaves; pure edge matching removes ~1 leaf per hub per level, so
+    without two_hop the coarsening stalls at ~|V| supervertices.
+    The oracle pins the partition invariants: exactly one part per vertex
+    (assign_defect), all k parts used (parts_used), Graham's list-
+    scheduling balance bound (balance_defect), and — star-specific —
+    that contraction never merges vertices across two different stars
+    (super_span_defect: supervertices spanning ≥2 customers; matching
+    contraction can only merge within a connected component, so any
+    violation is a real coarsening defect)."""
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators.partition import MultilevelPartition
+    from pyspark_graph_spark.sources.tables import load_table
+
+    OFF = 1_000_000  # disjoint id spaces: hubs = custkey, leaves = OFF+orderkey
+    # every 16th star: the invariants and the two_hop code path are
+    # scale-free, and the gate pays ~2 shuffle stages per coarsening level
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 16 == 0)
+        .select("o_custkey", "o_orderkey")
+    )
+    hubs = orders.select(F.col("o_custkey").alias(ID)).distinct()
+    leaves = orders.select((F.col("o_orderkey") + OFF).alias(ID))
+    # the coarsening loop's cost at gate scale is per-level scheduling,
+    # not data: 8 partitions keep each of the ~5 levels' actions cheap
+    # (the operator itself inherits whatever partitioning it is given,
+    # so cluster callers keep their own fan-out)
+    v = hubs.unionByName(leaves).repartition(8).localCheckpoint()
+    e = orders.select(
+        F.col("o_custkey").alias(SRC),
+        (F.col("o_orderkey") + OFF).alias(DST),
+    ).repartition(8).localCheckpoint()
+    g = Graph(v, e, directed=False, indexed=True)
+    # ONE coarsening level (shrink is ~0.5/level, so max_coarse = n/2)
+    # drives the whole path — matching, 2-hop pairing, contraction,
+    # assignment, projection — and all four invariants at any sf; the
+    # deep-coarsening (O(n)→O(log n) levels) evidence is SCALE.md round
+    # 8's 1M-vertex star-forest measurement, where two_hop=False leaves
+    # 99.4% of vertices uncontracted after 12 levels and two_hop=True
+    # reaches 150 supervertices in 13
+    n_v = v.count()
+    parts = (
+        MultilevelPartition(
+            k=4, max_coarse=max(256, n_v // 2), max_batch=1_000_000
+        )
+        .run(g)
+        .localCheckpoint()
+    )
+
+    nf = v.agg(F.count(F.lit(1)).alias("n_vertices"))
+    per = parts.groupBy(ID).agg(F.count(F.lit(1)).alias("__c"))
+    assign = (
+        v.join(per, on=ID, how="left")
+        .filter(F.coalesce("__c", F.lit(0)) != 1)
+        .agg(F.count(F.lit(1)).alias("assign_defect"))
+    )
+    used = parts.agg(F.count_distinct("part").alias("parts_used"))
+    super_max = (
+        parts.groupBy("super")
+        .agg(F.count(F.lit(1)).alias("__ss"))
+        .agg(F.max("__ss").alias("__ms"))
+    )
+    psize = parts.groupBy("part").agg(F.count(F.lit(1)).alias("__ps"))
+    bal = (
+        psize.crossJoin(
+            F.broadcast(nf.select(F.col("n_vertices").alias("__n")))
+        )
+        .crossJoin(F.broadcast(super_max))
+        .filter(
+            F.col("__ps").cast("double")
+            > F.col("__n").cast("double") / F.lit(4.0) + F.col("__ms")
+        )
+        .agg(F.count(F.lit(1)).alias("balance_defect"))
+    )
+    # star membership of every vertex: hubs are their own star, leaves
+    # belong to their order's customer
+    star = v.join(
+        orders.select(
+            (F.col("o_orderkey") + OFF).alias(ID),
+            F.col("o_custkey").alias("__star"),
+        ),
+        on=ID,
+        how="left",
+    ).select(ID, F.coalesce("__star", F.col(ID)).alias("__star"))
+    span = (
+        parts.join(star, on=ID)
+        .groupBy("super")
+        .agg(F.count_distinct("__star").alias("__k"))
+        .filter(F.col("__k") > 1)
+        .agg(F.count(F.lit(1)).alias("super_span_defect"))
+    )
+    return (
+        nf.crossJoin(F.broadcast(used))
+        .crossJoin(F.broadcast(assign))
+        .crossJoin(F.broadcast(bal))
+        .crossJoin(F.broadcast(span))
+        .select(
+            "n_vertices",
+            F.col("parts_used").cast("long").alias("parts_used"),
+            "assign_defect",
+            "balance_defect",
+            "super_span_defect",
+        )
+    )

@@ -200,7 +200,13 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = orphans(cust, "c_nationkey", nation, "n_nationkey").select(
         F.col("n").alias("unknown_nations")
     )
-    return a.crossJoin(b).crossJoin(c).crossJoin(d)
+    # each side is a 1-row aggregate; broadcast keeps the singleton-join
+    # plan contract uniform (BroadcastNestedLoopJoin, never a shuffle)
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(d))
+    )
 
 # ---------------------------------------------------------------------------
 # Temporal joins, sequence packing, k-means (round 2 batch 2)
