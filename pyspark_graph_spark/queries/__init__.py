@@ -58,71 +58,82 @@ for _mapping in (QUERIES, ORACLES):
 
 
 # ---------------------------------------------------------------------------
-# Driver gate ordering (round 7 — rotation maintenance)
+# Driver gate ordering (round 8 — policy now GENERATED, tools/rotate_gate.py)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate checks the FIRST 50 entries of the
-# ``queries()`` dict.  Round 6 closed the rotation: all 247 then-registered
-# queries are driver-verified and every query's LATEST driver check is green
-# (fold CORRECTNESS_r01..r06 latest-wins).  Round-7 policy (per the r6 plan):
-# window (a) anything NEW or semantically CHANGED this round, then (b) the
-# stalest greens.  (a) = `xlingual_margin` (new: top-k margin miner),
-# `maximal_matching` (upgraded invariant → value-level oracle),
-# `xlingual_mining` (oracle re-frozen + 9-dp dot rounding in sketch()).
-# (b) = the 47 queries whose latest check is round 2 — five rounds of shared
-# scan-stage code movement ago — in registration order.  3 + 47 = 50 exactly.
-# The full-suite backstop is ORACLE_FULL_r7.json (tools/check_oracle.py over
-# all registered queries at the benched commit).
-GATE_PRIORITY: list[str] = [
-    "xlingual_margin",
-    "maximal_matching",
-    "xlingual_mining",
-    "in_degrees",
-    "adjacency",
-    "triplets",
-    "degree_topk",
-    "triangle_count",
-    "jaccard",
-    "overlap",
-    "jaccard_suppliers",
-    "datalog_non_adjacent",
-    "datalog_triangles",
-    "connected_components",
-    "connected_components_pregel",
-    "bfs",
-    "aggregate_messages",
-    "label_propagation",
-    "wl_kernel",
-    "shortest_paths",
-    "katz",
-    "doc_fingerprints",
-    "ngram_jaccard",
+# ``queries()`` dict.  Standing policy since round 6, now derived
+# mechanically by tools/rotate_gate.py (tests/test_gate_rotation.py pins
+# GATE_PRIORITY to its output): (a) everything NEW or semantically CHANGED
+# this round — declared below in ROUND_CHANGED — then (b) the stalest
+# latest-wins driver-green queries (fold of the committed
+# CORRECTNESS_r*.json artifacts), registration order within a round.
+# Round 8's changed set: partition_star (new: star-forest two_hop gate),
+# dedup_minhash/dedup_simhash/dedup_clusters/incremental_dedup/
+# corpus_selection (hot-bucket cap defaults on the banded joins),
+# integrity_audit (broadcast hints on the singleton crossJoins).
+# (b) = the 43 stalest greens, all last checked in round 3.
+# The full-suite backstop is ORACLE_FULL_r8.json.
+ROUND_CHANGED: list[str] = [
+    "partition_star",
     "dedup_minhash",
-    "dedup_embedding",
     "dedup_simhash",
-    "text_stats",
-    "ann_topk",
-    "doc_tokenize_fingerprint",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "session_stats",
-    "session_window_stats",
-    "tumbling_windows",
-    "events_json",
-    "multimodal_decode_pgm",
-    "pagerank",
-    "pricing_summary",
-    "revenue_rollup",
-    "top_customers_per_nation",
-    "strongly_connected_components",
-    "graph_summary",
-    "bipartite_projection",
-    "containment",
-    "weighted_shortest_paths",
-    "clustering_coefficient",
     "dedup_clusters",
-    "value_percentiles",
-    "personalized_pagerank",
-    "motif_find",
+    "incremental_dedup",
+    "corpus_selection",
+    "integrity_audit",
+]
+
+GATE_PRIORITY: list[str] = [
+    "partition_star",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_clusters",
+    "incremental_dedup",
+    "corpus_selection",
+    "integrity_audit",
+    "kcore",
+    "degree_assortativity",
+    "closeness_centrality",
+    "betweenness",
+    "maximal_independent_set",
+    "random_walks",
+    "graph_coloring",
+    "lang_confusion",
+    "tfidf_topk_terms",
+    "bm25_search",
+    "corpus_sample",
+    "running_ema",
+    "harmonic_centrality",
+    "eigenvector_centrality",
+    "hits",
+    "decontamination",
+    "ktruss",
+    "adamic_adar",
+    "eccentricity",
+    "as_of_join",
+    "range_join",
+    "sequence_pack",
+    "doc_chunks",
+    "kmeans",
+    "modularity",
+    "louvain",
+    "neighbor_sample",
+    "training_shuffle",
+    "click_attribution",
+    "source_quota",
+    "unigram_scores",
+    "kmv_sketch",
+    "transitivity",
+    "embedding_quantize",
+    "weighted_pagerank",
+    "bpe_merges",
+    "bpe_tokenize",
+    "mixture_plan",
+    "funnel",
+    "retention_cohorts",
+    "zorder_key",
+    "rmat_graph",
+    "cms_frequencies",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by
