@@ -607,7 +607,8 @@ def q_partition_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") + OFF).alias(DST),
     ).repartition(8).localCheckpoint()
     g = Graph(v, e, directed=False, indexed=True)
-    # ONE coarsening level (shrink is ~0.5/level, so max_coarse = n/2)
+    # ONE coarsening level (star-forest shrink is ~0.52/level, so the
+    # stop threshold sits at 0.6n — just above one level's result)
     # drives the whole path — matching, 2-hop pairing, contraction,
     # assignment, projection — and all four invariants at any sf; the
     # deep-coarsening (O(n)→O(log n) levels) evidence is SCALE.md round
@@ -617,7 +618,7 @@ def q_partition_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_v = v.count()
     parts = (
         MultilevelPartition(
-            k=4, max_coarse=max(256, n_v // 2), max_batch=1_000_000
+            k=4, max_coarse=max(256, (n_v * 3) // 5), max_batch=1_000_000
         )
         .run(g)
         .localCheckpoint()
