@@ -41,6 +41,7 @@ class RandomHyperplaneLSH:
         seed: int = 42,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        max_bucket_size: int | None = None,
     ):
         self.dim = dim
         self.num_tables = num_tables
@@ -49,6 +50,16 @@ class RandomHyperplaneLSH:
         self.multi_probe = multi_probe
         self.id_col = id_col
         self.vec_col = vec_col
+        # opt-in corpus-side hot-bucket cap (dedup/capping.py mechanism):
+        # on a degenerate corpus (mass-identical embeddings) one (table,
+        # bucket) key can hold a large share of the corpus, making the
+        # candidate stage ~|queries in bucket| × |bucket|. Off by default —
+        # the gate's frozen-plane oracles replay the forest EXACTLY, and
+        # z-scoring already prevents anisotropic collapse on real corpora —
+        # but at 100 TB a known-degenerate corpus should set it; the top-k
+        # re-rank then sees ~cap candidates per colliding table instead of
+        # the full bucket, with recall backed by the remaining tables.
+        self.max_bucket_size = max_bucket_size
         rng = random.Random(seed)
         # gaussian planes (better-behaved than ±1 for low dim counts),
         # flattened to one (tables*planes) x dim matrix
@@ -148,6 +159,15 @@ class RandomHyperplaneLSH:
         c = self.sketch(corpus).withColumnsRenamed(
             {"id": "neighbor_id", "__v": "__cv"}
         )
+        if self.max_bucket_size is not None:
+            from pyspark_graph_spark.dedup.capping import cap_buckets
+
+            c = cap_buckets(
+                c,
+                keys=("table", "bucket"),
+                member_col="neighbor_id",
+                cap=self.max_bucket_size,
+            )
         q = self._probe(
             self.sketch(queries).withColumnsRenamed(
                 {"id": "query_id", "__v": "__qv"}

@@ -109,3 +109,29 @@ def test_cap_validation():
         MinHashLSH(max_bucket_size=1)
     with pytest.raises(ValueError):
         SimHashDedup(max_block_size=0)
+
+
+def test_ann_lsh_corpus_bucket_cap(spark):
+    # opt-in hot-bucket cap on the ANN forest's corpus side: a degenerate
+    # corpus (many identical vectors) floods one (table, bucket) key; the
+    # cap bounds the candidate stage while real neighbors keep ranking
+    from pyspark_graph_spark.ann import RandomHyperplaneLSH
+
+    dim = 8
+    hot = [(i, [1.0] * dim) for i in range(300)]
+    distinct = [(1000 + i, [float(j == i) for j in range(dim)]) for i in range(dim)]
+    corpus = spark.createDataFrame(hot + distinct, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(9000, [1.0] * dim)], ["vec_id", "embedding"]
+    )
+    capped = RandomHyperplaneLSH(
+        dim=dim, num_tables=4, planes_per_table=4, k=5, max_bucket_size=8
+    )
+    out = capped.topk(corpus, queries).collect()
+    # top-k still returns k hot-cluster neighbors at cosine 1.0
+    assert len(out) == 5
+    assert all(abs(r["cosine_sim"] - 1.0) < 1e-6 for r in out)
+    # default (cap off) is unchanged behavior
+    base = RandomHyperplaneLSH(dim=dim, num_tables=4, planes_per_table=4, k=5)
+    assert base.max_bucket_size is None
+    assert len(base.topk(corpus, queries).collect()) == 5
