@@ -126,10 +126,12 @@ class MultilevelPartition:
         max_batch: int = 100_000,
         seed: int = 0,
         first_matching: DataFrame | None = None,
-        two_hop: bool = True,
+        two_hop: bool | str = "auto",
     ):
         if k < 1:
             raise ValueError("k must be positive")
+        if two_hop not in (True, False, "auto"):
+            raise ValueError("two_hop must be True, False, or 'auto'")
         self.k = k
         self.max_coarse = max_coarse
         self.max_levels = max_levels
@@ -139,24 +141,42 @@ class MultilevelPartition:
         # peel is the partitioner's dominant cost and is often already
         # computed by a sibling consumer (the gate's shared matching cache)
         self.first_matching = first_matching
-        # augment every level's edge matching with 2-hop pairs of the
-        # unmatched star leaves (two_hop_pairs above) — restores ~0.5
-        # per-level shrink on hub-skewed graphs; False reverts to pure
-        # edge-matching coarsening
+        # augment a level's edge matching with 2-hop pairs of the unmatched
+        # star leaves (two_hop_pairs above) — restores ~0.5 per-level
+        # shrink on hub-skewed graphs. "auto" (default, round 8) turns the
+        # augmentation on only after a level's REALIZED shrink degrades
+        # past 0.7 (hub starvation evidence) and back off when shrink
+        # recovers — the vertex counts are already taken by the loop
+        # guard, so the heuristic costs zero extra actions. On dense
+        # graphs the matching is near-perfect and the 2-hop pass is
+        # measured pure overhead (~4 extra shuffle stages per level for an
+        # 8.1× vs 8.7× noise-band delta, SCALE.md round 7: True 19.1 s vs
+        # auto 12-15 s vs False 11.7 s on the sf0.1 supplier corpus);
+        # on star forests it is the difference between O(log n) and O(n)
+        # levels (SCALE.md round 8) at the cost of one extra probe level.
         self.two_hop = two_hop
 
     def run(self, g: Graph) -> DataFrame:
         cur = g
         # fine id -> current-level supervertex, folded as we descend
         comp = g.vertices.select(ID, F.col(ID).alias("super"))
+        prev_n: int | None = None
+        hub_starved = False
         for lvl in range(self.max_levels):
-            if cur.vertices.count() <= self.max_coarse:
+            n_v = cur.vertices.count()
+            if n_v <= self.max_coarse:
                 break
+            if prev_n is not None:
+                hub_starved = n_v > 0.7 * prev_n
+            prev_n = n_v
             if lvl == 0 and self.first_matching is not None:
                 m = self.first_matching
             else:
                 m = MaximalMatching(seed=self.seed + lvl).run(cur)
-            if self.two_hop:
+            use_two_hop = self.two_hop is True or (
+                self.two_hop == "auto" and hub_starved
+            )
+            if use_two_hop:
                 m = (
                     m.select(SRC, DST)
                     .unionByName(two_hop_pairs(cur, m))

@@ -68,13 +68,17 @@ for _mapping in (QUERIES, ORACLES):
 # latest-wins driver-green queries (fold of the committed
 # CORRECTNESS_r*.json artifacts), registration order within a round.
 # Round 8's changed set: partition_star (new: star-forest two_hop gate),
+# multilevel_partition/partition_refine (two_hop='auto' default skips the
+# 2-hop pass on well-matched levels),
 # dedup_minhash/dedup_simhash/dedup_clusters/incremental_dedup/
 # corpus_selection (hot-bucket cap defaults on the banded joins),
 # integrity_audit (broadcast hints on the singleton crossJoins).
-# (b) = the 43 stalest greens, all last checked in round 3.
+# (b) = the stalest greens, all last checked in round 3.
 # The full-suite backstop is ORACLE_FULL_r8.json.
 ROUND_CHANGED: list[str] = [
     "partition_star",
+    "multilevel_partition",
+    "partition_refine",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_clusters",
@@ -85,6 +89,8 @@ ROUND_CHANGED: list[str] = [
 
 GATE_PRIORITY: list[str] = [
     "partition_star",
+    "multilevel_partition",
+    "partition_refine",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_clusters",
@@ -132,8 +138,6 @@ GATE_PRIORITY: list[str] = [
     "funnel",
     "retention_cohorts",
     "zorder_key",
-    "rmat_graph",
-    "cms_frequencies",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

@@ -618,7 +618,13 @@ def q_partition_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_v = v.count()
     parts = (
         MultilevelPartition(
-            k=4, max_coarse=max(256, (n_v * 3) // 5), max_batch=1_000_000
+            k=4,
+            max_coarse=max(256, (n_v * 3) // 5),
+            max_batch=1_000_000,
+            # the graph is a KNOWN star forest: force the 2-hop pass from
+            # level 0 (the "auto" default would spend one probe level
+            # discovering the starvation this query exists to exercise)
+            two_hop=True,
         )
         .run(g)
         .localCheckpoint()

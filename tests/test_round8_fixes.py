@@ -135,3 +135,28 @@ def test_ann_lsh_corpus_bucket_cap(spark):
     base = RandomHyperplaneLSH(dim=dim, num_tables=4, planes_per_table=4, k=5)
     assert base.max_bucket_size is None
     assert len(base.topk(corpus, queries).collect()) == 5
+
+
+def test_multilevel_two_hop_auto(spark):
+    # "auto" (new default) runs the 2-hop augmentation only on hub-starved
+    # levels: a star forest still coarsens (two_hop fires), and the knob
+    # rejects junk values
+    from pyspark_graph_spark.graph import DST, ID, SRC, Graph
+    from pyspark_graph_spark.operators.partition import MultilevelPartition
+
+    v = spark.createDataFrame([(i,) for i in range(300)], [ID])
+    edges = (
+        [(0, i) for i in range(3, 100)]
+        + [(1, i) for i in range(100, 200)]
+        + [(2, i) for i in range(200, 300)]
+        + [(0, 1), (1, 2)]
+    )
+    g = Graph(v, spark.createDataFrame(edges, [SRC, DST]),
+              directed=False, indexed=True)
+    out = MultilevelPartition(k=4, max_coarse=16, max_levels=12).run(g)
+    assert out.count() == 300  # auto == True behavior on the starved graph
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        MultilevelPartition(two_hop="sometimes")
