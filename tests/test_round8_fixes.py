@@ -160,3 +160,28 @@ def test_multilevel_two_hop_auto(spark):
 
     with _pytest.raises(ValueError):
         MultilevelPartition(two_hop="sometimes")
+
+
+def test_cap_buckets_matches_python_replay(spark):
+    # value-level contract behind the docstring's "reproducible by any
+    # engine with the same hash": keep iff pmod(xxhash64(id, k1, k2), n)
+    # < cap — replayed here row-by-row in Python from Spark's own hash
+    from pyspark.sql import functions as F
+
+    rows = [(i, i % 4, 9) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "k1", "k2"])
+    hashed = df.withColumn("__h", F.xxhash64("id", "k1", "k2")).collect()
+    from collections import Counter
+
+    sizes = Counter((r["k1"], r["k2"]) for r in hashed)
+    cap = 13
+    expected = sorted(
+        (r["id"], r["k1"], r["k2"])
+        for r in hashed
+        if sizes[(r["k1"], r["k2"])] <= cap
+        or r["__h"] % sizes[(r["k1"], r["k2"])] < cap
+    )
+    got = sorted(
+        map(tuple, cap_buckets(df, ("k1", "k2"), "id", cap).collect())
+    )
+    assert got == expected
