@@ -33,6 +33,7 @@ def cap_buckets(
     keys: Sequence[str],
     member_col: str,
     cap: int | None,
+    thin_hash: str = "xxhash64",
 ) -> DataFrame:
     """Thin buckets (grouped by ``keys``) with more than ``cap`` members.
 
@@ -41,18 +42,29 @@ def cap_buckets(
     a deterministic hash test, bounding the bucket's post-thinning size at
     ~cap in expectation (and hence the self-join's per-bucket output at
     ~cap²/2 pairs).
+
+    ``thin_hash='xxhash64'`` (default) is the fast JVM path;
+    ``'md5'`` switches the survival test to
+    ``md5_hash60(concat_ws(',', member, *keys))`` — bit-identical in
+    DuckDB (functions/hashing.py), which lets an external SQL oracle
+    replay the thinning exactly (the ``dedup_simhash_capped`` gate).
     """
     if cap is None:
         return buckets
+    if thin_hash == "md5":
+        from pyspark_graph_spark.functions.hashing import md5_hash60_concat
+
+        h = md5_hash60_concat(F.col(member_col), *[F.col(k) for k in keys])
+    elif thin_hash == "xxhash64":
+        h = F.xxhash64(member_col, *keys)
+    else:
+        raise ValueError("thin_hash must be 'xxhash64' or 'md5'")
     sizes = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("__bn"))
     kept = (
         buckets.join(sizes, on=list(keys))
         .filter(
             (F.col("__bn") <= F.lit(cap))
-            | (
-                F.pmod(F.xxhash64(member_col, *keys), F.col("__bn"))
-                < F.lit(cap)
-            )
+            | (F.pmod(h, F.col("__bn")) < F.lit(cap))
         )
         .drop("__bn")
     )

@@ -83,6 +83,7 @@ class SimHashDedup:
         text_col: str = "text",
         token_hash=None,
         max_block_size: int | None = 4096,
+        thin_hash: str = "xxhash64",
     ):
         if max_block_size is not None and max_block_size < 2:
             raise ValueError("max_block_size must be >= 2 (or None)")
@@ -92,6 +93,9 @@ class SimHashDedup:
         self.token_hash = token_hash
         self.blocks = max_hamming + 1
         self.max_block_size = max_block_size
+        # 'md5' makes the thinning itself replayable by an external SQL
+        # oracle (capping.py); the default stays the faster xxhash64
+        self.thin_hash = thin_hash
 
     def fingerprints(self, docs: DataFrame) -> DataFrame:
         # per-token hashing fuses into the scan stage; widen few-split
@@ -129,6 +133,7 @@ class SimHashDedup:
             keys=("block", "block_val"),
             member_col="id",
             cap=self.max_block_size,
+            thin_hash=self.thin_hash,
         )
         a = blocked.alias("a")
         b = blocked.alias("b")

@@ -68,6 +68,8 @@ for _mapping in (QUERIES, ORACLES):
 # latest-wins driver-green queries (fold of the committed
 # CORRECTNESS_r*.json artifacts), registration order within a round.
 # Round 8's changed set: partition_star (new: star-forest two_hop gate),
+# dedup_simhash_capped (new: the hot-block cap FIRING, md5-thinning
+# replayed by the oracle),
 # multilevel_partition/partition_refine (two_hop='auto' default skips the
 # 2-hop pass on well-matched levels),
 # dedup_minhash/dedup_simhash/dedup_clusters/incremental_dedup/
@@ -77,6 +79,7 @@ for _mapping in (QUERIES, ORACLES):
 # The full-suite backstop is ORACLE_FULL_r8.json.
 ROUND_CHANGED: list[str] = [
     "partition_star",
+    "dedup_simhash_capped",
     "multilevel_partition",
     "partition_refine",
     "dedup_minhash",
@@ -89,6 +92,7 @@ ROUND_CHANGED: list[str] = [
 
 GATE_PRIORITY: list[str] = [
     "partition_star",
+    "dedup_simhash_capped",
     "multilevel_partition",
     "partition_refine",
     "dedup_minhash",
@@ -137,7 +141,6 @@ GATE_PRIORITY: list[str] = [
     "mixture_plan",
     "funnel",
     "retention_cohorts",
-    "zorder_key",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

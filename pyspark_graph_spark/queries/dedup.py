@@ -41,15 +41,38 @@ JOIN sizes sb ON dst = sb.doc_id
 WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 """
 
-def _simhash_sql() -> str:
+def _simhash_sql(cap: int | None = None) -> str:
     """Full SimHash pipeline in SQL: per-token md5-60-bit hash, per-bit
     ±1 vote sums, sign fingerprint, 4x16-bit pigeonhole blocks, block-join
     candidates, exact bit_count(xor) verify. Bits 60-63 of the token hash
     are structurally 0, so their vote sums are negative and those
-    fingerprint bits are 0 on both engines — the bit loop stops at 60."""
+    fingerprint bits are 0 on both engines — the bit loop stops at 60.
+
+    With ``cap``, the hot-block thinning of dedup/capping.py is replayed
+    too: per-(block, value) sizes, then a member survives an oversize
+    block iff md5_hash60('doc_id,b,bv') % n < cap — the exact md5 variant
+    the Spark side runs with ``thin_hash='md5'``."""
     from pyspark_graph_spark.functions.hashing import md5_hash60_sql
 
     h = md5_hash60_sql("tok")
+    if cap is None:
+        thinned = "blocked"
+        thin_cte = ""
+    else:
+        th_hash = md5_hash60_sql(
+            "CAST(doc_id AS VARCHAR) || ',' || CAST(b AS VARCHAR) "
+            "|| ',' || CAST(bv AS VARCHAR)"
+        )
+        thinned = "thinned"
+        thin_cte = f""",
+sizes AS MATERIALIZED (
+    SELECT b, bv, COUNT(*) AS n FROM blocked GROUP BY b, bv
+),
+thinned AS MATERIALIZED (
+    SELECT doc_id, f, blocked.b, blocked.bv
+    FROM blocked JOIN sizes USING (b, bv)
+    WHERE n <= {cap} OR ({th_hash}) % n < {cap}
+)"""
     return rf"""
 WITH {_TOKS_CTE.strip()},
 th AS MATERIALIZED (
@@ -73,11 +96,11 @@ fp AS MATERIALIZED (
 blocked AS MATERIALIZED (
     SELECT doc_id, f, b, (f >> CAST(b * 16 AS INT)) & 65535 AS bv
     FROM fp CROSS JOIN UNNEST([0, 1, 2, 3]) AS bb(b)
-)
+){thin_cte}
 SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst,
        CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
-FROM blocked a
-JOIN blocked b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+FROM {thinned} a
+JOIN {thinned} b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= 3
 """
 
@@ -1082,3 +1105,27 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+@query("dedup_simhash_capped", oracle=_simhash_sql(cap=8))
+def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-block CAP, driver-verified while FIRING (round 8): the same
+    SimHash pipeline as `dedup_simhash` but with max_block_size=8 — below
+    the gate corpus's measured max block occupancy (20 at sf0.01, 170 at
+    sf0.1) so the deterministic thinning actually drops members — and
+    thin_hash='md5' so the oracle replays the survival test
+    md5_hash60('doc_id,b,bv') % n < cap bit-for-bit alongside the
+    fingerprints, blocking, and Hamming verify. `dedup_simhash` keeps
+    pinning the default (non-firing) cap's value-identity; THIS query
+    pins the capped path's exact semantics, so the 100 TB knob is not
+    just unit-tested but hash-matched by the external engine."""
+    from pyspark_graph_spark.dedup import SimHashDedup
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SimHashDedup(
+        max_hamming=3,
+        token_hash=md5_hash60,
+        max_block_size=8,
+        thin_hash="md5",
+    ).pairs(docs)
