@@ -67,7 +67,9 @@ for _mapping in (QUERIES, ORACLES):
 # this round — declared below in ROUND_CHANGED — then (b) the stalest
 # latest-wins driver-green queries (fold of the committed
 # CORRECTNESS_r*.json artifacts), registration order within a round.
-# Round 8's changed set: partition_star (new: star-forest two_hop gate),
+# Round 8's changed set: triad_census (new: Holland–Leinhardt 16-class
+# census, Batagelj–Mrvar wedge enumeration vs brute-force oracle),
+# partition_star (new: star-forest two_hop gate),
 # dedup_simhash_capped (new: the hot-block cap FIRING, md5-thinning
 # replayed by the oracle),
 # multilevel_partition/partition_refine (two_hop='auto' default skips the
@@ -78,6 +80,7 @@ for _mapping in (QUERIES, ORACLES):
 # (b) = the stalest greens, all last checked in round 3.
 # The full-suite backstop is ORACLE_FULL_r8.json.
 ROUND_CHANGED: list[str] = [
+    "triad_census",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -91,6 +94,7 @@ ROUND_CHANGED: list[str] = [
 ]
 
 GATE_PRIORITY: list[str] = [
+    "triad_census",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -140,7 +144,6 @@ GATE_PRIORITY: list[str] = [
     "bpe_tokenize",
     "mixture_plan",
     "funnel",
-    "retention_cohorts",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

@@ -2704,6 +2704,95 @@ def q_dyad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("null_dyads"),
     )
 
+from pyspark_graph_spark.operators.triads import (
+    TRIAD_TYPES as _TRIAD_TYPES,
+    oracle_case_sql as _triad_case_sql,
+)
+
+_TRADE_TE_CTE = """
+te AS (
+    SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+           CAST(s.s_nationkey AS BIGINT) AS dst
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+)
+"""
+
+
+@query(
+    "triad_census",
+    oracle=f"""
+WITH {_TRADE_TE_CTE.strip()},
+v AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+coded AS (
+    SELECT
+      (CASE WHEN EXISTS (SELECT 1 FROM te WHERE src = i.id AND dst = j.id)
+            THEN 1 ELSE 0 END
+       + CASE WHEN EXISTS (SELECT 1 FROM te WHERE src = j.id AND dst = i.id)
+            THEN 2 ELSE 0 END) AS c_ij,
+      (CASE WHEN EXISTS (SELECT 1 FROM te WHERE src = i.id AND dst = k.id)
+            THEN 1 ELSE 0 END
+       + CASE WHEN EXISTS (SELECT 1 FROM te WHERE src = k.id AND dst = i.id)
+            THEN 2 ELSE 0 END) AS c_ik,
+      (CASE WHEN EXISTS (SELECT 1 FROM te WHERE src = j.id AND dst = k.id)
+            THEN 1 ELSE 0 END
+       + CASE WHEN EXISTS (SELECT 1 FROM te WHERE src = k.id AND dst = j.id)
+            THEN 2 ELSE 0 END) AS c_jk
+    FROM v i JOIN v j ON i.id < j.id JOIN v k ON j.id < k.id
+),
+named AS (SELECT {_triad_case_sql()} AS triad_type FROM coded),
+counts AS (SELECT triad_type, COUNT(*) AS n FROM named GROUP BY 1),
+types(triad_type) AS (VALUES {", ".join(f"('{t}')" for t in _TRIAD_TYPES)})
+SELECT t.triad_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triads
+FROM types t LEFT JOIN counts c USING (triad_type)
+ORDER BY t.triad_type
+""",
+)
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holland–Leinhardt 16-class triad census of the directed nation
+    trade graph (operators/triads.py: Batagelj–Mrvar wedge enumeration +
+    closed forms for the disconnected classes — the O(sum deg^2) scale
+    path, never C(n,3)). The oracle is method-INDEPENDENT: DuckDB brute-
+    forces every vertex triple with per-direction EXISTS probes and
+    classifies through the same frozen 64-mask table, which is itself
+    validated against the published class definitions in
+    tests/test_triads.py. Completes the reference's dyad-level surface
+    (reciprocity, dyad_census) at triad granularity."""
+    from pyspark_graph_spark.operators.triads import triad_census
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    te = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.col("c_nationkey").cast("long").alias(SRC),
+            F.col("s_nationkey").cast("long").alias(DST),
+        )
+        .distinct()
+    )
+    v = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_nationkey").cast("long").alias(ID))
+    )
+    g = Graph(v, te, directed=True, indexed=True)
+    return triad_census(g)
+
+
 @query(
     "degree_ccdf",
     oracle=f"""

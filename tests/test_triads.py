@@ -1,0 +1,174 @@
+"""Triad census: the 64-mask classifier is validated INDEPENDENTLY of its
+own rules (canonical representative masks from the published class
+definitions + permutation orbits), then the distributed census is checked
+against a brute-force all-triples enumeration on random digraphs."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark_graph_spark.constants import DST, ID, SRC
+from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.operators.triads import (
+    MASK_TABLE,
+    TRIAD_TYPES,
+    classify_codes,
+    oracle_case_sql,
+    triad_census,
+)
+
+# ---------------------------------------------------------------------------
+# Independent ground truth: representative EDGE masks for the 16 classes,
+# hand-written from the published pattern definitions (igraph/Pajek docs),
+# with vertices (A, B, C) = (0, 1, 2) and edge bits
+# bit0 A->B, bit1 B->A, bit2 A->C, bit3 C->A, bit4 B->C, bit5 C->B.
+# ---------------------------------------------------------------------------
+_BIT = {
+    (0, 1): 1, (1, 0): 2, (0, 2): 4, (2, 0): 8, (1, 2): 16, (2, 1): 32,
+}
+
+
+def _emask(edges) -> int:
+    return sum(_BIT[e] for e in edges)
+
+
+REPRESENTATIVES = {
+    "003": _emask([]),
+    "012": _emask([(0, 1)]),                                  # A->B
+    "102": _emask([(0, 1), (1, 0)]),                          # A<->B
+    "021D": _emask([(1, 0), (1, 2)]),                         # A<-B->C
+    "021U": _emask([(0, 1), (2, 1)]),                         # A->B<-C
+    "021C": _emask([(0, 1), (1, 2)]),                         # A->B->C
+    "111D": _emask([(0, 1), (1, 0), (2, 1)]),                 # A<->B<-C
+    "111U": _emask([(0, 1), (1, 0), (1, 2)]),                 # A<->B->C
+    "030T": _emask([(0, 1), (2, 1), (0, 2)]),                 # A->B<-C, A->C
+    "030C": _emask([(1, 0), (2, 1), (0, 2)]),                 # A<-B<-C, A->C
+    "201": _emask([(0, 1), (1, 0), (1, 2), (2, 1)]),          # A<->B<->C
+    "120D": _emask([(1, 0), (1, 2), (0, 2), (2, 0)]),         # A<-B->C, A<->C
+    "120U": _emask([(0, 1), (2, 1), (0, 2), (2, 0)]),         # A->B<-C, A<->C
+    "120C": _emask([(0, 1), (1, 2), (0, 2), (2, 0)]),         # A->B->C, A<->C
+    "210": _emask([(0, 1), (1, 2), (2, 1), (0, 2), (2, 0)]),  # A->B<->C, A<->C
+    "300": _emask([(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)]),
+}
+
+
+def _edges_of(emask: int):
+    return {e for e, b in _BIT.items() if emask & b}
+
+
+def _permute(emask: int, perm) -> int:
+    return _emask({(perm[u], perm[v]) for (u, v) in _edges_of(emask)})
+
+
+def _codes_of(emask: int):
+    """Edge mask -> (c_01, c_02, c_12) dyad codes for ordered vertices."""
+    edges = _edges_of(emask)
+    out = []
+    for u, v in ((0, 1), (0, 2), (1, 2)):
+        f, b = (u, v) in edges, (v, u) in edges
+        out.append(3 if f and b else 1 if f else 2 if b else 0)
+    return tuple(out)
+
+
+def _classify_emask(emask: int) -> str:
+    return classify_codes(*_codes_of(emask))
+
+
+def test_classifier_matches_published_representatives():
+    """Every one of the 64 edge configurations must classify as the name
+    of the unique published representative in its permutation orbit —
+    validating classify_codes against definitions it does not share."""
+    orbit_name: dict[int, str] = {}
+    for name, rep in REPRESENTATIVES.items():
+        for perm in itertools.permutations(range(3)):
+            m = _permute(rep, perm)
+            assert orbit_name.get(m, name) == name, (
+                f"mask {m} in two orbits: {orbit_name[m]} and {name}"
+            )
+            orbit_name[m] = name
+    assert len(orbit_name) == 64, (
+        f"orbits of the 16 representatives cover {len(orbit_name)}/64 masks"
+    )
+    for m, name in orbit_name.items():
+        assert _classify_emask(m) == name, (
+            f"mask {m}: classifier says {_classify_emask(m)}, orbit of "
+            f"{name}"
+        )
+
+
+def test_classifier_is_isomorphism_invariant():
+    for emask in range(64):
+        names = {
+            _classify_emask(_permute(emask, p))
+            for p in itertools.permutations(range(3))
+        }
+        assert len(names) == 1, f"mask {emask} orbit maps to {names}"
+
+
+def test_mask_table_and_sql_case_agree_with_classifier():
+    for c_ij in range(4):
+        for c_ik in range(4):
+            for c_jk in range(4):
+                m = c_ij + 4 * c_ik + 16 * c_jk
+                assert MASK_TABLE[m][0] == classify_codes(c_ij, c_ik, c_jk)
+    case = oracle_case_sql()
+    for m in range(64):
+        assert f"WHEN {m} THEN '{MASK_TABLE[m][0]}'" in case
+
+
+def _brute_census(n: int, edges: set[tuple[int, int]]) -> dict[str, int]:
+    counts = {t: 0 for t in TRIAD_TYPES}
+    for i, j, k in itertools.combinations(range(n), 3):
+        codes = []
+        for u, v in ((i, j), (i, k), (j, k)):
+            f, b = (u, v) in edges, (v, u) in edges
+            codes.append(3 if f and b else 1 if f else 2 if b else 0)
+        counts[classify_codes(*codes)] += 1
+    return counts
+
+
+def _spark_census(spark, n: int, edges: set[tuple[int, int]]):
+    v = spark.createDataFrame([(i,) for i in range(n)], f"{ID} long")
+    if edges:
+        e = spark.createDataFrame(sorted(edges), f"{SRC} long, {DST} long")
+    else:
+        e = spark.createDataFrame([], f"{SRC} long, {DST} long")
+    g = Graph(v, e, directed=True, indexed=True)
+    rows = triad_census(g).collect()
+    assert [r["triad_type"] for r in rows] == sorted(TRIAD_TYPES)
+    return {r["triad_type"]: r["n_triads"] for r in rows}
+
+
+def test_census_empty_graph(spark):
+    got = _spark_census(spark, 6, set())
+    assert got["003"] == 20 and sum(got.values()) == 20
+
+
+def test_census_single_asym_edge(spark):
+    got = _spark_census(spark, 7, {(0, 1)})
+    assert got["012"] == 5  # the 5 triads containing the edge
+    assert got["003"] == 30 and sum(got.values()) == 35
+
+
+def test_census_complete_mutual(spark):
+    n = 5
+    edges = {(u, v) for u in range(n) for v in range(n) if u != v}
+    got = _spark_census(spark, n, edges)
+    assert got["300"] == 10 and sum(got.values()) == 10
+
+
+def test_census_matches_bruteforce_random(spark):
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 8
+        edges = {
+            (u, v)
+            for u in range(n)
+            for v in range(n)
+            if u != v and rng.random() < 0.35
+        }
+        got = _spark_census(spark, n, edges)
+        want = _brute_census(n, edges)
+        assert got == want, f"trial {trial}: {got} != {want}"
+        assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
