@@ -69,6 +69,8 @@ for _mapping in (QUERIES, ORACLES):
 # CORRECTNESS_r*.json artifacts), registration order within a round.
 # Round 8's changed set: triad_census (new: Holland–Leinhardt 16-class
 # census, Batagelj–Mrvar wedge enumeration vs brute-force oracle),
+# weighted_matching (new: Avis 1/2-approx weighted greedy, value-level
+# recursive-CTE replay oracle),
 # partition_star (new: star-forest two_hop gate),
 # dedup_simhash_capped (new: the hot-block cap FIRING, md5-thinning
 # replayed by the oracle),
@@ -81,6 +83,7 @@ for _mapping in (QUERIES, ORACLES):
 # The full-suite backstop is ORACLE_FULL_r8.json.
 ROUND_CHANGED: list[str] = [
     "triad_census",
+    "weighted_matching",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -95,6 +98,7 @@ ROUND_CHANGED: list[str] = [
 
 GATE_PRIORITY: list[str] = [
     "triad_census",
+    "weighted_matching",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -143,7 +147,6 @@ GATE_PRIORITY: list[str] = [
     "bpe_merges",
     "bpe_tokenize",
     "mixture_plan",
-    "funnel",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

@@ -247,6 +247,89 @@ def q_maximal_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @query(
+    "weighted_matching",
+    oracle=f"""
+WITH RECURSIVE supplier_pairs AS (
+    SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+we AS (
+    SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM supplier_pairs a
+    JOIN supplier_pairs b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+),
+pe AS (
+    SELECT src, dst, weight, {_MATCH_PRIORITY_SQL} AS p
+    FROM we
+),
+greedy AS (
+    SELECT CAST([] AS BIGINT[]) AS matched
+    UNION ALL
+    SELECT g.matched || [pick.src, pick.dst]
+    FROM greedy g, LATERAL (
+        SELECT src, dst FROM pe
+        WHERE NOT list_contains(g.matched, pe.src)
+          AND NOT list_contains(g.matched, pe.dst)
+        ORDER BY weight DESC, p, src, dst LIMIT 1
+    ) pick
+),
+final AS (
+    SELECT matched FROM greedy ORDER BY len(matched) DESC LIMIT 1
+),
+m AS (
+    SELECT matched[2 * x.i - 1] AS src, matched[2 * x.i] AS dst
+    FROM final,
+         LATERAL (
+             SELECT unnest(range(1, len(final.matched) // 2 + 1)) AS i
+         ) x
+)
+SELECT CAST(m.src AS BIGINT) AS src, CAST(m.dst AS BIGINT) AS dst,
+       we.weight
+FROM m JOIN we ON m.src = we.src AND m.dst = we.dst
+""",
+)
+def q_weighted_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal WEIGHTED matching — Avis's 1/2-approximation of
+    maximum-weight matching (operators/matching.py weight_col) — on the
+    supplier co-occurrence graph weighted by shared-order count (the
+    edge weight a multilevel partitioner would preserve across levels).
+    VALUE-LEVEL oracle like `maximal_matching`: with md5 priorities the
+    peeling fixpoint equals sequential greedy over (weight DESC,
+    priority, src, dst), which the DuckDB recursive CTE replays edge for
+    edge, weights joined back onto the matched set. Exercises the
+    weighted priority path (`__np = -weight`) that the unweighted gate
+    queries never touch."""
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators.matching import MaximalMatching
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.withColumnsRenamed({"l_suppkey": SRC})
+    b = li.withColumnsRenamed({"l_suppkey": DST})
+    we = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col(SRC) < F.col(DST))
+        .groupBy(SRC, DST)
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    v = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias(ID)
+    )
+    g = Graph(v, we, directed=False, indexed=True)
+    m = MaximalMatching(weight_col="weight", priority="md5").run(g)
+    return m.join(we, on=[SRC, DST]).select(
+        F.col(SRC).cast("long").alias(SRC),
+        F.col(DST).cast("long").alias(DST),
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+@query(
     "graph_coarsen",
     oracle=f"""
 WITH RECURSIVE {SUPPLIER_EDGES_CTE.strip()},
