@@ -181,3 +181,52 @@ class MinHashLSH:
             F.col("dst").alias(self.id_col)
         ).distinct()
         return docs.join(drop, on=self.id_col, how="anti")
+
+
+def scurve_catch_micro(s_col, bands: int, rows: int):
+    """Per-pair LSH catch probability 1 - (1 - s^rows)^bands in exact
+    1e-6 units — the S-curve behind choosing a (bands, rows) split.
+
+    Both exponents must be powers of two so the whole expression is a
+    SQUARING LADDER of IEEE multiplications: unlike pow(), every step is
+    correctly rounded on every engine, so Spark and an external SQL
+    oracle produce bit-identical doubles and the rounded micro-units
+    hash-match exactly (the same determinism discipline as the md5
+    matching priorities)."""
+    for e, nm in ((rows, "rows"), (bands, "bands")):
+        if e < 1 or e & (e - 1):
+            raise ValueError(f"{nm} must be a power of two, got {e}")
+    sr = s_col
+    e = rows
+    while e > 1:
+        sr = sr * sr
+        e //= 2
+    t = F.lit(1.0) - sr
+    e = bands
+    while e > 1:
+        t = t * t
+        e //= 2
+    p = F.lit(1.0) - t
+    return F.round(p * F.lit(1000000.0), 0).cast("long")
+
+
+def scurve_catch_micro_sql(s_expr: str, bands: int, rows: int) -> str:
+    """The SQL twin of ``scurve_catch_micro`` — the identical squaring
+    ladder as nested subqueries (no textual blowup, no pow())."""
+    for e, nm in ((rows, "rows"), (bands, "bands")):
+        if e < 1 or e & (e - 1):
+            raise ValueError(f"{nm} must be a power of two, got {e}")
+    inner = f"SELECT CAST({s_expr} AS DOUBLE) AS x"
+    e = rows
+    while e > 1:
+        inner = f"SELECT x * x AS x FROM ({inner})"
+        e //= 2
+    inner = f"SELECT CAST(1.0 AS DOUBLE) - x AS x FROM ({inner})"
+    e = bands
+    while e > 1:
+        inner = f"SELECT x * x AS x FROM ({inner})"
+        e //= 2
+    return (
+        f"(SELECT CAST(ROUND((CAST(1.0 AS DOUBLE) - x) "
+        f"* CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) FROM ({inner}))"
+    )

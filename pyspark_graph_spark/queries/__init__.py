@@ -71,6 +71,8 @@ for _mapping in (QUERIES, ORACLES):
 # census, Batagelj–Mrvar wedge enumeration vs brute-force oracle),
 # weighted_matching (new: Avis 1/2-approx weighted greedy, value-level
 # recursive-CTE replay oracle),
+# lsh_band_tuning (new: S-curve banding analysis in exact 1e-6 units via
+# cross-engine-deterministic squaring ladders),
 # partition_star (new: star-forest two_hop gate),
 # dedup_simhash_capped (new: the hot-block cap FIRING, md5-thinning
 # replayed by the oracle),
@@ -84,6 +86,7 @@ for _mapping in (QUERIES, ORACLES):
 ROUND_CHANGED: list[str] = [
     "triad_census",
     "weighted_matching",
+    "lsh_band_tuning",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -99,6 +102,7 @@ ROUND_CHANGED: list[str] = [
 GATE_PRIORITY: list[str] = [
     "triad_census",
     "weighted_matching",
+    "lsh_band_tuning",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -146,7 +150,6 @@ GATE_PRIORITY: list[str] = [
     "weighted_pagerank",
     "bpe_merges",
     "bpe_tokenize",
-    "mixture_plan",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by
@@ -157,7 +160,7 @@ GATE_PRIORITY: list[str] = [
 # Kept adjacent to the caches; tests/test_round7_fixes assertions are not
 # needed because bench.py imports this mapping directly.
 SHARED_FAMILIES: dict[str, list[str]] = {
-    "ngram_pairs": ["ngram_jaccard", "dedup_rate_curve"],
+    "ngram_pairs": ["ngram_jaccard", "dedup_rate_curve", "lsh_band_tuning"],
     "landmark_sp": [
         "closeness_centrality",
         "harmonic_centrality",

@@ -916,6 +916,91 @@ def q_dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     ).select("s.threshold", "s.n_pairs")
 
+def _lsh_tuning_oracle() -> str:
+    from pyspark_graph_spark.dedup.minhash import scurve_catch_micro_sql
+
+    jacc = "CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE)"
+    selects = []
+    for b, r in ((32, 2), (16, 4), (8, 8), (4, 16)):
+        micro = scurve_catch_micro_sql("jaccard", b, r)
+        selects.append(
+            f"SELECT CAST({b} AS BIGINT) AS bands, "
+            f"CAST({r} AS BIGINT) AS rows_per_band, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            f"CAST(COALESCE(SUM({micro}), 0) AS BIGINT) "
+            f"AS expected_caught_micro FROM p"
+        )
+    return rf"""
+WITH {_TOKS_CTE.strip()},
+shingles AS (
+    SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+    FROM toks CROSS JOIN UNNEST(range(1, len(t)-1)) AS g(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS c
+    FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+p AS MATERIALIZED (
+    SELECT {jacc} AS jaccard
+    FROM common
+    JOIN sizes sa ON src = sa.doc_id
+    JOIN sizes sb ON dst = sb.doc_id
+    WHERE {jacc} >= 0.5
+)
+{" UNION ALL ".join(selects)}
+"""
+
+
+@query("lsh_band_tuning", oracle=_lsh_tuning_oracle())
+def q_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve analysis — the principled way to pick a
+    (bands, rows) split for MinHash dedup: for each 64-hash
+    configuration, the expected number of true near-dup pairs (exact
+    Jaccard >= 0.5, the SHARED ngram pair table) an LSH index would
+    catch, via the catch probability 1 - (1 - s^rows)^bands per pair.
+    Both exponents are powers of two, so the probability is a squaring
+    ladder of IEEE multiplications (dedup/minhash.py
+    scurve_catch_micro) — bit-identical in Spark and DuckDB, summed in
+    exact 1e-6 integer units, no pow() and no float hashing risk. One
+    pass over the cached pair table; configs fan out as literal
+    columns, not rescans."""
+    from pyspark_graph_spark.dedup.minhash import scurve_catch_micro
+
+    prs = _shared_ngram_pairs(spark, sf_dir)
+    configs = ((32, 2), (16, 4), (8, 8), (4, 16))
+    ag = prs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        *[
+            F.coalesce(
+                F.sum(scurve_catch_micro(F.col("jaccard"), b, r)),
+                F.lit(0),
+            ).alias(f"m_{b}_{r}")
+            for b, r in configs
+        ],
+    )
+    return ag.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("bands"),
+                        F.lit(r).cast("long").alias("rows_per_band"),
+                        F.col("n_pairs").cast("long").alias("n_pairs"),
+                        F.col(f"m_{b}_{r}")
+                        .cast("long")
+                        .alias("expected_caught_micro"),
+                    )
+                    for b, r in configs
+                ]
+            )
+        ).alias("s")
+    ).select(
+        "s.bands", "s.rows_per_band", "s.n_pairs", "s.expected_caught_micro"
+    )
+
+
 @query(
     "er_clusters_multipass",
     oracle=rf"""

@@ -1,0 +1,81 @@
+"""The S-curve squaring ladder must be bit-identical across Python,
+Spark, and DuckDB — that is the whole determinism contract behind
+summing it in exact 1e-6 integer units in the lsh_band_tuning gate."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyspark_graph_spark.dedup.minhash import (
+    scurve_catch_micro,
+    scurve_catch_micro_sql,
+)
+
+CONFIGS = ((32, 2), (16, 4), (8, 8), (4, 16))
+GRID = [i / 64 for i in range(33, 64)] + [0.5, 1.0, 0.987654321]
+
+
+def _ladder_py(s: float, bands: int, rows: int) -> int:
+    x = s
+    e = rows
+    while e > 1:
+        x = x * x
+        e //= 2
+    x = 1.0 - x
+    e = bands
+    while e > 1:
+        x = x * x
+        e //= 2
+    p = (1.0 - x) * 1000000.0
+    # round-half-up like Spark/DuckDB ROUND (python round() is banker's)
+    import math
+
+    return int(math.floor(p + 0.5))
+
+
+def test_sql_ladder_matches_python():
+    for b, r in CONFIGS:
+        expr = scurve_catch_micro_sql("s", b, r)
+        vals = ", ".join(f"({v!r})" for v in GRID)
+        got = [
+            row[0]
+            for row in duckdb.sql(
+                f"SELECT {expr} FROM (VALUES {vals}) t(s)"
+            ).fetchall()
+        ]
+        want = [_ladder_py(s, b, r) for s in GRID]
+        assert got == want, (b, r)
+
+
+def test_spark_ladder_matches_python(spark):
+    df = spark.createDataFrame([(s,) for s in GRID], "s double")
+    cols = [
+        scurve_catch_micro(F.col("s"), b, r).alias(f"m_{b}_{r}")
+        for b, r in CONFIGS
+    ]
+    rows = df.select("s", *cols).collect()
+    for row in rows:
+        for b, r in CONFIGS:
+            assert row[f"m_{b}_{r}"] == _ladder_py(row["s"], b, r), (
+                row["s"],
+                b,
+                r,
+            )
+
+
+def test_non_power_of_two_rejected():
+    with pytest.raises(ValueError):
+        scurve_catch_micro(F.lit(0.5), 3, 4)
+    with pytest.raises(ValueError):
+        scurve_catch_micro_sql("s", 16, 5)
+
+
+def test_scurve_monotone_in_similarity():
+    for b, r in CONFIGS:
+        vals = [_ladder_py(s, b, r) for s in GRID if s <= 1.0]
+        ordered = [v for _, v in sorted(zip(GRID, vals))]
+        assert ordered == sorted(ordered)
+        assert _ladder_py(1.0, b, r) == 1000000
