@@ -163,3 +163,38 @@ def hilbert_sql_ctes(
             f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd FROM h{step - 1})"
         )
     return ",\n".join(ctes)
+
+
+def compaction_groups(
+    files: DataFrame,
+    partition_by: list[str],
+    order_by: str,
+    size_col: str,
+    target: int,
+) -> DataFrame:
+    """Small-file compaction planning — assign per-partition file metadata
+    rows to output groups of ~``target`` total size, preserving the sort
+    order (the OPTIMIZE/compaction primitive of every lakehouse format).
+
+    Greedy-by-running-total: a file joins group ``floor(exclusive_prefix_
+    sum(size) / target)``, so groups are contiguous runs in ``order_by``
+    order, every group except possibly the last per partition reaches the
+    target, and an oversize file gets (at least) its own group. One
+    window per TABLE PARTITION (``partition_by``), never a global sort:
+    state is bounded by files-per-partition — compaction plans operate on
+    file METADATA (one row per file), so even a million-file table is a
+    metadata-scale frame.
+    """
+    from pyspark.sql import Window
+
+    if target < 1:
+        raise ValueError("target must be positive")
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return files.withColumn(
+        "group_id", F.floor(excl / F.lit(float(target))).cast("long")
+    )

@@ -73,6 +73,8 @@ for _mapping in (QUERIES, ORACLES):
 # recursive-CTE replay oracle),
 # lsh_band_tuning (new: S-curve banding analysis in exact 1e-6 units via
 # cross-engine-deterministic squaring ladders),
+# compaction_plan (new: lakehouse small-file bin packing by per-partition
+# running totals),
 # partition_star (new: star-forest two_hop gate),
 # dedup_simhash_capped (new: the hot-block cap FIRING, md5-thinning
 # replayed by the oracle),
@@ -87,6 +89,7 @@ ROUND_CHANGED: list[str] = [
     "triad_census",
     "weighted_matching",
     "lsh_band_tuning",
+    "compaction_plan",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -103,6 +106,7 @@ GATE_PRIORITY: list[str] = [
     "triad_census",
     "weighted_matching",
     "lsh_band_tuning",
+    "compaction_plan",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -149,7 +153,6 @@ GATE_PRIORITY: list[str] = [
     "embedding_quantize",
     "weighted_pagerank",
     "bpe_merges",
-    "bpe_tokenize",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

@@ -488,6 +488,56 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("zval"),
     )
 
+@query(
+    "compaction_plan",
+    oracle="""
+WITH files AS (
+    SELECT l_returnflag AS returnflag,
+           CAST(EXTRACT(year FROM l_shipdate) * 100
+                + EXTRACT(month FROM l_shipdate) AS BIGINT) AS ym,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT returnflag, ym, n_rows,
+       CAST(FLOOR(COALESCE(SUM(n_rows) OVER (
+           PARTITION BY returnflag ORDER BY ym
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) / 1000.0) AS BIGINT) AS group_id
+FROM files
+""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse small-file compaction plan (functions/layout.py
+    compaction_groups): per (returnflag, month) "file" of lineitem rows,
+    assign output groups of ~1000 rows by exclusive running total within
+    each returnflag partition — contiguous in time order, so compacted
+    outputs preserve clustering. The plan operates on file METADATA (one
+    row per file), so the window state is bounded by files-per-partition
+    at any corpus size; the oracle replays the identical integer window
+    arithmetic."""
+    from pyspark_graph_spark.functions.layout import compaction_groups
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_shipdate"
+    )
+    files = li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        (
+            F.year("l_shipdate") * 100 + F.month("l_shipdate")
+        )
+        .cast("long")
+        .alias("ym"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    return compaction_groups(
+        files,
+        partition_by=["returnflag"],
+        order_by="ym",
+        size_col="n_rows",
+        target=1000,
+    )
+
+
 @query("rmat_graph", oracle=_rmat_oracle())
 def q_rmat_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree histogram of a hash-deterministic R-MAT graph (2^8 vertices,

@@ -167,3 +167,36 @@ def test_hilbert_rejects_bad_bits(spark):
     df = spark.createDataFrame([(1, 2, 3)], ["id", "x", "y"])
     with _pytest.raises(ValueError):
         with_hilbert_key(df, "x", "y", bits=0)
+
+
+def test_compaction_groups_invariants(spark):
+    """Greedy running-total bucketing: groups are contiguous runs per
+    partition, reach the target except possibly the tail, and oversize
+    files take their own group."""
+    from pyspark_graph_spark.functions.layout import compaction_groups
+
+    rows = [
+        # partition p1: sizes 400,400,400 -> groups 0,0,1 at target 1000
+        ("p1", 1, 400), ("p1", 2, 400), ("p1", 3, 400),
+        # partition p2: an oversize file then small ones
+        ("p2", 1, 2500), ("p2", 2, 100), ("p2", 3, 100),
+        # partition p3: exact fill
+        ("p3", 1, 1000), ("p3", 2, 1000),
+    ]
+    files = spark.createDataFrame(rows, "part string, ym int, n_rows long")
+    got = {
+        (r["part"], r["ym"]): r["group_id"]
+        for r in compaction_groups(
+            files, ["part"], "ym", "n_rows", target=1000
+        ).collect()
+    }
+    assert got[("p1", 1)] == 0 and got[("p1", 2)] == 0
+    assert got[("p1", 3)] == 0  # excl sum 800 < 1000 -> still group 0
+    assert got[("p2", 1)] == 0
+    assert got[("p2", 2)] == 2 and got[("p2", 3)] == 2  # past the big file
+    assert got[("p3", 1)] == 0 and got[("p3", 2)] == 1
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        compaction_groups(files, ["part"], "ym", "n_rows", target=0)
