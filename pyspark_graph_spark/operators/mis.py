@@ -29,7 +29,7 @@ class MaximalIndependentSet:
         self,
         max_iterations: int = 50,
         seed: int = 0,
-        batch_finish: int = 100_000,
+        batch_finish: int = 1_000_000,
     ):
         self.max_iterations = max_iterations
         self.seed = seed
@@ -40,7 +40,12 @@ class MaximalIndependentSet:
         # xxhash64(id, seed, round) priorities (shipped as columns) and
         # applies the same strict-majority rule per round. The peel's
         # tail rounds each decide a handful of vertices yet cost several
-        # fixed-overhead jobs. 0 disables the batch finish.
+        # fixed-overhead jobs. 0 disables the batch finish. 1M rows is
+        # ~16 MB of (id, hash) / (src, dst) columns in one Arrow batch on
+        # one executor — bounded by construction; dense graphs (where
+        # Luby finishes in O(1) rounds anyway) skip the distributed peel
+        # entirely below the bound, sparse billion-edge graphs still
+        # take the distributed path.
         self.batch_finish = batch_finish
 
     # how many rounds one batch simulates before handing leftovers back
