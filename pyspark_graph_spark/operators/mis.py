@@ -30,9 +30,16 @@ class MaximalIndependentSet:
         max_iterations: int = 50,
         seed: int = 0,
         batch_finish: int = 1_000_000,
+        edges_symmetric: bool = False,
     ):
         self.max_iterations = max_iterations
         self.seed = seed
+        # caller guarantees g.edges is ALREADY symmetric, self-loop-free
+        # and distinct (e.g. greedy_coloring's maintained residual list):
+        # skips the per-run symmetrize + distinct + checkpoint. The edge
+        # SET is identical, so the result is bit-identical; this only
+        # removes redundant jobs from per-round callers.
+        self.edges_symmetric = edges_symmetric
         # once BOTH the undecided vertex list and the residual edge list
         # fit this bound, the remaining Luby rounds run inside one
         # cogrouped Arrow batch — BIT-IDENTICAL to the distributed
@@ -59,14 +66,19 @@ class MaximalIndependentSet:
         # the graph's directed flag (symmetric_edges is a no-op for directed
         # graphs by design)
         base = g.edges.select(SRC, DST)
-        sym = (
-            base.unionByName(
-                base.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        if self.edges_symmetric:
+            sym = base
+        else:
+            sym = (
+                base.unionByName(
+                    base.select(
+                        F.col(DST).alias(SRC), F.col(SRC).alias(DST)
+                    )
+                )
+                .filter(F.col(SRC) != F.col(DST))
+                .distinct()
+                .localCheckpoint()
             )
-            .filter(F.col(SRC) != F.col(DST))
-            .distinct()
-            .localCheckpoint()
-        )
         undecided = g.vertices.select(ID).localCheckpoint()
         edges = sym
         spark = undecided.sparkSession
@@ -267,7 +279,13 @@ def greedy_coloring(g: Graph, max_colors: int = 64) -> DataFrame:
         if remaining_v.isEmpty():
             return result
         sub = Graph(remaining_v, remaining_e, directed=True, indexed=True)
-        mis = MaximalIndependentSet(seed=color).run(sub).localCheckpoint()
+        # remaining_e is maintained symmetric/distinct/checkpointed by
+        # this loop — skip MIS's per-run re-symmetrization jobs
+        mis = (
+            MaximalIndependentSet(seed=color, edges_symmetric=True)
+            .run(sub)
+            .localCheckpoint()
+        )
         result = result.unionByName(
             mis.withColumn("color", F.lit(color))
         ).localCheckpoint()
