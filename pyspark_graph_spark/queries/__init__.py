@@ -100,6 +100,13 @@ ROUND_CHANGED: list[str] = [
     "incremental_dedup",
     "corpus_selection",
     "integrity_audit",
+    # plan moved (sequential-finish bounds / symmetric-skip), values
+    # provably identical — still fronted per the rotation policy
+    "maximal_matching",
+    "maximal_independent_set",
+    "graph_coloring",
+    "graph_coarsen",
+    "coarsen_two_level",
 ]
 
 GATE_PRIORITY: list[str] = [
@@ -117,13 +124,16 @@ GATE_PRIORITY: list[str] = [
     "incremental_dedup",
     "corpus_selection",
     "integrity_audit",
+    "maximal_matching",
+    "maximal_independent_set",
+    "graph_coloring",
+    "graph_coarsen",
+    "coarsen_two_level",
     "kcore",
     "degree_assortativity",
     "closeness_centrality",
     "betweenness",
-    "maximal_independent_set",
     "random_walks",
-    "graph_coloring",
     "lang_confusion",
     "tfidf_topk_terms",
     "bm25_search",
@@ -150,9 +160,6 @@ GATE_PRIORITY: list[str] = [
     "unigram_scores",
     "kmv_sketch",
     "transitivity",
-    "embedding_quantize",
-    "weighted_pagerank",
-    "bpe_merges",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by
