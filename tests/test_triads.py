@@ -172,3 +172,22 @@ def test_census_matches_bruteforce_random(spark):
         want = _brute_census(n, edges)
         assert got == want, f"trial {trial}: {got} != {want}"
         assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
+
+
+def test_census_ignores_self_loops_and_duplicates(spark):
+    """Self-loops and parallel/duplicate edges must not shift any class:
+    the census of a dirtied edge list equals the census of its clean
+    core."""
+    clean = {(0, 1), (1, 0), (1, 2), (3, 4), (4, 5), (5, 3)}
+    dirty = list(clean) + [(0, 0), (2, 2), (0, 1), (1, 2), (5, 3), (4, 4)]
+    from pyspark.sql import functions as F  # noqa: F401
+
+    v = spark.createDataFrame([(i,) for i in range(6)], f"{ID} long")
+    e = spark.createDataFrame(dirty, f"{SRC} long, {DST} long")
+    g = Graph(v, e, directed=True, indexed=True)
+    got = {
+        r["triad_type"]: r["n_triads"] for r in triad_census(g).collect()
+    }
+    want = _brute_census(6, clean)
+    assert got == want
+    assert sum(got.values()) == 20
