@@ -90,6 +90,7 @@ ROUND_CHANGED: list[str] = [
     "weighted_matching",
     "lsh_band_tuning",
     "compaction_plan",
+    "dedup_edit_verify",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -114,6 +115,7 @@ GATE_PRIORITY: list[str] = [
     "weighted_matching",
     "lsh_band_tuning",
     "compaction_plan",
+    "dedup_edit_verify",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -159,7 +161,6 @@ GATE_PRIORITY: list[str] = [
     "source_quota",
     "unigram_scores",
     "kmv_sketch",
-    "transitivity",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

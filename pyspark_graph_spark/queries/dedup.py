@@ -768,6 +768,82 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(docs, key, window=3)
 
 @query(
+    "dedup_edit_verify",
+    oracle=r"""
+WITH norm AS (
+    SELECT doc_id,
+           substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                  1, 256) AS nt
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, nt,
+           ROW_NUMBER() OVER (ORDER BY substr(nt, 1, 24), doc_id) AS r
+    FROM norm
+),
+cand AS (
+    SELECT a.doc_id AS a, b.doc_id AS b, a.nt AS na, b.nt AS nb
+    FROM ranked a JOIN ranked b ON b.r - a.r BETWEEN 1 AND 2
+),
+d AS (
+    SELECT a, b,
+           CAST(levenshtein(na, nb) AS BIGINT) AS edit_dist,
+           CAST(ROUND(1000000.0 * (CAST(1.0 AS DOUBLE)
+                - CAST(levenshtein(na, nb) AS DOUBLE)
+                  / CAST(GREATEST(length(na), length(nb), 1) AS DOUBLE)),
+                0) AS BIGINT) AS sim_micro
+    FROM cand
+)
+SELECT a, b, edit_dist, sim_micro FROM d WHERE sim_micro >= 500000
+""",
+)
+def q_dedup_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of blocking candidates — the
+    character-level complement of the token-Jaccard verify (`er_clusters`):
+    sorted-neighborhood candidates scored by Levenshtein similarity on the
+    256-char normalized prefix, kept at >= 0.5. The prefix bound keeps the
+    per-pair DP O(256^2) at ANY document length (the verify stays
+    candidate-bounded at corpus scale, like every blocking pipeline here);
+    similarity ships in exact 1e-6 integer units (one correctly-rounded
+    IEEE division, no float hashing risk). Exercises the built-in JVM
+    `levenshtein`, which DuckDB replays bit-for-bit."""
+    from pyspark_graph_spark.dedup.blocking import sorted_neighborhood_pairs
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    key = F.substring(norm, 1, 24)
+    cand = sorted_neighborhood_pairs(docs, key, window=3).select("a", "b")
+    nt = docs.select(
+        F.col("doc_id"), F.substring(norm, 1, 256).alias("nt")
+    )
+    joined = (
+        cand.join(
+            nt.withColumnsRenamed({"doc_id": "a", "nt": "na"}), on="a"
+        )
+        .join(nt.withColumnsRenamed({"doc_id": "b", "nt": "nb"}), on="b")
+    )
+    d = F.levenshtein("na", "nb")
+    denom = F.greatest(
+        F.length("na"), F.length("nb"), F.lit(1)
+    ).cast("double")
+    sim_micro = F.round(
+        F.lit(1000000.0)
+        * (F.lit(1.0).cast("double") - d.cast("double") / denom),
+        0,
+    ).cast("long")
+    return (
+        joined.select(
+            "a",
+            "b",
+            d.cast("long").alias("edit_dist"),
+            sim_micro.alias("sim_micro"),
+        )
+        .filter(F.col("sim_micro") >= 500000)
+    )
+
+
+@query(
     "er_clusters",
     oracle=rf"""
 WITH RECURSIVE

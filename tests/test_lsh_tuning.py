@@ -79,3 +79,28 @@ def test_scurve_monotone_in_similarity():
         ordered = [v for _, v in sorted(zip(GRID, vals))]
         assert ordered == sorted(ordered)
         assert _ladder_py(1.0, b, r) == 1000000
+
+
+def test_levenshtein_cross_engine(spark):
+    """dedup_edit_verify's determinism rests on Spark and DuckDB agreeing
+    on levenshtein for arbitrary inputs — pin it on adversarial cases."""
+    cases = [
+        ("kitten", "sitting"), ("", ""), ("", "abc"), ("abc", ""),
+        ("abc", "abc"), ("a" * 200, "a" * 199 + "b"),
+        ("ab" * 100, "ba" * 100), ("x", "y"),
+        ("the quick brown fox", "the quick brown fax"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(cases, "s1 string, s2 string")
+    got = {
+        (r["s1"], r["s2"]): r["d"]
+        for r in df.select(
+            "s1", "s2", F.levenshtein("s1", "s2").alias("d")
+        ).collect()
+    }
+    for s1, s2 in cases:
+        want = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[s1, s2]
+        ).fetchone()[0]
+        assert got[(s1, s2)] == want, (s1, s2)
