@@ -114,6 +114,10 @@ GLOBAL_WINDOW_BOUNDED: dict[str, tuple[int, str]] = {
     "sorted_neighborhood": (2, "per-bucket offset tables (|buckets| rows, "
     "already broadcast by the same bound) for the fwd + reversed-key "
     "passes (dedup/blocking.py _global_rank)"),
+    "dedup_edit_verify": (2, "the same per-bucket offset table "
+    "(|buckets| rows, broadcast) — the _global_rank subtree appears "
+    "twice because the ranked frame feeds both sides of the "
+    "window-gap self-join (dedup/blocking.py)"),
     "survival_curve": (2, "Kaplan-Meier at-risk + product windows run on "
     "the distinct-event-time aggregate, bounded by time resolution "
     "(functions/stats.py)"),
