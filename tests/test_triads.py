@@ -143,6 +143,10 @@ def _spark_census(spark, n: int, edges: set[tuple[int, int]]):
 def test_census_empty_graph(spark):
     got = _spark_census(spark, 6, set())
     assert got["003"] == 20 and sum(got.values()) == 20
+    # degenerate: below 3 vertices every class is zero (C(n,3) = 0),
+    # with or without edges
+    assert sum(_spark_census(spark, 0, set()).values()) == 0
+    assert sum(_spark_census(spark, 2, {(0, 1), (1, 0)}).values()) == 0
 
 
 def test_census_single_asym_edge(spark):
