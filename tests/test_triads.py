@@ -160,6 +160,15 @@ def test_census_complete_mutual(spark):
     edges = {(u, v) for u in range(n) for v in range(n) if u != v}
     got = _spark_census(spark, n, edges)
     assert got["300"] == 10 and sum(got.values()) == 10
+    # partition invariance: a different physical layout of the same edge
+    # list must produce the identical census
+    v = spark.createDataFrame([(i,) for i in range(n)], f"{ID} long")
+    e = spark.createDataFrame(sorted(edges), f"{SRC} long, {DST} long")
+    g = Graph(v.repartition(7), e.repartition(5), directed=True, indexed=True)
+    got2 = {
+        r["triad_type"]: r["n_triads"] for r in triad_census(g).collect()
+    }
+    assert got2 == got
 
 
 def test_census_matches_bruteforce_random(spark):
