@@ -91,6 +91,7 @@ ROUND_CHANGED: list[str] = [
     "lsh_band_tuning",
     "compaction_plan",
     "dedup_edit_verify",
+    "triad_census_rmat",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -116,6 +117,7 @@ GATE_PRIORITY: list[str] = [
     "lsh_band_tuning",
     "compaction_plan",
     "dedup_edit_verify",
+    "triad_census_rmat",
     "partition_star",
     "dedup_simhash_capped",
     "multilevel_partition",
@@ -160,7 +162,6 @@ GATE_PRIORITY: list[str] = [
     "click_attribution",
     "source_quota",
     "unigram_scores",
-    "kmv_sketch",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by
