@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
 
-#: canonical output order (Holland–Leinhardt / igraph enumeration order)
+#: Holland–Leinhardt / igraph ENUMERATION order (classifier table order —
+#: NOT the output row order; triad_census sorts rows lexicographically)
 TRIAD_TYPES: tuple[str, ...] = (
     "003", "012", "102", "021D", "021U", "021C", "111D", "111U",
     "030T", "030C", "201", "120D", "120U", "120C", "210", "300",
@@ -136,8 +137,11 @@ def oracle_case_sql(expr: str = "c_ij + 4 * c_ik + 16 * c_jk") -> str:
 
 def triad_census(g: Graph) -> DataFrame:
     """Return the 16-row census ``(triad_type string, n_triads long)`` of
-    the directed graph, one row per Holland–Leinhardt class in canonical
-    order, zero-filled. Self-loops and duplicate edges are ignored."""
+    the directed graph, one row per Holland–Leinhardt class, zero-filled,
+    sorted lexicographically by class name (003, 012, 021C, 021D, ...,
+    102, ... — the order the cross-engine oracle pins; NOT the
+    Holland–Leinhardt enumeration order of ``TRIAD_TYPES``). Self-loops
+    and duplicate edges are ignored."""
     spark = g.edges.sparkSession
     e = (
         g.edges.select(SRC, DST)
@@ -171,15 +175,19 @@ def triad_census(g: Graph) -> DataFrame:
         inc.join(o2, on="v")
         .filter(F.col("o") < F.col("o2"))
         .select(
-            F.least("v", "o", "o2").alias("i"),
-            # middle = sum minus the two extremes (v, o, o2 are distinct:
-            # o != o2 by the filter, and a dyad's endpoints differ)
-            (
-                F.col("v") + F.col("o") + F.col("o2")
-                - F.least("v", "o", "o2")
-                - F.greatest("v", "o", "o2")
+            # sort the 3-array rather than sum-minus-extremes: ids are
+            # xxhash64 surrogates spanning all of int64 when indexed=False,
+            # so v+o+o2 can overflow (ANSI mode raises); sort_array is
+            # type-agnostic and exact
+            F.element_at(
+                F.sort_array(F.array("v", "o", "o2")), 1
+            ).alias("i"),
+            F.element_at(
+                F.sort_array(F.array("v", "o", "o2")), 2
             ).alias("j"),
-            F.greatest("v", "o", "o2").alias("k"),
+            F.element_at(
+                F.sort_array(F.array("v", "o", "o2")), 3
+            ).alias("k"),
         )
         .distinct()
     )
@@ -240,11 +248,12 @@ def triad_census(g: Graph) -> DataFrame:
     )
     t012 = F.col("__A") * (F.col("__n") - 2) - F.col("__conn_asym")
     t102 = F.col("__M") * (F.col("__n") - 2) - F.col("__conn_mut")
+    # C(n,3) in exact integer arithmetic: n*(n-1) DIV 2 is exact (one of
+    # the factors is even) and C(n,2)*(n-2) = 3*C(n,3) is divisible by 3,
+    # so every intermediate is an exact long — no double rounding above
+    # 2^53 and no n^3 overflow until ~3M vertices (vs ~2.1M for n*(n-1)*(n-2))
     t003 = (
-        F.col("__n")
-        * (F.col("__n") - 1)
-        * (F.col("__n") - 2)
-        / 6
+        F.expr("__n * (__n - 1) DIV 2 * (__n - 2) DIV 3")
         - F.col("__conn_total")
         - t012
         - t102

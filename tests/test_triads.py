@@ -204,3 +204,42 @@ def test_census_ignores_self_loops_and_duplicates(spark):
     want = _brute_census(6, clean)
     assert got == want
     assert sum(got.values()) == 20
+
+
+def test_census_huge_int64_ids_no_overflow(spark):
+    """Round-9 regression (ADVICE r8): the middle-vertex extraction used
+    v+o+o2 minus least/greatest — for xxhash64 surrogate ids spanning the
+    full int64 range the sum overflows and PySpark 4's default ANSI mode
+    raises ARITHMETIC_OVERFLOW. Now extracted via sort_array. Ids near
+    2^62 make the old path deterministically overflow (3*2^62 > 2^63-1)."""
+    base = 1 << 62
+    ids = [base, base + 1, base + 2, base + 3]
+    edges = {
+        (ids[0], ids[1]), (ids[1], ids[2]), (ids[2], ids[0]),
+        (ids[0], ids[3]),
+    }
+    v = spark.createDataFrame([(i,) for i in ids], f"{ID} long")
+    e = spark.createDataFrame(sorted(edges), f"{SRC} long, {DST} long")
+    g = Graph(v, e, directed=True, indexed=True)
+    got = {r["triad_type"]: r["n_triads"] for r in triad_census(g).collect()}
+    # remap to small ids for the brute-force twin
+    remap = {x: i for i, x in enumerate(ids)}
+    want = _brute_census(4, {(remap[u], remap[v2]) for u, v2 in edges})
+    assert got == want
+
+
+def test_census_hashed_string_ids(spark):
+    """The default (indexed=False) construction hashes string ids to
+    arbitrary int64 surrogates; the census must work there too (same
+    latent-overflow class as above, plus exercises the non-contiguous-id
+    assumption end to end)."""
+    names = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    edges = [("alpha", "beta"), ("beta", "alpha"), ("beta", "gamma"),
+             ("gamma", "delta"), ("delta", "gamma"), ("epsilon", "alpha")]
+    v = spark.createDataFrame([(n,) for n in names], f"{ID} string")
+    e = spark.createDataFrame(edges, f"{SRC} string, {DST} string")
+    g = Graph(v, e, directed=True)
+    got = {r["triad_type"]: r["n_triads"] for r in triad_census(g).collect()}
+    remap = {n: i for i, n in enumerate(names)}
+    want = _brute_census(5, {(remap[a], remap[b]) for a, b in edges})
+    assert got == want
