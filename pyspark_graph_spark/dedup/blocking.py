@@ -68,11 +68,22 @@ def sorted_neighborhood_pairs(
     key: Column,
     window: int = 3,
     id_col: str = "doc_id",
-    bucket_chars: int = 1,
+    bucket_chars: int = 4,
 ) -> DataFrame:
     """(a, b, gap) candidate pairs whose sort ranks differ by < ``window``
     under the (key, id) order; ``gap`` is the rank distance. a precedes b
-    in sort order (not necessarily id order)."""
+    in sort order (not necessarily id order).
+
+    ``bucket_chars`` is a pure parallelism knob — the range bucket is a
+    PREFIX of the sort key, so the global (key, id) order (and therefore
+    the emitted pair set) is identical for every value; only the per-task
+    sort size changes. The round-8 default of 1 bounded the bucket count
+    by the first-character alphabet (~37 on this corpus), making each
+    bucket's local row_number sort a single task — a multi-TB sort at
+    100 TB. The default is now 4 (alphabet^4 candidate buckets); raise it
+    further if one 4-char prefix still dominates the corpus. The offset
+    side stays broadcast-safe: it is one row per NON-EMPTY bucket
+    (<= corpus distinct prefixes, not alphabet^4)."""
     if window < 2:
         raise ValueError("window must be >= 2")
     ranked = _global_rank(docs, key, id_col, bucket_chars)
