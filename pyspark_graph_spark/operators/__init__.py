@@ -21,7 +21,10 @@ from pyspark_graph_spark.operators.bipartite import BipartiteCheck
 from pyspark_graph_spark.operators.dag import TopologicalLayers
 from pyspark_graph_spark.operators.mst import BoruvkaMST
 from pyspark_graph_spark.operators.neighborhood import NeighborhoodFunction
-from pyspark_graph_spark.operators.pagerank import PageRank
+from pyspark_graph_spark.operators.pagerank import (
+    PageRank,
+    parallel_personalized_pagerank,
+)
 from pyspark_graph_spark.operators.projection import bipartite_project, graph_summary
 from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
 from pyspark_graph_spark.operators.simrank import SimRank
@@ -76,6 +79,7 @@ __all__ = [
     "EigenvectorCentrality",
     "HITS",
     "PageRank",
+    "parallel_personalized_pagerank",
     "Pregel",
     "SimRank",
     "RandomWalks",

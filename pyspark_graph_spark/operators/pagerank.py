@@ -127,3 +127,71 @@ class PageRank:
             else:
                 ranks = new_ranks
         return ranks
+
+
+def parallel_personalized_pagerank(
+    g: Graph,
+    sources: list[int],
+    alpha: float = 0.85,
+    max_iterations: int = 10,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank from EVERY source at once — the reference
+    README's one unsupported-matrix row with no counterpart here until
+    round 9 (reference README.md:30, ParallelPersonalizedPageRank ❌).
+
+    One independent random-walk-with-restart per source s:
+
+        pr_0(v|s)     = [v == s]
+        pr_{k+1}(v|s) = (1-α)·[v == s] + α · Σ_{(u,v)∈E} pr_k(u|s)·w/Σw(u)
+
+    State is a SPARSE long table ``(id, source, rank)`` — a row exists iff
+    the walk can have reached ``id`` from ``source`` (all terms positive),
+    so early iterations carry |sources|·|k-hop ball| rows, not V·|sources|.
+    Per iteration: one contribution join keyed on the vertex id (the static
+    edge side is pre-partitioned on src and checkpointed once) and one
+    union+groupBy that folds the (1-α) restart rows in — no outer join, no
+    per-source loop, no map-state blowup. At 100 TB this batches any number
+    of sources through the same two shuffles classic PageRank pays.
+
+    Returns ``(id, source, pagerank)`` with only positive-mass rows.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = g.edges.sparkSession
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    edges = (
+        g.symmetric_edges.select(SRC, DST, w.alias("__w"))
+        .repartition(F.col(SRC))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(SRC).agg(F.sum("__w").alias("__deg")).localCheckpoint()
+    restart = spark.createDataFrame(
+        [(int(s), int(s)) for s in dict.fromkeys(sources)],
+        f"{ID} long, source long",
+    ).localCheckpoint()
+    ranks = restart.withColumn(PAGERANK, F.lit(1.0)).localCheckpoint()
+    for _ in range(max_iterations):
+        contribs = (
+            edges.join(deg, on=SRC)
+            .join(ranks, on=F.col(SRC) == F.col(ID))
+            .select(
+                F.col(DST).alias(ID),
+                "source",
+                (
+                    F.lit(alpha)
+                    * F.col(PAGERANK)
+                    * F.col("__w")
+                    / F.col("__deg")
+                ).alias(PAGERANK),
+            )
+        )
+        ranks = (
+            contribs.unionByName(
+                restart.withColumn(PAGERANK, F.lit(1.0 - alpha))
+            )
+            .groupBy(ID, "source")
+            .agg(F.sum(PAGERANK).alias(PAGERANK))
+            .localCheckpoint()
+        )
+    return ranks

@@ -999,6 +999,63 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = PageRank(alpha=0.85, max_iterations=3, sources=[0, 1]).run(g)
     return out.select(ID, F.round("pagerank", 6).alias("pagerank"))
 
+@query(
+    "ppr_multi",
+    oracle=f"""
+WITH {NATION_EDGES_CTE.strip()},
+deg AS (SELECT src AS id, COUNT(*) AS d FROM nation_sym GROUP BY src),
+srcs AS (SELECT CAST(UNNEST([0, 7, 14]) AS BIGINT) AS source),
+vs AS (
+    SELECT CAST(n.n_nationkey AS BIGINT) AS id, s.source,
+           CASE WHEN n.n_nationkey = s.source THEN 1.0 ELSE 0.0 END AS reset
+    FROM nation n CROSS JOIN srcs s
+),
+p0 AS (SELECT id, source, reset AS pr FROM vs),
+p1 AS (
+    SELECT v.id, v.source,
+           0.15 * v.reset + 0.85 * COALESCE(SUM(p0.pr / deg.d), 0) AS pr
+    FROM vs v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p0 ON p0.id = e.src AND p0.source = v.source
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id, v.source, v.reset
+),
+p2 AS (
+    SELECT v.id, v.source,
+           0.15 * v.reset + 0.85 * COALESCE(SUM(p1.pr / deg.d), 0) AS pr
+    FROM vs v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p1 ON p1.id = e.src AND p1.source = v.source
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id, v.source, v.reset
+),
+p3 AS (
+    SELECT v.id, v.source,
+           0.15 * v.reset + 0.85 * COALESCE(SUM(p2.pr / deg.d), 0) AS pr
+    FROM vs v
+    LEFT JOIN nation_sym e ON e.dst = v.id
+    LEFT JOIN p2 ON p2.id = e.src AND p2.source = v.source
+    LEFT JOIN deg ON deg.id = e.src
+    GROUP BY v.id, v.source, v.reset
+)
+SELECT id, source, ROUND(pr, 6) AS ppr FROM p3 WHERE pr > 0
+""",
+)
+def q_ppr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched personalized PageRank — one restart vector per source,
+    all sources through the same per-iteration joins (the reference
+    README's ParallelPersonalizedPageRank row, ❌ there:
+    /root/reference/README.md:30). Sparse (id, source) state: only
+    positive-mass rows appear, which at 3 iterations is each source's
+    3-hop ball (= its region on the nation graph)."""
+    from pyspark_graph_spark.operators import parallel_personalized_pagerank
+
+    g = nation_graph(spark, sf_dir)
+    out = parallel_personalized_pagerank(
+        g, sources=[0, 7, 14], alpha=0.85, max_iterations=3
+    )
+    return out.select(ID, "source", F.round("pagerank", 6).alias("ppr"))
+
 @query("kcore", oracle=_kcore_peel_sql(k=5, rounds=12))
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Members of the 5-core of the customer-supplier graph. Oracle is the
