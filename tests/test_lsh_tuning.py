@@ -104,3 +104,56 @@ def test_levenshtein_cross_engine(spark):
             "SELECT levenshtein(?, ?)", params=[s1, s2]
         ).fetchone()[0]
         assert got[(s1, s2)] == want, (s1, s2)
+
+
+def test_ascii_normalizer_cross_engine_on_nasty_text(spark):
+    """Round-9 hardening (ADVICE r8): Spark levenshtein counts CODE POINTS
+    while DuckDB's counts BYTES (e.g. 'café'→'cafe' is 1 vs 2), and Java
+    \\s includes \\x0B while RE2's does not — so dedup_edit_verify's
+    cross-engine determinism holds only after projecting to printable
+    ASCII. Pin that the shared normalizer produces the IDENTICAL byte
+    string in both engines on multi-byte, astral-plane, combining-mark,
+    and control-whitespace inputs, and that levenshtein then agrees."""
+    from pyspark_graph_spark.queries.dedup import _ASCII_NORM_SQL, _ascii_norm
+
+    nasty = [
+        "café NAÏVE touché",
+        "日本語 text 混in",
+        "emoji 😀😀 and astral 𝕏𝕐 marks",
+        "á combining é",          # combining acute accents
+        "tab\tand\x0bvertical\x0btab\fff\rcr\nnl",
+        "  leading   and trailing   ",
+        " nbsp em-space​zwsp",
+        "pure ascii stays EXACTLY as lowered",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(nasty)],
+                               "i int, text string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", _ascii_norm(F.col("text")).alias("n")).collect()
+    }
+    for i, t in enumerate(nasty):
+        want = duckdb.sql(
+            f"SELECT {_ASCII_NORM_SQL} FROM (SELECT ? AS text)", params=[t]
+        ).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+        assert all(0x20 <= ord(c) <= 0x7E for c in got[i])
+    # and on the normalized strings the two levenshteins agree exactly
+    pairs = [
+        (got[i], got[j])
+        for i in range(len(nasty))
+        for j in range(i + 1, len(nasty))
+    ]
+    pdf = spark.createDataFrame(pairs, "s1 string, s2 string")
+    spark_d = {
+        (r["s1"], r["s2"]): r["d"]
+        for r in pdf.select(
+            "s1", "s2", F.levenshtein("s1", "s2").alias("d")
+        ).collect()
+    }
+    for s1, s2 in pairs:
+        d_duck = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[s1, s2]
+        ).fetchone()[0]
+        assert spark_d[(s1, s2)] == d_duck, (s1, s2)
