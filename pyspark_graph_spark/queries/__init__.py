@@ -67,101 +67,77 @@ for _mapping in (QUERIES, ORACLES):
 # this round — declared below in ROUND_CHANGED — then (b) the stalest
 # latest-wins driver-green queries (fold of the committed
 # CORRECTNESS_r*.json artifacts), registration order within a round.
-# Round 8's changed set: triad_census (new: Holland–Leinhardt 16-class
-# census, Batagelj–Mrvar wedge enumeration vs brute-force oracle),
-# weighted_matching (new: Avis 1/2-approx weighted greedy, value-level
-# recursive-CTE replay oracle),
-# lsh_band_tuning (new: S-curve banding analysis in exact 1e-6 units via
-# cross-engine-deterministic squaring ladders),
-# compaction_plan (new: lakehouse small-file bin packing by per-partition
-# running totals),
-# partition_star (new: star-forest two_hop gate),
-# dedup_simhash_capped (new: the hot-block cap FIRING, md5-thinning
-# replayed by the oracle),
-# multilevel_partition/partition_refine (two_hop='auto' default skips the
-# 2-hop pass on well-matched levels),
-# dedup_minhash/dedup_simhash/dedup_clusters/incremental_dedup/
-# corpus_selection (hot-bucket cap defaults on the banded joins),
-# integrity_audit (broadcast hints on the singleton crossJoins).
-# (b) = the stalest greens, all last checked in round 3.
-# The full-suite backstop is ORACLE_FULL_r8.json.
+# Round 9's changed set: ppr_multi (new: batched multi-source
+# personalized PageRank — the reference README matrix's one remaining
+# unsupported row, sparse (id, source) state, 3-iteration unrolled SQL
+# oracle), triad_census / triad_census_rmat (plan changed: middle-vertex
+# extraction via sort_array instead of sum-minus-extremes — the sum
+# overflowed int64 under ANSI mode on xxhash64 ids — and C(n,3) in exact
+# integer DIV arithmetic instead of double division),
+# sorted_neighborhood / dedup_edit_verify (sorted-neighborhood rank
+# bucketing default bucket_chars 1 -> 4: same pair set, bounded per-task
+# sort — the r8 verdict's one `weak` item).
+# (b) = the stalest greens (r03-era rows).
+# The full-suite backstop is ORACLE_FULL_r9.json.
 ROUND_CHANGED: list[str] = [
+    "ppr_multi",
     "triad_census",
-    "weighted_matching",
-    "lsh_band_tuning",
-    "compaction_plan",
-    "dedup_edit_verify",
     "triad_census_rmat",
-    "partition_star",
-    "dedup_simhash_capped",
-    "multilevel_partition",
-    "partition_refine",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_clusters",
-    "incremental_dedup",
-    "corpus_selection",
-    "integrity_audit",
-    # plan moved (sequential-finish bounds / symmetric-skip), values
-    # provably identical — still fronted per the rotation policy
-    "maximal_matching",
-    "maximal_independent_set",
-    "graph_coloring",
-    "graph_coarsen",
-    "coarsen_two_level",
+    "sorted_neighborhood",
+    "dedup_edit_verify",
 ]
 
 GATE_PRIORITY: list[str] = [
+    "ppr_multi",
     "triad_census",
-    "weighted_matching",
-    "lsh_band_tuning",
-    "compaction_plan",
-    "dedup_edit_verify",
     "triad_census_rmat",
-    "partition_star",
-    "dedup_simhash_capped",
-    "multilevel_partition",
-    "partition_refine",
-    "dedup_minhash",
-    "dedup_simhash",
-    "dedup_clusters",
-    "incremental_dedup",
-    "corpus_selection",
-    "integrity_audit",
-    "maximal_matching",
-    "maximal_independent_set",
-    "graph_coloring",
-    "graph_coarsen",
-    "coarsen_two_level",
-    "kcore",
-    "degree_assortativity",
-    "closeness_centrality",
-    "betweenness",
-    "random_walks",
-    "lang_confusion",
-    "tfidf_topk_terms",
-    "bm25_search",
-    "corpus_sample",
-    "running_ema",
-    "harmonic_centrality",
-    "eigenvector_centrality",
-    "hits",
-    "decontamination",
-    "ktruss",
-    "adamic_adar",
-    "eccentricity",
-    "as_of_join",
-    "range_join",
-    "sequence_pack",
-    "doc_chunks",
-    "kmeans",
-    "modularity",
-    "louvain",
-    "neighbor_sample",
-    "training_shuffle",
-    "click_attribution",
-    "source_quota",
-    "unigram_scores",
+    "sorted_neighborhood",
+    "dedup_edit_verify",
+    "kmv_sketch",
+    "transitivity",
+    "embedding_quantize",
+    "weighted_pagerank",
+    "bpe_merges",
+    "bpe_tokenize",
+    "mixture_plan",
+    "funnel",
+    "retention_cohorts",
+    "zorder_key",
+    "rmat_graph",
+    "cms_frequencies",
+    "walk_pmi",
+    "pq_codes",
+    "pq_adc_topk",
+    "histogram_quantiles",
+    "multimodal_decode_png",
+    "reciprocity",
+    "two_hop_counts",
+    "multimodal_decode_wav",
+    "multimodal_frames",
+    "repetition_pii",
+    "pmi_pairs",
+    "char_entropy",
+    "induced_subgraph",
+    "graph_evolution",
+    "skew_report",
+    "sliding_windows",
+    "knn_classifier",
+    "kmeans_purity",
+    "scc",
+    "gopher_quality",
+    "vocab_coverage",
+    "cdc_chunks",
+    "semdedup",
+    "cdc_dedup_clusters",
+    "embedding_pca",
+    "feature_propagation",
+    "powerlaw_fit",
+    "bigram_scores",
+    "leakage_safe_split",
+    "mst_forest",
+    "bipartite_check",
+    "topological_layers",
+    "dup_spans",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by
