@@ -64,6 +64,38 @@ def _host_conditions(stat0, stat1, load0, load1) -> dict:
     return cond
 
 
+def _calibration(spark) -> dict:
+    """Fixed synthetic probe (round-8 verdict item 3): IDENTICAL work every
+    run — a 1-partition xxhash64 fold (single-core speed) and an
+    ncpu-partition fold (parallel throughput incl. scheduler overhead) —
+    so round-over-round per-query deltas can be DIVIDED by measured host
+    slowdown instead of adjudicated from steal fractions. Read it as:
+    normalized_delta(q) = (t_r9[q] / t_r8[q]) /
+                          (calib_r9[shape] / calib_r8[shape]).
+    The probe is pure JVM codegen over spark.range — no disk, no shuffle,
+    no Python — so it moves only with the host, never with repo code."""
+    ncpu = os.cpu_count() or 8
+    out: dict = {}
+    for label, parts, n in (
+        ("serial", 1, 20_000_000),
+        ("parallel", ncpu, 20_000_000 * ncpu),
+    ):
+        # untimed tiny run first: whole-stage-codegen compilation of this
+        # plan shape costs ~2.5 s once per JVM and must not pollute the
+        # first timed probe
+        spark.range(0, 1000, 1, parts).selectExpr(
+            "sum(pmod(xxhash64(id), 1000000)) AS h"
+        ).collect()
+        t0 = time.time()
+        # pmod before the sum: a raw sum of ~uniform int64 hashes
+        # overflows long under ANSI mode
+        spark.range(0, n, 1, parts).selectExpr(
+            "sum(pmod(xxhash64(id), 1000000)) AS h"
+        ).collect()
+        out[f"xxhash64_{label}_sec"] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from pyspark_graph_spark.session import get_spark
@@ -80,6 +112,10 @@ def main() -> None:
     warm.join(warm.select("r_regionkey"), "r_regionkey").groupBy(
         "r_name"
     ).count().collect()
+
+    # host-calibration probe, bracketing the suite (start + end) so both
+    # the absolute speed and the WITHIN-run drift are on record
+    calib = {"start": _calibration(spark)}
 
     # SPARK_GRAFT_BENCH_PASSES=2 runs the whole suite twice back-to-back
     # (alternating passes, not per-query repeats) and reports the per-query
@@ -129,6 +165,7 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    calib["end"] = _calibration(spark)
     payload = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 3),
@@ -138,6 +175,7 @@ def main() -> None:
         "host": _host_conditions(
             stat0, _read_proc_stat(), load0, _read_loadavg()
         ),
+        "calibration": calib,
     }
     # Shared-artifact FAMILY subtotals (round-6 verdict item 6): queries
     # consuming a per-application cache (CDC clusters, supplier matching,
@@ -198,6 +236,7 @@ def main() -> None:
         "queries": headline,
         "sf": sf_val,
         "host": payload["host"],
+        "calibration": calib,
         "full": "bench_results.json",
     }
     if passes > 1:
