@@ -72,12 +72,16 @@ class MaximalMatching:
         # once the residual edge list fits this bound, finish the greedy
         # sequentially inside ONE Arrow batch instead of paying 3 fixed-
         # overhead Spark jobs per peeling round for a dwindling tail.
-        # 400k rows x ~40 B = ~16 MB on one executor — far inside any
-        # executor's memory, and the sequential continuation is an
-        # O(n log n) sort + linear scan (~0.3 s), so the bound trades
-        # 2-3 whole peel rounds (each a vertex-keyed shuffle) for one
-        # bounded batch. The distributed peel remains the asymptotic
-        # path for billion-edge levels.
+        # 400k rows x ~32 B = ~13 MB on one executor (measured: 12.8 MB
+        # frame, +33 MB RSS — far inside any executor's memory), and the
+        # sequential continuation is an O(n log n) sort + linear scan
+        # (measured 2.6 s at the FULL bound; it usually fires well below
+        # it), so the bound trades 2-3 whole peel rounds (each a
+        # vertex-keyed shuffle) for one bounded batch. Verified at
+        # real-sf1 (10.1M-edge supplier graph): 18.4 s with the bound vs
+        # 30.2 s pure peel, same matching, interleaved same-session A/B
+        # (SCALE.md round 9). The distributed peel remains the
+        # asymptotic path for billion-edge levels.
         # Provably identical output: the peeling fixpoint equals
         # sequential greedy in priority order (module docstring), and the
         # residual graph's greedy is the exact continuation of the global

@@ -39,7 +39,9 @@ brute-force all-triples enumeration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
@@ -170,6 +172,25 @@ def triad_census(g: Graph) -> DataFrame:
     inc = dy.select(F.col("a").alias("v"), F.col("b").alias("o")).unionByName(
         dy.select(F.col("b").alias("v"), F.col("a").alias("o"))
     )
+    # O(E) budget probe before the O(sum deg^2) self-join (same contract
+    # as the four_cycles wedge guard): the real-sf1 trade graph measures
+    # 13.4e9 wedges — a spill-killer — vs 241e6 at sf0.1
+    budget = int(os.environ.get("SPARK_GRAFT_WEDGE_BUDGET", "2000000000"))
+    wedges = int(
+        inc.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.expr("d * (d - 1) DIV 2")).alias("w"))
+        .first()["w"]
+        or 0
+    )
+    if wedges > budget:
+        raise ValueError(
+            f"triad_census: exact census needs {wedges:,} wedge rows >"
+            f" budget {budget:,} (SPARK_GRAFT_WEDGE_BUDGET). Use"
+            " triad_census_estimate (deterministic vertex sparsifier,"
+            " exact census on the induced subgraph, 1/p^3 scaling) or"
+            " raise the budget explicitly."
+        )
     o2 = inc.withColumnsRenamed({"o": "o2"})
     tri = (
         inc.join(o2, on="v")
@@ -273,4 +294,54 @@ def triad_census(g: Graph) -> DataFrame:
             .alias("n_triads"),
         )
         .orderBy("triad_type")
+    )
+
+
+def triad_census_estimate(
+    g: Graph, sample_mod: int = 4, keep: Column | None = None
+) -> DataFrame:
+    """Vertex-sparsified triad census — the scale path when the exact
+    census's wedge budget is blown (the real-sf1 trade graph needs
+    13.4e9 wedge rows; SCALE.md).
+
+    Keep each vertex iff ``keep`` (default: a deterministic cross-engine
+    md5 hash of the id, ``pmod(md5_hash60(id), sample_mod) == 0`` — so an
+    external SQL oracle can rebuild the identical sample), run the EXACT
+    16-class census on the induced subgraph, and scale every class by
+    ``sample_mod^3``: a triad of G survives iff all three vertices are
+    kept (probability p^3 under a random hash, p = 1/sample_mod), and its
+    class is unchanged because induction preserves every edge among kept
+    vertices — so ``n_est`` is the Horvitz–Thompson unbiased estimator
+    for ALL 16 classes, closed-form ones included. Same
+    exact-on-subgraph + 1/p^k contract as ``four_cycles_estimate``.
+
+    Wedge cost drops ~p^3 per class budget (each kept vertex's dyad
+    degree thins binomially), so ``sample_mod`` is the knob that brings
+    any hub-skewed graph under SPARK_GRAFT_WEDGE_BUDGET.
+
+    Returns ``(triad_type, n_sampled, n_est)``, 16 rows, lexicographic.
+    """
+    if sample_mod < 1:
+        raise ValueError("sample_mod must be >= 1")
+    from pyspark_graph_spark.functions.hashing import md5_hash60
+
+    if keep is None:
+        keep = (
+            F.pmod(md5_hash60(F.col(ID).cast("string")), F.lit(sample_mod))
+            == 0
+        )
+    vs = g.vertices.select(ID).filter(keep).localCheckpoint()
+    kept_src = vs.select(F.col(ID).alias(SRC))
+    kept_dst = vs.select(F.col(ID).alias(DST))
+    induced = (
+        g.edges.select(SRC, DST)
+        .join(kept_src, on=SRC, how="leftsemi")
+        .join(kept_dst, on=DST, how="leftsemi")
+    )
+    sub = Graph(vs, induced, directed=g.directed, indexed=True)
+    scale = sample_mod ** 3
+    return triad_census(sub).select(
+        "triad_type",
+        F.col("n_triads").alias("n_sampled"),
+        (F.col("n_triads") * F.lit(scale)).alias("n_est"),
     )

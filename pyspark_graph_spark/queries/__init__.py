@@ -81,6 +81,7 @@ for _mapping in (QUERIES, ORACLES):
 # The full-suite backstop is ORACLE_FULL_r9.json.
 ROUND_CHANGED: list[str] = [
     "ppr_multi",
+    "triad_census_estimate",
     "triad_census",
     "triad_census_rmat",
     "sorted_neighborhood",
@@ -89,6 +90,7 @@ ROUND_CHANGED: list[str] = [
 
 GATE_PRIORITY: list[str] = [
     "ppr_multi",
+    "triad_census_estimate",
     "triad_census",
     "triad_census_rmat",
     "sorted_neighborhood",
@@ -137,7 +139,6 @@ GATE_PRIORITY: list[str] = [
     "mst_forest",
     "bipartite_check",
     "topological_layers",
-    "dup_spans",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

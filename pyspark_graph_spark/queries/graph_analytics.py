@@ -2905,6 +2905,70 @@ def q_triad_census_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triad_census(g)
 
 
+def _triad_estimate_oracle() -> str:
+    from pyspark_graph_spark.functions.hashing import md5_hash60_sql
+    from pyspark_graph_spark.sources.generators import rmat_edges_sql
+
+    keep = f"({md5_hash60_sql('CAST(id AS VARCHAR)')}) % 4 = 0"
+    return f"""
+WITH edges AS ({rmat_edges_sql(scale=8, n_edges=4096)}),
+v AS (SELECT id FROM (SELECT unnest(range(0, 256)) AS id) WHERE {keep}),
+e AS (
+    SELECT DISTINCT src, dst FROM edges
+    WHERE src <> dst
+      AND src IN (SELECT id FROM v) AND dst IN (SELECT id FROM v)
+),
+dy AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+           MAX(CASE WHEN src < dst THEN 1 ELSE 0 END)
+           + 2 * MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS code
+    FROM e GROUP BY 1, 2
+),
+tri AS (
+    SELECT i.id AS i, j.id AS j, k.id AS k
+    FROM v i JOIN v j ON i.id < j.id JOIN v k ON j.id < k.id
+),
+coded AS (
+    SELECT COALESCE(dij.code, 0) AS c_ij,
+           COALESCE(dik.code, 0) AS c_ik,
+           COALESCE(djk.code, 0) AS c_jk
+    FROM tri
+    LEFT JOIN dy dij ON dij.a = tri.i AND dij.b = tri.j
+    LEFT JOIN dy dik ON dik.a = tri.i AND dik.b = tri.k
+    LEFT JOIN dy djk ON djk.a = tri.j AND djk.b = tri.k
+),
+named AS (SELECT {_triad_case_sql()} AS triad_type FROM coded),
+counts AS (SELECT triad_type, COUNT(*) AS n FROM named GROUP BY 1),
+types(triad_type) AS (VALUES {", ".join(f"('{t}')" for t in _TRIAD_TYPES)})
+SELECT t.triad_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(c.n, 0) * 64 AS BIGINT) AS n_est
+FROM types t LEFT JOIN counts c USING (triad_type)
+ORDER BY t.triad_type
+"""
+
+
+@query("triad_census_estimate", oracle=_triad_estimate_oracle())
+def q_triad_census_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled triad census — the scale path the exact census's wedge
+    guard points at (the real-sf1 trade graph needs 13.4e9 wedge rows,
+    7x over budget; SCALE.md round 9). Deterministic md5 vertex sample
+    at 1/4 on the R-MAT digraph, EXACT census on the induced subgraph,
+    every class scaled by 4^3 (a triad survives iff all three vertices
+    survive, and induction preserves its class) — Horvitz–Thompson
+    unbiased for all 16 classes. The oracle rebuilds the identical
+    sample from the shared md5 fold and brute-forces the sampled
+    triples, so the sparsifier itself is value-verified, not just the
+    census math."""
+    from pyspark_graph_spark.operators.triads import triad_census_estimate
+    from pyspark_graph_spark.sources.generators import rmat_edges
+
+    v = spark.range(256).select(F.col("id").alias(ID))
+    e = rmat_edges(spark, scale=8, n_edges=4096)
+    g = Graph(v, e, directed=True, indexed=True)
+    return triad_census_estimate(g, sample_mod=4)
+
+
 @query(
     "degree_ccdf",
     oracle=f"""

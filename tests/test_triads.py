@@ -243,3 +243,62 @@ def test_census_hashed_string_ids(spark):
     remap = {n: i for i, n in enumerate(names)}
     want = _brute_census(5, {(remap[a], remap[b]) for a, b in edges})
     assert got == want
+
+
+def test_wedge_budget_guard_fires(spark, monkeypatch):
+    """The exact census probes its O(sum deg^2) wedge budget before the
+    self-join (round 9 — the real-sf1 trade graph needs 13.4e9 wedge
+    rows) and points at the estimate path."""
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_WEDGE_BUDGET", "1")
+    edges = {(0, 1), (1, 2), (2, 0), (0, 3)}
+    v = spark.createDataFrame([(i,) for i in range(4)], f"{ID} long")
+    e = spark.createDataFrame(sorted(edges), f"{SRC} long, {DST} long")
+    g = Graph(v, e, directed=True, indexed=True)
+    with pytest.raises(ValueError, match="triad_census_estimate"):
+        triad_census(g).collect()
+
+
+def test_estimate_sample_mod_one_equals_exact(spark):
+    """sample_mod=1 keeps every vertex: n_sampled == n_est == the exact
+    census, class by class."""
+    from pyspark_graph_spark.operators.triads import triad_census_estimate
+
+    edges = {(0, 1), (1, 0), (1, 2), (2, 3), (3, 1), (4, 0)}
+    v = spark.createDataFrame([(i,) for i in range(5)], f"{ID} long")
+    e = spark.createDataFrame(sorted(edges), f"{SRC} long, {DST} long")
+    g = Graph(v, e, directed=True, indexed=True)
+    rows = triad_census_estimate(g, sample_mod=1).collect()
+    want = _brute_census(5, edges)
+    got_sampled = {r["triad_type"]: r["n_sampled"] for r in rows}
+    got_est = {r["triad_type"]: r["n_est"] for r in rows}
+    assert got_sampled == want and got_est == want
+
+
+def test_estimate_explicit_keep_matches_induced_bruteforce(spark):
+    """With an explicit keep predicate, n_sampled is the exact census of
+    the induced subgraph and n_est applies the sample_mod^3 scale."""
+    from pyspark.sql import functions as F
+    from pyspark_graph_spark.operators.triads import triad_census_estimate
+
+    n = 8
+    edges = {
+        (u, v) for u in range(n) for v in range(n)
+        if u != v and (u * 7 + v * 3) % 4 == 0
+    }
+    kept = [i for i in range(n) if i % 2 == 0]
+    v = spark.createDataFrame([(i,) for i in range(n)], f"{ID} long")
+    e = spark.createDataFrame(sorted(edges), f"{SRC} long, {DST} long")
+    g = Graph(v, e, directed=True, indexed=True)
+    rows = triad_census_estimate(
+        g, sample_mod=2, keep=F.col(ID) % 2 == 0
+    ).collect()
+    remap = {x: i for i, x in enumerate(kept)}
+    induced = {
+        (remap[u], remap[w]) for u, w in edges if u in remap and w in remap
+    }
+    want = _brute_census(len(kept), induced)
+    for r in rows:
+        assert r["n_sampled"] == want[r["triad_type"]]
+        assert r["n_est"] == want[r["triad_type"]] * 8
