@@ -21,6 +21,7 @@ from pyspark_graph_spark.operators.bipartite import BipartiteCheck
 from pyspark_graph_spark.operators.dag import TopologicalLayers
 from pyspark_graph_spark.operators.mst import BoruvkaMST
 from pyspark_graph_spark.operators.neighborhood import NeighborhoodFunction
+from pyspark_graph_spark.operators.svd import power_iteration_svd
 from pyspark_graph_spark.operators.pagerank import (
     PageRank,
     parallel_personalized_pagerank,
@@ -80,6 +81,7 @@ __all__ = [
     "HITS",
     "PageRank",
     "parallel_personalized_pagerank",
+    "power_iteration_svd",
     "Pregel",
     "SimRank",
     "RandomWalks",

@@ -82,6 +82,7 @@ for _mapping in (QUERIES, ORACLES):
 ROUND_CHANGED: list[str] = [
     "ppr_multi",
     "triad_census_estimate",
+    "svd_factorization",
     "triad_census",
     "triad_census_rmat",
     "sorted_neighborhood",
@@ -91,6 +92,7 @@ ROUND_CHANGED: list[str] = [
 GATE_PRIORITY: list[str] = [
     "ppr_multi",
     "triad_census_estimate",
+    "svd_factorization",
     "triad_census",
     "triad_census_rmat",
     "sorted_neighborhood",
@@ -138,7 +140,6 @@ GATE_PRIORITY: list[str] = [
     "leakage_safe_split",
     "mst_forest",
     "bipartite_check",
-    "topological_layers",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

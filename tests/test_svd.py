@@ -1,0 +1,74 @@
+"""power_iteration_svd (operators/svd.py) — round 9.
+
+Validated against numpy's exact SVD on dense replicas: the dominant
+singular value and both singular vectors (up to the sign fixed by the
+all-ones start, positive for nonnegative matrices by Perron–Frobenius).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark_graph_spark.operators.svd import power_iteration_svd
+
+
+def _to_spark(spark, dense):
+    rows = [
+        (i, j, float(dense[i, j]))
+        for i in range(dense.shape[0])
+        for j in range(dense.shape[1])
+        if dense[i, j] != 0
+    ]
+    return spark.createDataFrame(rows, "r long, c long, a double")
+
+
+def _run(spark, dense, iterations):
+    df = _to_spark(spark, dense)
+    u, v = power_iteration_svd(df, "r", "c", "a", iterations=iterations)
+    u_map = {row["r"]: row["u"] for row in u.collect()}
+    v_rows = v.collect()
+    v_map = {row["c"]: row["v"] for row in v_rows}
+    sigma = v_rows[0]["sigma"]
+    return u_map, v_map, sigma
+
+
+def test_matches_numpy_on_nonnegative_matrix(spark):
+    rng = np.random.default_rng(3)
+    dense = rng.integers(0, 5, size=(12, 9)).astype(float)
+    u_map, v_map, sigma = _run(spark, dense, iterations=40)
+    U, S, Vt = np.linalg.svd(dense)
+    assert sigma == pytest.approx(S[0], rel=1e-9)
+    # Perron: dominant pair of a nonnegative matrix is nonnegative, and
+    # the all-ones start keeps ours on that sign
+    for j, x in v_map.items():
+        assert x == pytest.approx(abs(Vt[0, j]), abs=1e-9)
+    for i, x in u_map.items():
+        assert x == pytest.approx(abs(U[i, 0]), abs=1e-9)
+
+
+def test_vectors_unit_norm_and_sparse_support(spark):
+    # rows/cols absent from the COO input get no vector entry at all
+    dense = np.zeros((6, 5))
+    dense[0, 0] = 3.0
+    dense[1, 1] = 2.0
+    dense[2, 0] = 1.0
+    u_map, v_map, sigma = _run(spark, dense, iterations=15)
+    assert set(u_map) == {0, 1, 2} and set(v_map) == {0, 1}
+    assert sum(x * x for x in u_map.values()) == pytest.approx(1.0)
+    assert sum(x * x for x in v_map.values()) == pytest.approx(1.0)
+    # dominant block is the [3; 1] column: sigma = sqrt(10)
+    assert sigma == pytest.approx(np.sqrt(10.0), rel=1e-9)
+
+
+def test_rank_one_matrix_exact_in_one_iteration(spark):
+    # for rank-1 A = s * u v^T, one iteration is already exact
+    u_true = np.array([3.0, 4.0]) / 5.0
+    v_true = np.array([1.0, 2.0, 2.0]) / 3.0
+    dense = 7.5 * np.outer(u_true, v_true)
+    u_map, v_map, sigma = _run(spark, dense, iterations=1)
+    assert sigma == pytest.approx(7.5, rel=1e-12)
+    for i, x in u_map.items():
+        assert x == pytest.approx(u_true[i], rel=1e-12)
+    for j, x in v_map.items():
+        assert x == pytest.approx(v_true[j], rel=1e-12)
