@@ -210,7 +210,13 @@ def triad_census(g: Graph) -> DataFrame:
                 F.sort_array(F.array("v", "o", "o2")), 3
             ).alias("k"),
         )
-        .distinct()
+        # NO distinct: dy is already distinct, so a triad is enumerated
+        # once per wedge center — exactly 3x when all three dyads are
+        # linked (zero null dyads), 1x otherwise. The class itself tells
+        # the multiplicity (its name encodes the dyad multiset), so the
+        # per-class counts are corrected by DIV 3 after the aggregate —
+        # saving a full-width shuffle+dedup of the wedge table (the
+        # 241M-row distinct was ~40% of the sf0.1 trade-graph runtime)
     )
     coded = (
         tri.join(
@@ -236,22 +242,47 @@ def triad_census(g: Graph) -> DataFrame:
             ).alias("__mask")
         )
     )
-    # mask -> (class, #asym, #mutual) as pure expressions (1-based element_at)
+    # mask -> class as a pure expression (1-based element_at); the wedge
+    # table is consumed by exactly ONE map-side-combined aggregate — no
+    # checkpoint, no second scan, no per-row (asym, mutual) columns
+    # (the class name encodes its dyad multiset, so those sums fold over
+    # the 16-row class table instead)
     type_arr = F.array(*[F.lit(t) for t, _, _ in MASK_TABLE])
-    asym_arr = F.array(*[F.lit(a) for _, a, _ in MASK_TABLE])
-    mut_arr = F.array(*[F.lit(m) for _, _, m in MASK_TABLE])
-    classified = coded.select(
-        F.element_at(type_arr, F.col("__mask") + 1).alias("triad_type"),
-        F.element_at(asym_arr, F.col("__mask") + 1).alias("__a"),
-        F.element_at(mut_arr, F.col("__mask") + 1).alias("__m"),
-    ).localCheckpoint()
-    enum_counts = classified.groupBy("triad_type").agg(
-        F.count(F.lit(1)).alias("__enum")
+    raw_counts = (
+        coded.select(
+            F.element_at(type_arr, F.col("__mask") + 1).alias("triad_type")
+        )
+        .groupBy("triad_type")
+        .agg(F.count(F.lit(1)).alias("__raw"))
     )
-    conn = classified.agg(
-        F.coalesce(F.sum("__a"), F.lit(0)).alias("__conn_asym"),
-        F.coalesce(F.sum("__m"), F.lit(0)).alias("__conn_mut"),
-        F.count(F.lit(1)).alias("__conn_total"),
+    # per-class dyad multiset from the M-A-N name: m = #mutual,
+    # a = #asymmetric, n = #null; wedge-enumeration multiplicity is 3
+    # when n == 0 (three centers), else 1
+    class_meta = [
+        (t, int(t[0]), int(t[1]), int(t[2])) for t in TRIAD_TYPES
+    ]
+    types_df = spark.createDataFrame(
+        class_meta, "triad_type string, __cm int, __ca int, __cn int"
+    )
+    enum_counts = (
+        types_df.join(raw_counts, on="triad_type", how="left")
+        .withColumn("__raw", F.coalesce("__raw", F.lit(0)))
+        .withColumn(
+            "__enum",
+            F.when(
+                F.col("__cn") == 0, F.expr("__raw DIV 3")
+            ).otherwise(F.col("__raw")),
+        )
+        .localCheckpoint()  # 16 rows; reused by the conn fold below
+    )
+    conn = enum_counts.agg(
+        F.coalesce(F.sum(F.col("__enum") * F.col("__ca")), F.lit(0)).alias(
+            "__conn_asym"
+        ),
+        F.coalesce(F.sum(F.col("__enum") * F.col("__cm")), F.lit(0)).alias(
+            "__conn_mut"
+        ),
+        F.coalesce(F.sum("__enum"), F.lit(0)).alias("__conn_total"),
     )
     dyad_counts = dy.agg(
         F.coalesce(
@@ -262,11 +293,6 @@ def triad_census(g: Graph) -> DataFrame:
         ).alias("__A"),
     )
     nv = g.vertices.agg(F.count(F.lit(1)).alias("__n"))
-    types_df = spark.range(1).select(
-        F.explode(F.array(*[F.lit(t) for t in TRIAD_TYPES])).alias(
-            "triad_type"
-        )
-    )
     t012 = F.col("__A") * (F.col("__n") - 2) - F.col("__conn_asym")
     t102 = F.col("__M") * (F.col("__n") - 2) - F.col("__conn_mut")
     # C(n,3) in exact integer arithmetic: n*(n-1) DIV 2 is exact (one of
@@ -280,8 +306,7 @@ def triad_census(g: Graph) -> DataFrame:
         - t102
     )
     return (
-        types_df.join(enum_counts, on="triad_type", how="left")
-        .crossJoin(F.broadcast(conn))
+        enum_counts.crossJoin(F.broadcast(conn))
         .crossJoin(F.broadcast(dyad_counts))
         .crossJoin(F.broadcast(nv))
         .select(
@@ -289,7 +314,7 @@ def triad_census(g: Graph) -> DataFrame:
             F.when(F.col("triad_type") == "012", t012)
             .when(F.col("triad_type") == "102", t102)
             .when(F.col("triad_type") == "003", t003)
-            .otherwise(F.coalesce("__enum", F.lit(0)))
+            .otherwise(F.col("__enum"))
             .cast("long")
             .alias("n_triads"),
         )
