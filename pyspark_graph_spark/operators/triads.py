@@ -24,9 +24,15 @@ classes have closed forms:
 
 Scale shape: one dyad canonicalization aggregate (shuffle on the vertex
 pair), one wedge self-join of the incident-dyad list (O(sum deg^2) rows —
-the same budget class as triangle counting; hub-skewed graphs pay the
-same wedge tax as `four_cycles` and should pre-filter hubs), three hash
-joins to look up the triad's dyad codes, and one 16-group aggregate. The
+the same budget class as triangle counting and `four_cycles`), three hash
+joins to look up the triad's dyad codes, and ONE map-side-combined
+16-group aggregate as the wedge table's only consumer (no distinct, no
+second scan: enumeration multiplicity is 3 for zero-null-dyad classes and
+1 otherwise, folded per class — SCALE.md round 9, 3.6x). The wedge
+budget is probed in O(E) before the join; over-budget graphs (hub-skewed,
+e.g. the real-sf1 trade graph at 13.4e9 wedges) are directed to
+``triad_census_estimate`` — an unbiased vertex sparsifier, NOT a hub
+prefilter, which would bias every class containing hub triads. The
 mask -> class mapping is a 64-entry pure-expression lookup
 (``F.element_at`` on an array literal), no UDF, no driver loop.
 
