@@ -169,28 +169,54 @@ SHARED_FAMILIES: dict[str, list[str]] = {
         "multilevel_partition",
         "partition_refine",
     ],
+    # the shared co-occurrence GRAPH build (~8 s at sf0.1) lands on the
+    # first consumer per pass (round 9, _COOC_CACHE); members overlap
+    # with supplier_matching — families are attribution views, not a
+    # partition of the suite
+    "supplier_cooc": [
+        "aggregate_messages", "attribute_assortativity",
+        "coarsen_two_level", "community_conductance",
+        "datalog_triangles", "degree_assortativity", "degree_ccdf",
+        "degree_centralization", "degree_topk", "degrees", "edge_cut",
+        "feature_propagation", "four_cycles", "four_cycles_estimate",
+        "graph_coarsen", "graph_summary", "jaccard_suppliers",
+        "label_propagation", "louvain", "maximal_independent_set",
+        "maximal_matching", "modularity", "mst_forest",
+        "multilevel_partition", "partition_refine", "rich_club",
+        "transitivity", "triangle_count", "triangle_estimate",
+        "vertex_annotation",
+    ],
 }
 
 def clear_shared_caches() -> None:
     """Unpersist and drop every per-application shared artifact cache
     (_NGRAM_PAIRS_CACHE, _SP_CACHE, _CDC_CACHE, _MATCHING_CACHE,
-    _PARTITION_CACHE). Within one suite pass the sharing is intentional
-    (the r2 verdict adjudicated suite-level reuse as fair); between
-    bench passes it must be reset so a min-of-passes number measures the
-    query, not a cache scan."""
+    _PARTITION_CACHE, _COOC_CACHE). Within one suite pass the sharing is
+    intentional (the r2 verdict adjudicated suite-level reuse as fair);
+    between bench passes it must be reset so a min-of-passes number
+    measures the query, not a cache scan."""
     for cache in (
         _NGRAM_PAIRS_CACHE,
         _SP_CACHE,
         _CDC_CACHE,
         _MATCHING_CACHE,
         _PARTITION_CACHE,
+        _COOC_CACHE,
     ):
         for key in list(cache):
-            df = cache.pop(key)
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped: nothing pinned
+            val = cache.pop(key)
+            # _COOC_CACHE holds a Graph (two persisted frames), the rest
+            # hold a single DataFrame
+            frames = (
+                (val.vertices, val.edges)
+                if hasattr(val, "edges")
+                else (val,)
+            )
+            for df in frames:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # session already stopped: nothing pinned
 
 def _reorder_gate() -> None:
     """Rebuild QUERIES/ORACLES so GATE_PRIORITY comes first (driver window),

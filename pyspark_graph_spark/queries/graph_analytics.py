@@ -20,6 +20,7 @@ from pyspark_graph_spark.queries._shared import (
     NATION_EDGES_CTE,
     SUPPLIER_EDGES_CTE,
     _landmark_sp,
+    _supplier_cooc_graph,
     _walks_ctes,
     _wedge_budget_guard,
 )
@@ -1100,7 +1101,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer sums (ANSI `corr` raises on the zero-variance complete
     graph at sf0.01; the manual form yields NULL there, identically in
     both engines)."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     sym = g.symmetric_edges.select("src", "dst")
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     pairs = (
@@ -1461,7 +1462,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators.louvain import modularity
     from pyspark_graph_spark.sources.tables import supplier_co_occurrence_graph
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     asg = g.vertices.select(ID, F.col("s_nationkey").alias("community"))
     return modularity(g, asg)
 
@@ -1475,7 +1476,7 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators.louvain import Louvain
     from pyspark_graph_spark.sources.tables import supplier_co_occurrence_graph
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     return Louvain(fixed_rounds=3).run(g)
 
 @query(
@@ -1502,7 +1503,7 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division at the end (cross-engine deterministic)."""
     from pyspark_graph_spark.sources.tables import supplier_co_occurrence_graph
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     t = TriangleCount().run(g)
     tri = spark.createDataFrame([(t,)], "n_triangles long")
     wedges = g.degrees.agg(
@@ -1618,7 +1619,7 @@ def q_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark_graph_spark.sources.tables import load_table
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     sym = g.symmetric_edges.select(SRC, DST)
     f = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias(ID),
@@ -1703,7 +1704,7 @@ def q_mst_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min-max path closure) — two independent algorithms, one answer."""
     from pyspark_graph_spark.operators.mst import BoruvkaMST
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     edges = (
         g.edges.select(
             F.col(SRC).cast("long").alias(SRC),
@@ -1848,7 +1849,7 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     refusing to even CONSTRUCT a plan that would die downstream. Callers
     that only want the plan shape (explain/audit tooling) should expect
     that one O(E) job at call time; tools/plan_audit.py already does."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     sym = g.symmetric_edges.select(SRC, DST)
     _wedge_budget_guard(sym, query_name="four_cycles")
     a = sym.alias("a")
@@ -1910,7 +1911,7 @@ def q_four_cycles_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate itself exactly oracle-checkable."""
     from pyspark_graph_spark.functions.hashing import md5_hash60
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     canon = g.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST))
     sampled = canon.filter(
         md5_hash60(
@@ -1981,7 +1982,7 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     for whether hubs preferentially interconnect (and therefore whether
     hub-salting will pay off on the big joins). Degree table is tiny and
     broadcasts onto the edge list twice."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     deg = g.symmetric_edges.groupBy(F.col(SRC).alias(ID)).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -2163,7 +2164,7 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators.communities import conductance
     from pyspark_graph_spark.sources.tables import load_table
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     labels = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id"),
         F.col("s_nationkey").alias("label"),
@@ -2204,7 +2205,7 @@ def q_attribute_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark_graph_spark.sources.tables import load_table
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     labels = load_table(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("long").alias("id"),
         F.col("s_nationkey").alias("label"),
@@ -2320,7 +2321,7 @@ def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.functions.hashing import md5_hash60
     from pyspark_graph_spark.sources.tables import load_table
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     canon = g.edges.select(SRC, DST).filter(F.col(SRC) < F.col(DST))
     keep = (
         md5_hash60(
@@ -2655,7 +2656,7 @@ def q_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier_co_occurrence_graph,
     )
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     deg = g.degrees.withColumnRenamed(DEGREE, "__d")
     full = g.vertices.select(ID).join(deg, on=ID, how="left").select(
         F.coalesce("__d", F.lit(0)).alias("d")
@@ -2998,7 +2999,7 @@ def q_degree_ccdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier_co_occurrence_graph,
     )
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     deg = g.degrees.withColumnRenamed(DEGREE, "__d")
     full = g.vertices.select(ID).join(deg, on=ID, how="left").select(
         F.coalesce("__d", F.lit(0)).alias("k")

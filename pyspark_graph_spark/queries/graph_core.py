@@ -23,6 +23,7 @@ from pyspark_graph_spark.queries._shared import (
     BIPARTITE_EDGES_CTE,
     NATION_EDGES_CTE,
     SUPPLIER_EDGES_CTE,
+    _supplier_cooc_graph,
 )
 
 
@@ -140,7 +141,7 @@ FROM supplier s LEFT JOIN deg ON s.s_suppkey = deg.id
 def q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected degrees (distinct neighbors) on the supplier co-occurrence
     graph; isolated suppliers included with degree 0."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     return g.degrees.select(ID, F.col(DEGREE).cast("long").alias(DEGREE))
 
 @query(
@@ -225,7 +226,7 @@ FROM deg ORDER BY degree DESC, id ASC LIMIT 20
 def q_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship M0 query: top-20 most-connected suppliers by co-occurrence
     degree. Deterministic tie-break on id."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     return (
         g.degrees.filter(F.col(DEGREE) > 0)
         .select(ID, F.col(DEGREE).cast("long").alias(DEGREE))
@@ -250,7 +251,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the supplier co-occurrence graph (single-row count).
     Uses run(): on this dense graph the auto strategy counts via the
     complement inclusion-exclusion instead of the wedge join."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     n = TriangleCount().run(g)
     return spark.createDataFrame([(n,)], "n_triangles long")
 
@@ -327,7 +328,7 @@ WHERE c.common * 1.0 / (da.d + db.d - c.common) >= 0.5
 )
 def q_jaccard_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard at supplier-graph scale with a similarity threshold."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     return JaccardSimilarity(min_similarity=0.5).run(g)
 
 @query(
@@ -372,7 +373,7 @@ WHERE s.s_nationkey < 13
 def q_datalog_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datalog motif: triangles whose lowest vertex is a sub-13-nation
     supplier (vertex condition + 3 edge premises)."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     q = DatalogQuery(
         projection=["a", "b", "c"],
         premises=[
@@ -443,7 +444,7 @@ def q_aggregate_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence neighbors' nation keys."""
     from pyspark_graph_spark.operators import AggregateMessages
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     am = AggregateMessages(
         agg=F.sum("msg").cast("long"),
         to_dst=F.col("src_s_nationkey"),
@@ -458,7 +459,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     state) are unrolled round-for-round in SQL."""
     from pyspark_graph_spark.operators import LabelPropagation
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     return LabelPropagation(max_iterations=5).run(g)
 
 @query("wl_kernel", oracle=_wl_sql(rounds=3))
@@ -554,7 +555,7 @@ def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row structural summary of the supplier co-occurrence graph."""
     from pyspark_graph_spark.operators import graph_summary
 
-    return graph_summary(supplier_co_occurrence_graph(spark, sf_dir))
+    return graph_summary(_supplier_cooc_graph(spark, sf_dir))
 
 @query(
     "motif_find",
@@ -746,7 +747,7 @@ def q_vertex_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         supplier_co_occurrence_graph,
     )
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     annotated = Graph(
         g.vertices.select(ID),
         g.edges,

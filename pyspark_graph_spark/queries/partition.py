@@ -14,6 +14,7 @@ from pyspark_graph_spark.sources.tables import (
 from pyspark_graph_spark.queries._registry import query
 from pyspark_graph_spark.queries._shared import (
     SUPPLIER_EDGES_CTE,
+    _supplier_cooc_graph,
     _supplier_matching,
     _supplier_partition,
 )
@@ -75,7 +76,7 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed distributively from the MIS result, no collect."""
     from pyspark_graph_spark.operators import MaximalIndependentSet
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     mis = MaximalIndependentSet().run(g)
     base = g.edges.select("src", "dst")
     sym = (
@@ -164,7 +165,7 @@ def q_edge_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     k = 8
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     part = lambda c: F.pmod(md5_hash60(F.col(c).cast("string")), F.lit(k))
     parts = g.edges.select(
         part(SRC).alias("sp"), part(DST).alias("dp")
@@ -407,7 +408,7 @@ def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     multilevel partitioner."""
     from pyspark_graph_spark.operators.matching import coarsen
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     m = _supplier_matching(spark, sf_dir)
     cg, mapping = coarsen(g, m)
 
@@ -451,7 +452,7 @@ def q_coarsen_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators import MaximalMatching
     from pyspark_graph_spark.operators.matching import coarsen
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     m1 = _supplier_matching(spark, sf_dir)
     c1, map1 = coarsen(g, m1)
     m2 = MaximalMatching(seed=1).run(c1)
@@ -527,7 +528,7 @@ def q_multilevel_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     level-0 peel reuses the shared supplier matching cache
     (_supplier_matching, also consumed by maximal_matching and
     graph_coarsen)."""
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     parts = _supplier_partition(spark, sf_dir)
     nf = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
     per = parts.groupBy(ID).agg(F.count(F.lit(1)).alias("__c"))
@@ -590,7 +591,7 @@ def q_partition_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine,
     )
 
-    g = supplier_co_occurrence_graph(spark, sf_dir)
+    g = _supplier_cooc_graph(spark, sf_dir)
     parts = _supplier_partition(spark, sf_dir)
 
     nf = g.vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
