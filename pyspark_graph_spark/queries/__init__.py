@@ -186,6 +186,17 @@ SHARED_FAMILIES: dict[str, list[str]] = {
         "transitivity", "triangle_count", "triangle_estimate",
         "vertex_annotation",
     ],
+    # same for the customer-supplier bipartite graph (_CSG_CACHE);
+    # landmark_sp members also draw on it through their own family
+    "customer_supplier": [
+        "approx_closeness", "betweenness", "bfs", "bipartite_check",
+        "bipartite_projection", "connected_components",
+        "connected_components_pregel", "datalog_non_adjacent",
+        "effective_diameter", "hits", "in_degrees", "induced_subgraph",
+        "kcore", "motif_find", "neighbor_sample",
+        "neighborhood_function", "out_degrees", "percolation",
+        "powerlaw_fit", "random_walks", "shortest_paths", "walk_pmi",
+    ],
 }
 
 def clear_shared_caches() -> None:
@@ -202,6 +213,7 @@ def clear_shared_caches() -> None:
         _MATCHING_CACHE,
         _PARTITION_CACHE,
         _COOC_CACHE,
+        _CSG_CACHE,
     ):
         for key in list(cache):
             val = cache.pop(key)

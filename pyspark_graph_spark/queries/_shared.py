@@ -106,6 +106,37 @@ def _supplier_cooc_graph(spark: SparkSession, sf_dir: str) -> "Graph":
     return shared
 
 
+# Shared customer-supplier bipartite graph (round 9): 23 registered
+# queries build the same orders-join-lineitem distinct-pair edge list
+# (~1.6 s warm at sf0.1). Cached per (applicationId, sf_dir, directed)
+# — both orientations are consumed — with the same contract as
+# _COOC_CACHE.
+_CSG_CACHE: dict[tuple[str, str, bool], "Graph"] = {}
+
+
+def _cust_supp_graph(
+    spark: SparkSession, sf_dir: str, directed: bool = True
+) -> "Graph":
+    key = (_app_key(spark), sf_dir, directed)
+    cached = _CSG_CACHE.get(key)
+    if cached is not None:
+        return cached
+    g = customer_supplier_graph(spark, sf_dir, directed=directed)
+    shared = Graph(
+        g.vertices.persist(),
+        g.edges.persist(),
+        directed=directed,
+        indexed=True,
+    )
+    for old_key in list(_CSG_CACHE):
+        if old_key[:2] != key[:2]:  # keep both orientations of this run
+            old = _CSG_CACHE.pop(old_key)
+            old.vertices.unpersist()
+            old.edges.unpersist()
+    _CSG_CACHE[key] = shared
+    return shared
+
+
 # Shared n-gram Jaccard pair table: `ngram_jaccard` and
 # `dedup_rate_curve` both consume the same (n=3, threshold=0.5) exact
 # pair set — computed once per (applicationId, sf_dir) and persisted,
@@ -142,7 +173,7 @@ def _landmark_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
     if df is None:
         from pyspark_graph_spark.operators import ShortestPaths
 
-        g = customer_supplier_graph(spark, sf_dir, directed=False)
+        g = _cust_supp_graph(spark, sf_dir, directed=False)
         df = ShortestPaths([3, 5, 7, 9], max_iterations=12).run_exploded(g)
         df = df.persist()
         _SP_CACHE[key] = df

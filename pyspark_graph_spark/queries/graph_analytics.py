@@ -9,7 +9,6 @@ from pyspark_graph_spark.functions.hashing import md5_hash60_sql as _h60sql
 from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.operators.triangle_count import TriangleCount
 from pyspark_graph_spark.sources.tables import (
-    customer_supplier_graph,
     nation_graph,
     supplier_co_occurrence_graph,
 )
@@ -19,6 +18,7 @@ from pyspark_graph_spark.queries._shared import (
     BIPARTITE_EDGES_CTE,
     NATION_EDGES_CTE,
     SUPPLIER_EDGES_CTE,
+    _cust_supp_graph,
     _landmark_sp,
     _supplier_cooc_graph,
     _walks_ctes,
@@ -876,7 +876,7 @@ def q_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the number of shared customers."""
     from pyspark_graph_spark.operators import bipartite_project
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     return bipartite_project(g, onto="dst")
 
 @query(
@@ -1065,7 +1065,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     retain extra vertices)."""
     from pyspark_graph_spark.operators import KCore
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     return KCore(5).run(g)
 
 @query(
@@ -1179,7 +1179,7 @@ def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brandes with all-vertex sources (tests/test_property.py)."""
     from pyspark_graph_spark.operators import BetweennessCentrality
 
-    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    g = _cust_supp_graph(spark, sf_dir, directed=False)
     out = BetweennessCentrality([3, 5, 7, 9], max_depth=12).run(g)
     return out.select(
         ID, F.round("betweenness", 6).alias("betweenness")
@@ -1193,7 +1193,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     checker cannot canonicalize arrays)."""
     from pyspark_graph_spark.operators import RandomWalks
 
-    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    g = _cust_supp_graph(spark, sf_dir, directed=False)
     out = RandomWalks(length=8, walks_per_vertex=1, hash_mode="md5").run(g)
     return out.select(
         "walk_id",
@@ -1394,7 +1394,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled-CTE oracle replays the exact arithmetic."""
     from pyspark_graph_spark.operators import HITS
 
-    g = customer_supplier_graph(spark, sf_dir, directed=True)
+    g = _cust_supp_graph(spark, sf_dir, directed=True)
     out = HITS(iterations=4).run(g)
     return out.select(
         ID,
@@ -1667,7 +1667,7 @@ def q_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree histogram -> (ln k, ln count) points -> closed-form slope/
     intercept.  Three tiny aggregates; nothing corpus-sized survives the
     first groupBy."""
-    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    g = _cust_supp_graph(spark, sf_dir, directed=False)
     sym = g.symmetric_edges.select(SRC, DST).distinct()
     deg = sym.groupBy(SRC).agg(F.count(F.lit(1)).alias("k"))
     hist = deg.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1772,7 +1772,7 @@ def q_bipartite_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     negative path is exercised in tests.)"""
     from pyspark_graph_spark.operators.bipartite import BipartiteCheck
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     out = BipartiteCheck().run(g)
     return out.select(
         ID, "component", "bipartite", F.col("color").cast("int").alias("color")
@@ -2059,7 +2059,7 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         NeighborhoodFunction,
     )
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     return NeighborhoodFunction(hops=3, b=4).run(g)
 
 @query(
@@ -2370,7 +2370,7 @@ def q_approx_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         NeighborhoodFunction,
     )
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     hops = 3
     pv = NeighborhoodFunction(hops=hops, b=4).run_per_vertex(g)
     wide = pv.groupBy(ID).agg(
@@ -2420,7 +2420,7 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         NeighborhoodFunction,
     )
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     nf = NeighborhoodFunction(hops=3, b=4).run(g)
     mx = nf.agg(F.max("n_pairs").alias("nmax"))
     tgt = mx.select((F.lit(0.9) * F.col("nmax")).alias("t"))
@@ -2526,7 +2526,7 @@ def q_percolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         AlternatingConnectedComponents,
     )
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     canon = g.edges.select(SRC, DST)
     hp = md5_hash60(
         F.concat(

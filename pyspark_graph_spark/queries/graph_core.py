@@ -13,7 +13,6 @@ from pyspark_graph_spark.operators.similarity import (
 )
 from pyspark_graph_spark.operators.triangle_count import TriangleCount
 from pyspark_graph_spark.sources.tables import (
-    customer_supplier_graph,
     nation_graph,
     supplier_co_occurrence_graph,
 )
@@ -23,6 +22,7 @@ from pyspark_graph_spark.queries._shared import (
     BIPARTITE_EDGES_CTE,
     NATION_EDGES_CTE,
     SUPPLIER_EDGES_CTE,
+    _cust_supp_graph,
     _supplier_cooc_graph,
 )
 
@@ -153,7 +153,7 @@ FROM bipartite_edges GROUP BY src
 """,
 )
 def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     return g.out_degrees
 
 @query(
@@ -165,7 +165,7 @@ FROM bipartite_edges GROUP BY dst
 """,
 )
 def q_in_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     return g.in_degrees
 
 @query(
@@ -347,7 +347,7 @@ WHERE NOT EXISTS (
 def q_datalog_non_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datalog with negation: same-nation (customer, supplier) pairs where
     the customer never bought from the supplier."""
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     q = DatalogQuery(
         projection=["a", "b"],
         premises=[
@@ -391,7 +391,7 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log n)-round alternating large-star/small-star algorithm."""
     from pyspark_graph_spark.operators import AlternatingConnectedComponents
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     return AlternatingConnectedComponents().run(g)
 
 @query("connected_components_pregel", oracle=_CC_ORACLE)
@@ -399,7 +399,7 @@ def q_connected_components_pregel(spark: SparkSession, sf_dir: str) -> DataFrame
     """Same result via Pregel min-label propagation (diameter-bound rounds)."""
     from pyspark_graph_spark.operators import ConnectedComponents
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     return ConnectedComponents(max_iterations=30).run(g)
 
 @query(
@@ -417,7 +417,7 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot factorize array columns); edge-id arrays projected out."""
     from pyspark_graph_spark.operators import BreadthFirstSearch
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     bfs = BreadthFirstSearch(
         (F.col("kind") == "customer") & (F.col(ID) == 2),
         F.col("kind") == "supplier",
@@ -506,7 +506,7 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded to (id, landmark, distance) rows."""
     from pyspark_graph_spark.operators import ShortestPaths
 
-    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    g = _cust_supp_graph(spark, sf_dir, directed=False)
     return ShortestPaths([2, 3, 5], max_iterations=15).run_exploded(g)
 
 @query(
@@ -578,7 +578,7 @@ def q_motif_find(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicates (c1.id < c2.id) stay post-find by necessity."""
     from pyspark_graph_spark.motif import find
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     out = find(
         g,
         "(c1)-[]->(s); (c2)-[]->(s)",
@@ -682,9 +682,8 @@ def q_induced_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     restrict the bipartite graph to nations 0-11 and report the surviving
     out-degrees. Induction is two semi-joins of the edge list against the
     projected survivor-id column — AQE broadcasts it when small."""
-    from pyspark_graph_spark.sources.tables import customer_supplier_graph
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     sub = g.filter_vertices(F.col("nationkey") < 12)
     return sub.out_degrees
 

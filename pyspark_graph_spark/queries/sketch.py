@@ -372,9 +372,9 @@ def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub degrees. The md5 ranking makes the sample a pure function of the
     data, so the oracle unrolls the identical hops."""
     from pyspark_graph_spark.operators.neighbor_sampling import NeighborSampler
-    from pyspark_graph_spark.sources.tables import customer_supplier_graph
+    from pyspark_graph_spark.queries._shared import _cust_supp_graph
 
-    g = customer_supplier_graph(spark, sf_dir)
+    g = _cust_supp_graph(spark, sf_dir)
     seeds = g.vertices.filter(
         (F.col("kind") == "customer") & (F.col(ID) <= 10)
     )

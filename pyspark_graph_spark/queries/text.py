@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark_graph_spark.session import (
     default_parallelism as _default_parallelism,
 )
-from pyspark_graph_spark.sources.tables import customer_supplier_graph
+from pyspark_graph_spark.queries._shared import _cust_supp_graph
 
 from pyspark_graph_spark.queries._registry import query
 from pyspark_graph_spark.queries._shared import (
@@ -698,7 +698,7 @@ def q_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded. Top-100 by count for a stable gate surface."""
     from pyspark_graph_spark.operators import RandomWalks
 
-    g = customer_supplier_graph(spark, sf_dir, directed=False)
+    g = _cust_supp_graph(spark, sf_dir, directed=False)
     walks = RandomWalks(length=8, walks_per_vertex=1, hash_mode="md5").run(g)
     pos = walks.select(
         "walk_id", F.posexplode(F.col("path")).alias("i", "v")
