@@ -54,6 +54,38 @@ from pyspark_graph_spark.operators.connected_components import (
 WEIGHT = "weight"
 
 
+def _batch_union_find(pdf):
+    """(src, dst) pairs -> (id, component) with component = min member id.
+
+    Union-by-min: when two roots merge the smaller id stays root, so by
+    induction every root is the minimum id of its set — the same
+    representative the distributed star contraction converges to. Runs
+    inside one bounded Arrow batch (see BoruvkaMST.batch_cc)."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(pdf[SRC], pdf[DST]):
+        s, d = int(s), int(d)
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    return pd.DataFrame(
+        [(v, find(v)) for v in parent], columns=[ID, COMPONENT]
+    )
+
+
 class BoruvkaMST:
     """Minimum spanning forest of an undirected weighted graph.
 
@@ -63,9 +95,24 @@ class BoruvkaMST:
     collapsed to their minimum weight; self-loops are dropped.
     """
 
-    def __init__(self, weight: str = WEIGHT, max_iterations: int = 20):
+    def __init__(
+        self,
+        weight: str = WEIGHT,
+        max_iterations: int = 20,
+        batch_cc: int = 1_000_000,
+    ):
         self.weight = weight
         self.max_iterations = max_iterations
+        # the contraction graph has <= #components rows (halving per
+        # round); once it fits this bound, label it with a union-find in
+        # ONE bounded Arrow batch instead of a full AlternatingCC
+        # fixpoint (each inner CC run is itself O(log n) rounds of fixed-
+        # overhead jobs — the dominant cost of Boruvka at gate scale,
+        # same adjudicated bounded-batch-finish contract as matching/MIS/
+        # multilevel partition). 1M rows x 16 B ≈ 16 MB on one executor.
+        # 0 disables (pure distributed contraction — the asymptotic path
+        # for the first rounds of a billion-vertex forest).
+        self.batch_cc = batch_cc
 
     def run(self, g: Graph) -> DataFrame:
         w = F.col(self.weight).alias(WEIGHT)
@@ -139,17 +186,37 @@ class BoruvkaMST:
 
             # contract: CC over the picked component-graph (≤ #components
             # edges, shrinking geometrically), then relabel
-            cgraph = Graph(
-                comp.select(F.col(COMPONENT).alias(ID)).distinct(),
-                chosen.select(
-                    F.col("__cs").alias(SRC), F.col("__cd").alias(DST)
-                ),
-                directed=False,
-                indexed=True,
+            cverts = comp.select(F.col(COMPONENT).alias(ID)).distinct()
+            cedges = chosen.select(
+                F.col("__cs").alias(SRC), F.col("__cd").alias(DST)
             )
-            mapping = AlternatingConnectedComponents(
-                max_iterations=self.max_iterations
-            ).run(cgraph)
+            if self.batch_cc and cverts.count() <= self.batch_cc:
+                # bounded batch: union-find over (self-loops ∪ picked
+                # edges) in one Arrow group — singleton components keep
+                # their label via the self-loop, union-by-min makes every
+                # root the component's min id (the same representative
+                # AlternatingCC converges to)
+                pairs = cverts.select(
+                    F.col(ID).alias(SRC), F.col(ID).alias(DST)
+                ).unionByName(cedges)
+                mapping = (
+                    pairs.withColumn("__g", F.lit(0))
+                    .groupBy("__g")
+                    .applyInPandas(
+                        _batch_union_find,
+                        f"{ID} long, {COMPONENT} long",
+                    )
+                )
+            else:
+                cgraph = Graph(
+                    cverts,
+                    cedges,
+                    directed=False,
+                    indexed=True,
+                )
+                mapping = AlternatingConnectedComponents(
+                    max_iterations=self.max_iterations
+                ).run(cgraph)
             comp = (
                 comp.join(
                     mapping.select(

@@ -286,3 +286,36 @@ def test_critical_path_raises_on_cycle(spark):
     g = Graph(v, e, directed=True, indexed=True)
     with _pytest.raises(ValueError):
         CriticalPath(max_iterations=5).run(g)
+
+
+def test_mst_batch_cc_equals_distributed(spark):
+    """Round 9: the bounded-batch union-find contraction must produce the
+    IDENTICAL forest as the distributed AlternatingCC contraction — the
+    same provably-equal-continuation contract as matching's
+    batch_finish."""
+    import random
+    from pyspark.sql import functions as F
+    from pyspark_graph_spark.constants import DST, ID, SRC
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators.mst import BoruvkaMST
+
+    rng = random.Random(11)
+    n = 40
+    edges = {
+        (a, b)
+        for _ in range(140)
+        for a, b in [sorted(rng.sample(range(n), 2))]
+    }
+    rows = [(a, b, float((a * 7 + b * 13) % 29 + 1)) for a, b in edges]
+    v = spark.createDataFrame([(i,) for i in range(n)], f"{ID} long")
+    e = spark.createDataFrame(rows, f"{SRC} long, {DST} long, weight double")
+    g = Graph(v, e, directed=False, indexed=True)
+    batch = {
+        (r[SRC], r[DST], r["weight"])
+        for r in BoruvkaMST().run(g).collect()
+    }
+    dist = {
+        (r[SRC], r[DST], r["weight"])
+        for r in BoruvkaMST(batch_cc=0).run(g).collect()
+    }
+    assert batch == dist and len(batch) > 0
