@@ -103,11 +103,60 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
-class AlternatingConnectedComponents:
-    """Large-star/small-star alternating connected components (Kiveris et al.)."""
+def _batch_union_find(pdf):
+    """(src, dst) pairs -> (id, component) with component = min member id
+    for every vertex in the pairs' support.
 
-    def __init__(self, max_iterations: int = 20):
+    Union-by-min: when two roots merge the smaller id stays root, so by
+    induction every root is the minimum id of its set — exactly the
+    representative the large-star/small-star fixpoint converges to
+    (Kiveris et al.: stars point at component minima). Runs inside one
+    bounded Arrow batch; shared by AlternatingCC's batch front-path and
+    BoruvkaMST's contraction."""
+    import pandas as pd
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(pdf[SRC], pdf[DST]):
+        s, d = int(s), int(d)
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    return pd.DataFrame(
+        [(v, find(v)) for v in parent], columns=[ID, COMPONENT]
+    )
+
+
+class AlternatingConnectedComponents:
+    """Large-star/small-star alternating connected components (Kiveris et al.).
+
+    ``batch_finish``: once the deduped edge list fits this bound, label
+    components with a union-find in ONE bounded Arrow batch instead of
+    the O(log n) alternating-star fixpoint — the same adjudicated
+    bounded-batch-finish contract as matching/MIS/partition/MST, with
+    provably identical output (both paths label every component by its
+    minimum id; equality is pinned by test). 1M edges x 16 B ≈ 16 MB on
+    one executor. 0 disables; the distributed fixpoint remains the
+    asymptotic path for billion-edge graphs (and is what runs above the
+    bound at 100 TB — the bound only short-circuits dimension-scale
+    inputs and contraction tails)."""
+
+    def __init__(
+        self, max_iterations: int = 20, batch_finish: int = 1_000_000
+    ):
         self.max_iterations = max_iterations
+        self.batch_finish = batch_finish
 
     def run(self, g: Graph) -> DataFrame:
         # loop-free edge pairs (large-star symmetrizes per round)
@@ -117,6 +166,20 @@ class AlternatingConnectedComponents:
             .distinct()
             .localCheckpoint()
         )
+        if self.batch_finish and edges.count() <= self.batch_finish:
+            membership = (
+                edges.withColumn("__g", F.lit(0))
+                .groupBy("__g")
+                .applyInPandas(
+                    _batch_union_find, f"{ID} long, {COMPONENT} long"
+                )
+            )
+            roots_and_isolated = (
+                g.vertices.select(ID)
+                .join(membership.select(ID), on=ID, how="anti")
+                .withColumn(COMPONENT, F.col(ID))
+            )
+            return membership.unionByName(roots_and_isolated)
 
         def fp(e: DataFrame) -> tuple:
             # order-insensitive content fingerprint; ids span the full 64-bit

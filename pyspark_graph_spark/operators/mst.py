@@ -49,41 +49,10 @@ from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.operators.connected_components import (
     COMPONENT,
     AlternatingConnectedComponents,
+    _batch_union_find,
 )
 
 WEIGHT = "weight"
-
-
-def _batch_union_find(pdf):
-    """(src, dst) pairs -> (id, component) with component = min member id.
-
-    Union-by-min: when two roots merge the smaller id stays root, so by
-    induction every root is the minimum id of its set — the same
-    representative the distributed star contraction converges to. Runs
-    inside one bounded Arrow batch (see BoruvkaMST.batch_cc)."""
-    import pandas as pd
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for s, d in zip(pdf[SRC], pdf[DST]):
-        s, d = int(s), int(d)
-        if s not in parent:
-            parent[s] = s
-        if d not in parent:
-            parent[d] = d
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            lo, hi = (rs, rd) if rs < rd else (rd, rs)
-            parent[hi] = lo
-    return pd.DataFrame(
-        [(v, find(v)) for v in parent], columns=[ID, COMPONENT]
-    )
 
 
 class BoruvkaMST:

@@ -82,8 +82,11 @@ for _mapping in (QUERIES, ORACLES):
 # multiplicity-fold that removed the wedge-table distinct, 3.6x),
 # sorted_neighborhood / dedup_edit_verify (bucket_chars 1 -> 4 — the
 # r8 verdict's one `weak` item — plus the ASCII-safe cross-engine
-# normalizer), mst_forest (bounded-batch union-find contraction,
-# values provably identical, 1.9x).
+# normalizer), and the AlternatingCC bounded-batch union-find
+# front-path (provably identical min-id labels, pinned by test) whose
+# consumers — mst_forest (1.9x), connected_components, percolation,
+# the dedup-cluster family, bipartite_*, bowtie_structure — are all
+# fronted below.
 # (b) = the stalest greens (r03-era rows).
 # The full-suite backstop is ORACLE_FULL_r9.json.
 ROUND_CHANGED: list[str] = [
@@ -94,8 +97,19 @@ ROUND_CHANGED: list[str] = [
     "triad_census_rmat",
     "sorted_neighborhood",
     "dedup_edit_verify",
-    # plan moved (bounded-batch contraction), values provably identical
+    # plans moved (bounded-batch union-find front-path in
+    # AlternatingCC / Boruvka contraction), values provably identical
     "mst_forest",
+    "connected_components",
+    "percolation",
+    "dedup_clusters",
+    "cdc_dedup_clusters",
+    "leakage_safe_split",
+    "dedup_keep_policy",
+    "dedup_cluster_sizes",
+    "bipartite_check",
+    "bipartite_projection",
+    "bowtie_structure",
 ]
 
 GATE_PRIORITY: list[str] = [
@@ -107,6 +121,16 @@ GATE_PRIORITY: list[str] = [
     "sorted_neighborhood",
     "dedup_edit_verify",
     "mst_forest",
+    "connected_components",
+    "percolation",
+    "dedup_clusters",
+    "cdc_dedup_clusters",
+    "leakage_safe_split",
+    "dedup_keep_policy",
+    "dedup_cluster_sizes",
+    "bipartite_check",
+    "bipartite_projection",
+    "bowtie_structure",
     "kmv_sketch",
     "transitivity",
     "embedding_quantize",
@@ -139,16 +163,6 @@ GATE_PRIORITY: list[str] = [
     "kmeans_purity",
     "scc",
     "gopher_quality",
-    "vocab_coverage",
-    "cdc_chunks",
-    "semdedup",
-    "cdc_dedup_clusters",
-    "embedding_pca",
-    "feature_propagation",
-    "powerlaw_fit",
-    "bigram_scores",
-    "leakage_safe_split",
-    "bipartite_check",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

@@ -278,3 +278,37 @@ def test_bfs_edge_filter(spark):
     rows = bfs.run(g).collect()
     assert len(rows) == 1
     assert rows[0]["vertices"] == [0, 2, 1]  # forced around the filtered edge
+
+
+def test_acc_batch_front_path_equals_distributed_fixpoint(spark):
+    """Round 9: AlternatingCC's bounded-batch union-find front-path must
+    label identically to the distributed large-star/small-star fixpoint
+    (both converge to min-id component representatives) — including
+    isolated vertices and single-edge components."""
+    import random
+    from pyspark_graph_spark.constants import DST, ID, SRC
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators.connected_components import (
+        AlternatingConnectedComponents,
+    )
+
+    rng = random.Random(23)
+    n = 60
+    edges = {
+        tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)
+    }
+    v = spark.createDataFrame([(i,) for i in range(n)], f"{ID} long")
+    e = spark.createDataFrame(sorted(edges), f"{SRC} long, {DST} long")
+    g = Graph(v, e, directed=False, indexed=True)
+    batch = {
+        (r[ID], r["component"])
+        for r in AlternatingConnectedComponents().run(g).collect()
+    }
+    dist = {
+        (r[ID], r["component"])
+        for r in AlternatingConnectedComponents(batch_finish=0)
+        .run(g)
+        .collect()
+    }
+    assert batch == dist
+    assert len(batch) == n  # every vertex labeled exactly once
