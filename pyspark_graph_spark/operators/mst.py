@@ -55,6 +55,38 @@ from pyspark_graph_spark.operators.connected_components import (
 WEIGHT = "weight"
 
 
+def _batch_kruskal(pdf):
+    """Exact MSF of one bounded edge batch by Kruskal over the
+    (weight, src, dst) total order. Distinct total order => the MSF is
+    UNIQUE, so this equals the Borůvka fixpoint edge-for-edge (pinned by
+    test) — the same provably-identical bounded-batch-finish contract as
+    the union-find contraction."""
+    import pandas as pd
+
+    pdf = pdf.sort_values([WEIGHT, SRC, DST])
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = []
+    for s, d, w in zip(pdf[SRC], pdf[DST], pdf[WEIGHT]):
+        s, d = int(s), int(d)
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+            out.append((s, d, w))
+    return pd.DataFrame(out, columns=[SRC, DST, WEIGHT])
+
+
 class BoruvkaMST:
     """Minimum spanning forest of an undirected weighted graph.
 
@@ -96,6 +128,20 @@ class BoruvkaMST:
             .agg(F.min(WEIGHT).alias(WEIGHT))
             .localCheckpoint()
         )
+        if self.batch_cc and edges.count() <= self.batch_cc:
+            # the whole deduped edge list fits the bound: the unique MSF
+            # in ONE Arrow batch (Kruskal over the same total order)
+            # instead of log(V) rounds of ~8 fixed-overhead jobs each —
+            # weight dtype is preserved from the input schema
+            wtype = dict(edges.dtypes)[WEIGHT]
+            return (
+                edges.withColumn("__g", F.lit(0))
+                .groupBy("__g")
+                .applyInPandas(
+                    _batch_kruskal,
+                    f"{SRC} long, {DST} long, {WEIGHT} {wtype}",
+                )
+            )
 
         # component label per edge-incident vertex (isolated vertices can
         # never gain a forest edge, so they are not tracked)
