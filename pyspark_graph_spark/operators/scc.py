@@ -36,14 +36,95 @@ from pyspark_graph_spark.operators.pregel import Pregel
 COMPONENT = "component"
 
 
+def _batch_tarjan(pdf):
+    """(src, dst) directed edges -> (id, component) for every vertex in
+    the edges' support, component = MAX member id of the SCC — exactly
+    the label the FW-BW coloring converges to (the root r of an emitted
+    SCC satisfies color(r) = r, and any larger member would out-color
+    it, so r is the SCC maximum; equality pinned by test). Iterative
+    Tarjan (explicit stack, no recursion limit) inside one bounded Arrow
+    batch — the same adjudicated bounded-batch-finish contract as the
+    CC/MST/matching batches."""
+    import pandas as pd
+
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for s, d in zip(pdf[SRC], pdf[DST]):
+        s, d = int(s), int(d)
+        adj.setdefault(s, []).append(d)
+        verts.add(s)
+        verts.add(d)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    onstk: set[int] = set()
+    stk: list[int] = []
+    comp: dict[int, int] = {}
+    counter = 0
+    for v0 in verts:
+        if v0 in index:
+            continue
+        work: list[list[int]] = [[v0, 0]]
+        while work:
+            frame = work[-1]
+            v, pi = frame
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stk.append(v)
+                onstk.add(v)
+            nbrs = adj.get(v, ())
+            advanced = False
+            while pi < len(nbrs):
+                w = nbrs[pi]
+                pi += 1
+                if w not in index:
+                    frame[1] = pi
+                    work.append([w, 0])
+                    advanced = True
+                    break
+                if w in onstk:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            if advanced:
+                continue
+            frame[1] = pi
+            work.pop()
+            if work:
+                u = work[-1][0]
+                if low[v] < low[u]:
+                    low[u] = low[v]
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = max(members)
+                for w in members:
+                    comp[w] = m
+    return pd.DataFrame(
+        sorted(comp.items()), columns=[ID, COMPONENT]
+    )
+
+
 class StronglyConnectedComponents:
     def __init__(
         self,
         max_outer_iterations: int = 20,
         max_flood_iterations: int = 30,
+        batch_finish: int = 1_000_000,
     ):
         self.max_outer_iterations = max_outer_iterations
         self.max_flood_iterations = max_flood_iterations
+        # once the deduped edge list fits this bound, compute all SCCs
+        # with one Arrow-batch iterative Tarjan instead of the
+        # trim/color/backward-mark rounds (each a Pregel flood of
+        # fixed-overhead supersteps). Labels identical by construction
+        # (max member id); the distributed FW-BW remains the only path
+        # above the bound. 0 disables.
+        self.batch_finish = batch_finish
 
     def _max_color_flood(self, verts: DataFrame, edges: DataFrame) -> DataFrame:
         """(id, color): max id that reaches each vertex along out-edges."""
@@ -140,6 +221,19 @@ class StronglyConnectedComponents:
             .localCheckpoint()
         )
         spark = verts.sparkSession
+        if self.batch_finish and edges.count() <= self.batch_finish:
+            membership = (
+                edges.withColumn("__g", F.lit(0))
+                .groupBy("__g")
+                .applyInPandas(
+                    _batch_tarjan, f"{ID} long, {COMPONENT} long"
+                )
+            )
+            singletons = (
+                verts.join(membership.select(ID), ID, "anti")
+                .withColumn(COMPONENT, F.col(ID))
+            )
+            return membership.unionByName(singletons)
         done = spark.createDataFrame([], f"{ID} long, {COMPONENT} long")
 
         for _ in range(self.max_outer_iterations):

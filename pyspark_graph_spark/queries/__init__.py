@@ -110,6 +110,10 @@ ROUND_CHANGED: list[str] = [
     "bipartite_check",
     "bipartite_projection",
     "bowtie_structure",
+    # plan moved (Arrow-batch Tarjan front-path in SCC), identical labels
+    "scc",
+    "strongly_connected_components",
+    "graph_evolution",
 ]
 
 GATE_PRIORITY: list[str] = [
@@ -131,6 +135,9 @@ GATE_PRIORITY: list[str] = [
     "bipartite_check",
     "bipartite_projection",
     "bowtie_structure",
+    "scc",
+    "strongly_connected_components",
+    "graph_evolution",
     "kmv_sketch",
     "transitivity",
     "embedding_quantize",
@@ -156,13 +163,10 @@ GATE_PRIORITY: list[str] = [
     "pmi_pairs",
     "char_entropy",
     "induced_subgraph",
-    "graph_evolution",
     "skew_report",
     "sliding_windows",
     "knn_classifier",
     "kmeans_purity",
-    "scc",
-    "gopher_quality",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

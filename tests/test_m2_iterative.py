@@ -312,3 +312,39 @@ def test_acc_batch_front_path_equals_distributed_fixpoint(spark):
     }
     assert batch == dist
     assert len(batch) == n  # every vertex labeled exactly once
+
+
+def test_scc_batch_tarjan_equals_distributed_fwbw(spark):
+    """Round 9: the Arrow-batch Tarjan front-path must label identically
+    to the distributed FW-BW coloring — both name every SCC by its max
+    member id. Random digraph with cycles, chains, and isolated
+    vertices."""
+    import random
+    from pyspark_graph_spark.constants import DST, ID, SRC
+    from pyspark_graph_spark.graph import Graph
+    from pyspark_graph_spark.operators.scc import (
+        StronglyConnectedComponents,
+    )
+
+    rng = random.Random(31)
+    n = 40
+    edges = {
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    }
+    edges |= {(0, 1), (1, 2), (2, 0), (5, 6), (6, 5)}  # planted cycles
+    edges = {(a, b) for a, b in edges if a != b}
+    v = spark.createDataFrame([(i,) for i in range(n + 3)], f"{ID} long")
+    e = spark.createDataFrame(sorted(edges), f"{SRC} long, {DST} long")
+    g = Graph(v, e, directed=True, indexed=True)
+    batch = {
+        (r[ID], r["component"])
+        for r in StronglyConnectedComponents().run(g).collect()
+    }
+    dist = {
+        (r[ID], r["component"])
+        for r in StronglyConnectedComponents(batch_finish=0)
+        .run(g)
+        .collect()
+    }
+    assert batch == dist
+    assert len(batch) == n + 3
