@@ -261,6 +261,51 @@ def interval_overlap_join(
     )
 
 
+def _batch_temporal_dijkstra(seeds_pdf, edges_pdf):
+    """Exact earliest arrival inside one bounded Arrow batch — temporal
+    Dijkstra (settle vertices in arrival order; relax only out-edges with
+    ts >= arrival, found by bisect on the per-vertex time-sorted
+    adjacency). The earliest-arrival function is the UNIQUE least
+    fixpoint of the relaxation, so any correct algorithm returns the
+    identical table — the distributed rounds and this batch agree
+    row-for-row by definition (pinned by test)."""
+    import heapq
+    from bisect import bisect_left
+
+    import pandas as pd
+
+    adj: dict[int, tuple[list[int], list[int]]] = {}
+    order = edges_pdf.sort_values(["__s", "__t"])
+    for s, d, t in zip(order["__s"], order["__d"], order["__t"]):
+        ts_list, dst_list = adj.setdefault(int(s), ([], []))
+        ts_list.append(int(t))
+        dst_list.append(int(d))
+    arrival: dict[int, int] = {}
+    for i, a in zip(seeds_pdf["id"], seeds_pdf["arrival"]):
+        i, a = int(i), int(a)
+        if i not in arrival or a < arrival[i]:
+            arrival[i] = a
+    heap = [(a, v) for v, a in arrival.items()]
+    heapq.heapify(heap)
+    settled: set[int] = set()
+    while heap:
+        a, v = heapq.heappop(heap)
+        if v in settled or arrival.get(v) != a:
+            continue
+        settled.add(v)
+        if v not in adj:
+            continue
+        ts_list, dst_list = adj[v]
+        for k in range(bisect_left(ts_list, a), len(ts_list)):
+            t, d = ts_list[k], dst_list[k]
+            if d not in arrival or t < arrival[d]:
+                arrival[d] = t
+                heapq.heappush(heap, (t, d))
+    return pd.DataFrame(
+        sorted(arrival.items()), columns=["id", "arrival"]
+    )
+
+
 def earliest_arrival(
     edges: DataFrame,
     seeds: DataFrame,
@@ -269,6 +314,7 @@ def earliest_arrival(
     ts_col: str = "ts",
     max_rounds: int = 20,
     broadcast_threshold: int = 1_000_000,
+    batch_finish: int = 2_000_000,
 ) -> DataFrame:
     """Time-respecting reachability (temporal BFS, Wu et al. 2014):
     earliest arrival time at every vertex reachable from the seeds along
@@ -314,6 +360,25 @@ def earliest_arrival(
         F.col(dst_col).alias("__d"),
         F.col(ts_col).cast("long").alias("__t"),
     ).localCheckpoint()
+    if batch_finish and e.count() <= batch_finish:
+        # bounded batch: the earliest-arrival table is a unique least
+        # fixpoint, so one Arrow temporal-Dijkstra equals the distributed
+        # rounds by definition (same adjudicated bounded-batch-finish
+        # contract as CC/SCC/MST); the label-correcting rounds below
+        # remain the only path above the bound. 2M rows x 24 B ≈ 48 MB
+        # on one executor; measured 3.1 s vs 10.8 s distributed on the
+        # 1.2M-edge sf0.1 contact graph (SCALE.md round 9)
+        return (
+            state.withColumn("__g", F.lit(0))
+            .groupBy("__g")
+            .cogroup(e.withColumn("__g", F.lit(0)).groupBy("__g"))
+            .applyInPandas(
+                lambda key, s_pdf, e_pdf: _batch_temporal_dijkstra(
+                    s_pdf, e_pdf
+                ),
+                "id long, arrival long",
+            )
+        )
     for _ in range(max_rounds):
         fr = (
             F.broadcast(frontier)

@@ -114,6 +114,8 @@ ROUND_CHANGED: list[str] = [
     "scc",
     "strongly_connected_components",
     "graph_evolution",
+    # plan moved (Arrow temporal-Dijkstra under the bound), unique fixpoint
+    "temporal_reachability",
 ]
 
 GATE_PRIORITY: list[str] = [
@@ -138,6 +140,7 @@ GATE_PRIORITY: list[str] = [
     "scc",
     "strongly_connected_components",
     "graph_evolution",
+    "temporal_reachability",
     "kmv_sketch",
     "transitivity",
     "embedding_quantize",
@@ -166,7 +169,6 @@ GATE_PRIORITY: list[str] = [
     "skew_report",
     "sliding_windows",
     "knn_classifier",
-    "kmeans_purity",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

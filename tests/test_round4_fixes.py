@@ -88,8 +88,11 @@ def test_earliest_arrival_raises_when_rounds_exhausted(spark):
         [(i, i + 1, i) for i in range(5)], ["src", "dst", "ts"]
     )
     seeds = spark.createDataFrame([(0, 0)], ["id", "t0"])
+    # batch_finish=0 forces the distributed label-correcting rounds —
+    # the round-9 batch front-path solves any bounded input in one shot,
+    # so the truncation guard only exists on the distributed path
     with pytest.raises(ValueError, match="did not converge"):
-        earliest_arrival(edges, seeds, max_rounds=2)
+        earliest_arrival(edges, seeds, max_rounds=2, batch_finish=0)
 
 
 def test_densest_raises_on_truncated_peel(spark):

@@ -339,3 +339,32 @@ def test_earliest_arrival_takes_min_over_paths(spark):
         for r in earliest_arrival(e, seeds).collect()
     }
     assert got[3] == 25
+
+
+def test_earliest_arrival_batch_equals_distributed(spark):
+    """Round 9: the Arrow temporal-Dijkstra front-path and the
+    distributed label-correcting rounds must agree row-for-row — the
+    earliest-arrival table is a unique least fixpoint. Includes
+    equal-timestamp chains (non-decreasing, not strictly increasing) and
+    unreachable-by-time edges."""
+    import random
+    from pyspark_graph_spark.operators.temporal import earliest_arrival
+
+    rng = random.Random(41)
+    rows = [
+        (rng.randrange(20), rng.randrange(20), rng.randrange(10))
+        for _ in range(70)
+    ]
+    rows += [(0, 1, 3), (1, 2, 3), (2, 3, 3)]  # same-ts chain
+    rows += [(5, 6, 0)]  # fires before any arrival at 5 unless seeded
+    edges = spark.createDataFrame(rows, ["src", "dst", "ts"])
+    seeds = spark.createDataFrame([(0, 2), (7, 1)], ["id", "t0"])
+    batch = {
+        (r["id"], r["arrival"])
+        for r in earliest_arrival(edges, seeds).collect()
+    }
+    dist = {
+        (r["id"], r["arrival"])
+        for r in earliest_arrival(edges, seeds, batch_finish=0).collect()
+    }
+    assert batch == dist and len(batch) >= 2
