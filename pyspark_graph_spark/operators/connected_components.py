@@ -37,13 +37,27 @@ class ConnectedComponents:
     """Weakly connected components via Pregel min-label propagation.
 
     ``salt_buckets`` passes through to Pregel's skew-salted message join
-    (use on power-law graphs where hub vertices dominate a partition)."""
+    (use on power-law graphs where hub vertices dominate a partition).
+
+    ``require_convergence`` (default True): min-label needs rounds
+    proportional to component diameter, so a truncated run silently
+    SPLITS any component whose diameter exceeds ``max_iterations`` —
+    a wrong answer, not a slow one (r9 verdict #4; same failure class
+    SCC's floods already guard, operators/scc.py). Pass False only when
+    a truncated labelling is genuinely acceptable; the scale-correct
+    alternative for unknown diameters is
+    :class:`AlternatingConnectedComponents`, whose O(log n) fixpoint is
+    diameter-independent."""
 
     def __init__(
-        self, max_iterations: int = 20, salt_buckets: int | None = None
+        self,
+        max_iterations: int = 20,
+        salt_buckets: int | None = None,
+        require_convergence: bool = True,
     ):
         self.max_iterations = max_iterations
         self.salt_buckets = salt_buckets
+        self.require_convergence = require_convergence
 
     def run(self, g: Graph) -> DataFrame:
         # slim the state to (id, state): vertex attributes would otherwise
@@ -60,7 +74,17 @@ class ConnectedComponents:
             max_iterations=self.max_iterations,
             salt_buckets=self.salt_buckets,
         )
-        return pregel.run(slim).select(ID, F.col(STATE).alias(COMPONENT))
+        out = pregel.run(slim).select(ID, F.col(STATE).alias(COMPONENT))
+        if self.require_convergence and not pregel.converged:
+            raise RuntimeError(
+                "ConnectedComponents hit max_iterations="
+                f"{self.max_iterations} before the min-label fixpoint — "
+                "a component with diameter beyond the budget would get "
+                "silently split labels. Raise max_iterations, use "
+                "AlternatingConnectedComponents (diameter-independent), "
+                "or pass require_convergence=False to accept truncation."
+            )
+        return out
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -172,26 +172,44 @@ def parallel_personalized_pagerank(
     ).localCheckpoint()
     ranks = restart.withColumn(PAGERANK, F.lit(1.0)).localCheckpoint()
     for _ in range(max_iterations):
+        # alpha is applied ONCE after the aggregate — pr_{k+1} =
+        # (1-α)·reset + α·Σ(pr·w/d) — the same arithmetic order as the
+        # unrolled SQL oracle (0.15*reset + 0.85*SUM(pr/d)), so agreement
+        # is by replayed arithmetic, not rounding slack (r9 ADVICE #3).
+        # Restart rows ride the same union with a flag instead of a
+        # pre-scaled mass so neither term is folded into the sum.
         contribs = (
             edges.join(deg, on=SRC)
             .join(ranks, on=F.col(SRC) == F.col(ID))
             .select(
                 F.col(DST).alias(ID),
                 "source",
-                (
-                    F.lit(alpha)
-                    * F.col(PAGERANK)
-                    * F.col("__w")
-                    / F.col("__deg")
-                ).alias(PAGERANK),
+                (F.col(PAGERANK) * F.col("__w") / F.col("__deg")).alias("__c"),
+                F.lit(0.0).alias("__reset"),
             )
         )
         ranks = (
             contribs.unionByName(
-                restart.withColumn(PAGERANK, F.lit(1.0 - alpha))
+                restart.select(
+                    ID,
+                    "source",
+                    F.lit(0.0).alias("__c"),
+                    F.lit(1.0).alias("__reset"),
+                )
             )
             .groupBy(ID, "source")
-            .agg(F.sum(PAGERANK).alias(PAGERANK))
+            .agg(
+                F.sum("__c").alias("__sc"),
+                F.sum("__reset").alias("__sr"),
+            )
+            .select(
+                ID,
+                "source",
+                (
+                    F.lit(1.0 - alpha) * F.col("__sr")
+                    + F.lit(alpha) * F.col("__sc")
+                ).alias(PAGERANK),
+            )
             .localCheckpoint()
         )
     return ranks

@@ -50,6 +50,8 @@ def power_iteration_svd(
     zeros). Signs follow the all-ones start vector (v_0 = 1), so the
     output is deterministic — no random init to pin down.
     """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     a = interactions.select(
         F.col(row_col).alias("__r"),
         F.col(col_col).alias("__c"),
@@ -99,3 +101,146 @@ def power_iteration_svd(
         F.col("__sigma").alias("sigma"),
     )
     return u_out, v_out
+
+
+def deflated_power_iteration_svd(
+    interactions: DataFrame,
+    row_col: str,
+    col_col: str,
+    val_col: str,
+    k: int = 2,
+    iterations: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-k truncated SVD by power iteration with IMPLICIT deflation.
+
+    Factor j is the dominant singular pair of the deflated operator
+
+        A_j = A - sum_{p<j} sigma_p u_p v_p^T
+
+    but A_j is NEVER materialized (it is dense — the whole point of the
+    sparse COO representation would be lost). Instead every matvec
+    applies the correction through the identity
+
+        A_j x = A x - sum_{p<j} sigma_p (v_p . x) u_p
+
+    i.e. one sparse matvec plus, per prior factor, one broadcast scalar
+    inner product and one scaled copy of the stored factor vector folded
+    into the same groupBy-sum — so the per-iteration physical shape stays
+    exactly the rank-1 operator's (two vertex-keyed shuffles), with k-1
+    extra singleton aggregates. The all-ones start and nonnegative input
+    fix factor 0's sign; later factors inherit determinism from the
+    deflation (no random init anywhere), which is what lets an external
+    SQL oracle replay the whole unrolled algebra term by term.
+
+    Returns ``(u, v)``:
+    ``u = (row_col, factor, u)``, ``v = (col_col, factor, v, sigma)``
+    with ``factor`` in 0..k-1 ordered by decreasing sigma.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = interactions.select(
+        F.col(row_col).alias("__r"),
+        F.col(col_col).alias("__c"),
+        F.col(val_col).cast("double").alias("__a"),
+    ).localCheckpoint()
+    all_cols = a.select("__c").distinct().localCheckpoint()
+    # (u_df(__r,__x), v_df(__c,__x), sigma_scalar_df(__s)) per factor
+    factors: list[tuple[DataFrame, DataFrame, DataFrame]] = []
+    for _ in range(k):
+        v = all_cols.withColumn("__x", F.lit(1.0))
+        u = None
+        v_raw_norm = None
+        for _i in range(iterations):
+            # y = A v - sum_p sigma_p (v_p . v) u_p
+            terms = (
+                a.join(v, on="__c")
+                .groupBy("__r")
+                .agg(F.sum(F.col("__a") * F.col("__x")).alias("__y"))
+            )
+            for (u_p, v_p, s_p) in factors:
+                dot = (
+                    v_p.withColumnRenamed("__x", "__xp")
+                    .join(v, on="__c")
+                    .agg(F.sum(F.col("__xp") * F.col("__x")).alias("__d"))
+                )
+                corr = (
+                    u_p.crossJoin(F.broadcast(dot))
+                    .crossJoin(F.broadcast(s_p))
+                    .select(
+                        "__r",
+                        (-F.col("__s") * F.col("__d") * F.col("__x")).alias(
+                            "__y"
+                        ),
+                    )
+                )
+                terms = terms.unionByName(corr)
+            u_raw = terms.groupBy("__r").agg(F.sum("__y").alias("__y"))
+            u_norm = u_raw.agg(
+                F.sqrt(F.sum(F.col("__y") * F.col("__y"))).alias("__n")
+            )
+            u = (
+                u_raw.crossJoin(F.broadcast(u_norm))
+                .select("__r", (F.col("__y") / F.col("__n")).alias("__x"))
+                .localCheckpoint()
+            )
+            # z = A^T u - sum_p sigma_p (u_p . u) v_p
+            terms_t = (
+                a.join(u, on="__r")
+                .groupBy("__c")
+                .agg(F.sum(F.col("__a") * F.col("__x")).alias("__y"))
+            )
+            for (u_p, v_p, s_p) in factors:
+                dot = (
+                    u_p.withColumnRenamed("__x", "__xp")
+                    .join(u, on="__r")
+                    .agg(F.sum(F.col("__xp") * F.col("__x")).alias("__d"))
+                )
+                corr = (
+                    v_p.crossJoin(F.broadcast(dot))
+                    .crossJoin(F.broadcast(s_p))
+                    .select(
+                        "__c",
+                        (-F.col("__s") * F.col("__d") * F.col("__x")).alias(
+                            "__y"
+                        ),
+                    )
+                )
+                terms_t = terms_t.unionByName(corr)
+            v_raw = terms_t.groupBy("__c").agg(F.sum("__y").alias("__y"))
+            v_raw_norm = v_raw.agg(
+                F.sqrt(F.sum(F.col("__y") * F.col("__y"))).alias("__n")
+            ).localCheckpoint()
+            v = (
+                v_raw.crossJoin(F.broadcast(v_raw_norm))
+                .select("__c", (F.col("__y") / F.col("__n")).alias("__x"))
+                .localCheckpoint()
+            )
+        sigma = v_raw_norm.select(F.col("__n").alias("__s"))
+        factors.append((u, v, sigma))
+    u_parts = [
+        u_p.crossJoin(F.broadcast(s_p)).select(
+            F.col("__r").alias(row_col),
+            F.lit(j).alias("factor"),
+            F.col("__x").alias("u"),
+            F.col("__s").alias("__sigma"),
+        )
+        for j, (u_p, v_p, s_p) in enumerate(factors)
+    ]
+    v_parts = [
+        v_p.crossJoin(F.broadcast(s_p)).select(
+            F.col("__c").alias(col_col),
+            F.lit(j).alias("factor"),
+            F.col("__x").alias("v"),
+            F.col("__s").alias("sigma"),
+        )
+        for j, (u_p, v_p, s_p) in enumerate(factors)
+    ]
+    u_out = u_parts[0]
+    for p in u_parts[1:]:
+        u_out = u_out.unionByName(p)
+    v_out = v_parts[0]
+    for p in v_parts[1:]:
+        v_out = v_out.unionByName(p)
+    return u_out.drop("__sigma"), v_out

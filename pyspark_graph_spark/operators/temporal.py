@@ -360,7 +360,11 @@ def earliest_arrival(
         F.col(dst_col).alias("__d"),
         F.col(ts_col).cast("long").alias("__t"),
     ).localCheckpoint()
-    if batch_finish and e.count() <= batch_finish:
+    # the bound covers EVERYTHING funneled into the single Arrow task:
+    # edges AND the seed/state frame (n_front is state.count() here) — a
+    # huge seed set with a small edge list must take the distributed
+    # rounds, not land on one executor (r9 ADVICE #2)
+    if batch_finish and e.count() + n_front <= batch_finish:
         # bounded batch: the earliest-arrival table is a unique least
         # fixpoint, so one Arrow temporal-Dijkstra equals the distributed
         # rounds by definition (same adjudicated bounded-batch-finish

@@ -144,7 +144,8 @@ def oracle_case_sql(expr: str = "c_ij + 4 * c_ik + 16 * c_jk") -> str:
 
 
 def triad_census(g: Graph) -> DataFrame:
-    """Return the 16-row census ``(triad_type string, n_triads long)`` of
+    """Return the 16-row census ``(triad_type string, n_triads
+    decimal(38,0))`` of
     the directed graph, one row per Holland–Leinhardt class, zero-filled,
     sorted lexicographically by class name (003, 012, 021C, 021D, ...,
     102, ... — the order the cross-engine oracle pins; NOT the
@@ -299,18 +300,28 @@ def triad_census(g: Graph) -> DataFrame:
         ).alias("__A"),
     )
     nv = g.vertices.agg(F.count(F.lit(1)).alias("__n"))
-    t012 = F.col("__A") * (F.col("__n") - 2) - F.col("__conn_asym")
-    t102 = F.col("__M") * (F.col("__n") - 2) - F.col("__conn_mut")
-    # C(n,3) in exact integer arithmetic: n*(n-1) DIV 2 is exact (one of
-    # the factors is even) and C(n,2)*(n-2) = 3*C(n,3) is divisible by 3,
-    # so every intermediate is an exact long — no double rounding above
-    # 2^53 and no n^3 overflow until ~3M vertices (vs ~2.1M for n*(n-1)*(n-2))
+    # closed forms in DECIMAL(38,0) (r9 verdict #3): the previous exact
+    # long arithmetic overflowed at n ~ 3.05M vertices — a sparse
+    # 10M-vertex graph passes the wedge budget yet C(n,3) ~ 1.7e20
+    # doesn't fit int64, and at 1e9 vertices it's ~1.7e26. DECIMAL(38,0)
+    # keeps every term exact to 1e38; C(n,3) = n(n-1)(n-2)/6 is computed
+    # as the full product (n <= 1e12 fits DECIMAL(12,0), product <= 38
+    # digits) divided by 6 — exact, since 6 | n(n-1)(n-2) — then cast
+    # back to scale-0, which is lossless on an integer value
+    dec = "decimal(38,0)"
+    n_d = F.col("__n").cast("decimal(12,0)")
+    t012 = (
+        F.col("__A").cast(dec) * (F.col("__n") - 2).cast(dec)
+        - F.col("__conn_asym").cast(dec)
+    ).cast(dec)
+    t102 = (
+        F.col("__M").cast(dec) * (F.col("__n") - 2).cast(dec)
+        - F.col("__conn_mut").cast(dec)
+    ).cast(dec)
+    c_n3 = ((n_d * (n_d - 1) * (n_d - 2)) / F.lit(6)).cast(dec)
     t003 = (
-        F.expr("__n * (__n - 1) DIV 2 * (__n - 2) DIV 3")
-        - F.col("__conn_total")
-        - t012
-        - t102
-    )
+        c_n3 - F.col("__conn_total").cast(dec) - t012 - t102
+    ).cast(dec)
     return (
         enum_counts.crossJoin(F.broadcast(conn))
         .crossJoin(F.broadcast(dyad_counts))
@@ -320,8 +331,7 @@ def triad_census(g: Graph) -> DataFrame:
             F.when(F.col("triad_type") == "012", t012)
             .when(F.col("triad_type") == "102", t102)
             .when(F.col("triad_type") == "003", t003)
-            .otherwise(F.col("__enum"))
-            .cast("long")
+            .otherwise(F.col("__enum").cast(dec))
             .alias("n_triads"),
         )
         .orderBy("triad_type")
@@ -370,9 +380,14 @@ def triad_census_estimate(
         .join(kept_dst, on=DST, how="leftsemi")
     )
     sub = Graph(vs, induced, directed=g.directed, indexed=True)
+    # the 1/p^3 scale-up rides the census's DECIMAL(38,0) counts — a
+    # large sample_mod on a closed-form class must not re-introduce the
+    # int64 ceiling the census itself just escaped (r9 verdict #3)
     scale = sample_mod ** 3
     return triad_census(sub).select(
         "triad_type",
         F.col("n_triads").alias("n_sampled"),
-        (F.col("n_triads") * F.lit(scale)).alias("n_est"),
+        (F.col("n_triads") * F.lit(scale).cast("decimal(12,0)"))
+        .cast("decimal(38,0)")
+        .alias("n_est"),
     )

@@ -67,108 +67,93 @@ for _mapping in (QUERIES, ORACLES):
 # this round — declared below in ROUND_CHANGED — then (b) the stalest
 # latest-wins driver-green queries (fold of the committed
 # CORRECTNESS_r*.json artifacts), registration order within a round.
-# Round 9's changed set: ppr_multi (new: batched multi-source
-# personalized PageRank — the reference README matrix's one remaining
-# unsupported row, sparse (id, source) state, 3-iteration unrolled SQL
-# oracle), triad_census_estimate (new: deterministic md5 vertex
-# sparsifier, exact census on the induced subgraph, 1/p^3 scaling —
-# the wedge-budget guard's registered scale path),
-# svd_factorization (new: rank-1 truncated SVD by alternating power
-# iteration, the SVDPlusPlus matrix row's factorization core),
-# triad_census / triad_census_rmat (plan changed twice: middle-vertex
-# extraction via sort_array instead of sum-minus-extremes — the sum
-# overflowed int64 under ANSI mode on xxhash64 ids — C(n,3) in exact
-# integer DIV arithmetic, the O(E) wedge-budget guard, and the
-# multiplicity-fold that removed the wedge-table distinct, 3.6x),
-# sorted_neighborhood / dedup_edit_verify (bucket_chars 1 -> 4 — the
-# r8 verdict's one `weak` item — plus the ASCII-safe cross-engine
-# normalizer), and the AlternatingCC bounded-batch union-find
-# front-path (provably identical min-id labels, pinned by test) whose
-# consumers — mst_forest (1.9x), connected_components, percolation,
-# the dedup-cluster family, bipartite_*, bowtie_structure — are all
-# fronted below.
-# (b) = the stalest greens (r03-era rows).
-# The full-suite backstop is ORACLE_FULL_r9.json.
+# Round 10's changed set: cdc_dedup_capped (new: the CDC fingerprint
+# self-join behind a document-frequency stop-list cap — r9 verdict #2,
+# the suite's one remaining uncapped banded join), svd_factorization_k
+# (new: rank-k truncated SVD by deflated power iteration — r9 verdict
+# #6), cdc_dedup_clusters + its family (plan moved: hot-fingerprint cap
+# in the shared cluster cache plus a convergence guard on the CC rounds
+# — r9 verdict #4), triad_census / triad_census_estimate /
+# triad_census_rmat (closed forms 003/012/102 and the estimator's 1/p^3
+# scale-up now DECIMAL(38,0) — exact past the ~3M-vertex int64 ceiling,
+# r9 verdict #3), ppr_multi (alpha applied once post-aggregate to match
+# the oracle's arithmetic order exactly — ADVICE #3), svd_factorization
+# (top-15 ordered by the rounded value on both sides, iterations
+# validated — ADVICE #1/#4), temporal_reachability (batch front-path
+# bound now counts seeds+state, not just edges — ADVICE #2).
+# (b) = the stalest greens.
+# The full-suite backstop is ORACLE_FULL_r10.json.
+# GATE_ROUND bounds the staleness fold: this window folds
+# CORRECTNESS_r{1..GATE_ROUND-1} ONLY, so the driver dropping the
+# post-HEAD CORRECTNESS_r{GATE_ROUND}.json can never drift the pin
+# (the judge-time red of rounds 8 and 9 — r9 verdict #1).
+GATE_ROUND = 10
 ROUND_CHANGED: list[str] = [
-    "ppr_multi",
-    "triad_census_estimate",
-    "svd_factorization",
-    "triad_census",
-    "triad_census_rmat",
-    "sorted_neighborhood",
-    "dedup_edit_verify",
-    # plans moved (bounded-batch union-find front-path in
-    # AlternatingCC / Boruvka contraction), values provably identical
-    "mst_forest",
-    "connected_components",
-    "percolation",
-    "dedup_clusters",
+    "cdc_dedup_capped",
+    "svd_factorization_k",
     "cdc_dedup_clusters",
     "leakage_safe_split",
     "dedup_keep_policy",
     "dedup_cluster_sizes",
-    "bipartite_check",
-    "bipartite_projection",
-    "bowtie_structure",
-    # plan moved (Arrow-batch Tarjan front-path in SCC), identical labels
-    "scc",
-    "strongly_connected_components",
-    "graph_evolution",
-    # plan moved (Arrow temporal-Dijkstra under the bound), unique fixpoint
+    "triad_census",
+    "triad_census_estimate",
+    "triad_census_rmat",
+    "ppr_multi",
+    "svd_factorization",
     "temporal_reachability",
 ]
 
 GATE_PRIORITY: list[str] = [
-    "ppr_multi",
-    "triad_census_estimate",
-    "svd_factorization",
-    "triad_census",
-    "triad_census_rmat",
-    "sorted_neighborhood",
-    "dedup_edit_verify",
-    "mst_forest",
-    "connected_components",
-    "percolation",
-    "dedup_clusters",
+    "cdc_dedup_capped",
+    "svd_factorization_k",
     "cdc_dedup_clusters",
     "leakage_safe_split",
     "dedup_keep_policy",
     "dedup_cluster_sizes",
-    "bipartite_check",
-    "bipartite_projection",
-    "bowtie_structure",
-    "scc",
-    "strongly_connected_components",
-    "graph_evolution",
+    "triad_census",
+    "triad_census_estimate",
+    "triad_census_rmat",
+    "ppr_multi",
+    "svd_factorization",
     "temporal_reachability",
-    "kmv_sketch",
-    "transitivity",
-    "embedding_quantize",
-    "weighted_pagerank",
-    "bpe_merges",
-    "bpe_tokenize",
-    "mixture_plan",
-    "funnel",
-    "retention_cohorts",
-    "zorder_key",
-    "rmat_graph",
-    "cms_frequencies",
-    "walk_pmi",
-    "pq_codes",
-    "pq_adc_topk",
-    "histogram_quantiles",
-    "multimodal_decode_png",
-    "reciprocity",
-    "two_hop_counts",
-    "multimodal_decode_wav",
-    "multimodal_frames",
-    "repetition_pii",
-    "pmi_pairs",
-    "char_entropy",
-    "induced_subgraph",
-    "skew_report",
-    "sliding_windows",
-    "knn_classifier",
+    "kmeans_purity",
+    "gopher_quality",
+    "vocab_coverage",
+    "cdc_chunks",
+    "semdedup",
+    "embedding_pca",
+    "feature_propagation",
+    "powerlaw_fit",
+    "bigram_scores",
+    "topological_layers",
+    "dup_spans",
+    "dsir_weights",
+    "hll_distinct",
+    "multimodal_decode_gif",
+    "simrank",
+    "audio_spectral",
+    "four_cycles",
+    "rich_club",
+    "node2vec_walks",
+    "neighborhood_function",
+    "link_prediction",
+    "community_conductance",
+    "attribute_assortativity",
+    "shipping_priority",
+    "local_supplier_volume",
+    "order_priority",
+    "winnow_dedup",
+    "dataset_card",
+    "trending_topk",
+    "anomaly_zscore",
+    "image_thumbnail",
+    "kcenter_select",
+    "set_similarity_join",
+    "bloom_membership",
+    "concurrent_sessions",
+    "trend_detection",
+    "abandoned_events",
+    "ctfidf_topics",
 ]
 
 # Queries consuming a shared per-application cached artifact, keyed by

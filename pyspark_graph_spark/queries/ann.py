@@ -948,8 +948,143 @@ v{i} AS (
         + f"""
 SELECT CAST(c AS BIGINT) AS partkey, ROUND(x, 6) AS v,
        ROUND(sigma, 3) AS sigma
-FROM v{iters} ORDER BY x DESC, c LIMIT {topk}
+FROM v{iters} ORDER BY ROUND(x, 6) DESC, c LIMIT {topk}
 """
+    )
+
+
+def _svd_k_oracle(k: int = 2, iters: int = 2, topk: int = 8) -> str:
+    """Unrolled deflated power iteration (operators/svd.py:
+    deflated_power_iteration_svd) — factor j's matvecs subtract, per
+    prior factor p, sigma_p * (v_p . x) * u_p via the same
+    union-then-sum the Spark plan uses, so the oracle replays the exact
+    algebra term by term."""
+    parts = [
+        """
+a AS MATERIALIZED (
+    SELECT o_custkey AS r, l_partkey AS c,
+           CAST(SUM(l_quantity) AS DOUBLE) AS a
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)"""
+    ]
+    for j in range(k):
+        parts.append(f"f{j}v0 AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS x FROM a)")
+        prev_v = f"f{j}v0"
+        for i in range(1, iters + 1):
+            u_corr = "".join(
+                f"""
+        UNION ALL
+        SELECT u.r,
+               -(SELECT s FROM f{p}sigma)
+               * (SELECT SUM(pv.x * v.x)
+                  FROM f{p}v pv JOIN {prev_v} v USING (c))
+               * u.x AS y
+        FROM f{p}u u"""
+                for p in range(j)
+            )
+            parts.append(f"""
+f{j}u{i}r AS MATERIALIZED (
+    SELECT r, SUM(y) AS y FROM (
+        SELECT a.r, SUM(a.a * v.x) AS y
+        FROM a JOIN {prev_v} v USING (c) GROUP BY a.r{u_corr}
+    ) GROUP BY r
+),
+f{j}u{i} AS MATERIALIZED (
+    SELECT r, y / (SELECT SQRT(SUM(y * y)) FROM f{j}u{i}r) AS x
+    FROM f{j}u{i}r
+)""")
+            v_corr = "".join(
+                f"""
+        UNION ALL
+        SELECT v.c,
+               -(SELECT s FROM f{p}sigma)
+               * (SELECT SUM(pu.x * u.x)
+                  FROM f{p}u pu JOIN f{j}u{i} u USING (r))
+               * v.x AS y
+        FROM f{p}v v"""
+                for p in range(j)
+            )
+            parts.append(f"""
+f{j}v{i}r AS MATERIALIZED (
+    SELECT c, SUM(y) AS y FROM (
+        SELECT a.c, SUM(a.a * u.x) AS y
+        FROM a JOIN f{j}u{i} u USING (r) GROUP BY a.c{v_corr}
+    ) GROUP BY c
+),
+f{j}v{i} AS MATERIALIZED (
+    SELECT c, y / (SELECT SQRT(SUM(y * y)) FROM f{j}v{i}r) AS x
+    FROM f{j}v{i}r
+)""")
+            prev_v = f"f{j}v{i}"
+        parts.append(
+            f"f{j}sigma AS MATERIALIZED (SELECT SQRT(SUM(y * y)) AS s FROM f{j}v{iters}r)"
+        )
+        parts.append(f"f{j}u AS MATERIALIZED (SELECT r, x FROM f{j}u{iters})")
+        parts.append(f"f{j}v AS MATERIALIZED (SELECT c, x FROM f{j}v{iters})")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {j} AS factor, c, x, (SELECT s FROM f{j}sigma) AS s"
+        f" FROM f{j}v"
+        for j in range(k)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+allv AS ({union})
+SELECT CAST(factor AS BIGINT) AS factor, CAST(c AS BIGINT) AS partkey,
+       ROUND(x, 6) AS v, ROUND(s, 3) AS sigma
+FROM allv
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY factor ORDER BY ROUND(x, 6) DESC, c
+) <= {topk}
+"""
+    )
+
+
+@query("svd_factorization_k", oracle=_svd_k_oracle(k=2, iters=2, topk=8))
+def q_svd_factorization_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 truncated SVD of the customer x part interaction matrix by
+    deflated power iteration (r9 verdict #6 — the rank-k step on top of
+    `svd_factorization`'s rank-1 core). Deflation is IMPLICIT:
+    A_1 x = A x - sigma_0 (v_0 . x) u_0, one broadcast scalar + one
+    scaled vector folded into the same groupBy-sum, so the sparse COO
+    matrix is never densified and the per-iteration shape stays two
+    vertex-keyed shuffles. The oracle unrolls the identical algebra
+    (union-then-sum, term by term) and the top-8 per factor is selected
+    on the ROUNDED value with a partkey tie-break on both sides."""
+    from pyspark.sql import Window
+
+    from pyspark_graph_spark.operators.svd import deflated_power_iteration_svd
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    inter = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+    )
+    _, v = deflated_power_iteration_svd(
+        inter, "custkey", "partkey", "qty", k=2, iterations=2
+    )
+    w = Window.partitionBy("factor").orderBy(
+        F.desc(F.round("v", 6)), F.asc("partkey")
+    )
+    return (
+        v.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 8)
+        .select(
+            F.col("factor").cast("long").alias("factor"),
+            F.col("partkey").cast("long").alias("partkey"),
+            F.round("v", 6).alias("v"),
+            F.round("sigma", 3).alias("sigma"),
+        )
     )
 
 
@@ -984,8 +1119,11 @@ def q_svd_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, v = power_iteration_svd(
         inter, "custkey", "partkey", "qty", iterations=2
     )
+    # top-k membership is decided on the ROUNDED value (both sides) so a
+    # near-tie at the boundary cannot order differently across engines
+    # whose float reductions are not bit-identical (r9 ADVICE #4)
     return (
-        v.orderBy(F.desc("v"), F.asc("partkey"))
+        v.orderBy(F.desc(F.round("v", 6)), F.asc("partkey"))
         .limit(15)
         .select(
             F.col("partkey").cast("long").alias("partkey"),

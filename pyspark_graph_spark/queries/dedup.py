@@ -216,19 +216,35 @@ FROM m LEFT JOIN drops d ON m.vec_id = d.vec_id
 # ---------------------------------------------------------------------------
 # Chunk-level dedup clustering: cdc_chunks -> shared-fingerprint edges -> CC
 # ---------------------------------------------------------------------------
-def _cdc_clusters_oracle(window: int, divisor: int) -> str:
+def _cdc_clusters_oracle(
+    window: int, divisor: int, max_df: int | None = None
+) -> str:
     """Replays cdc_chunks as a subquery, links docs sharing a chunk
     fingerprint, then resolves clusters with a recursive min-label
-    reachability CTE."""
+    reachability CTE.
+
+    ``max_df`` replays the Spark side's fingerprint document-frequency
+    stop-list (dedup/cdc.py): fingerprints shared by more than ``max_df``
+    distinct docs are boilerplate and generate no pairs. None omits the
+    filter — value-identical to the default (1024) on the gate corpora,
+    whose measured max df is 9 at sf0.01 / 66 at sf0.1."""
     chunks = _cdc_sql(window=window, divisor=divisor).strip()
+    member = "SELECT DISTINCT doc_id, fingerprint FROM chunks"
+    if max_df is not None:
+        member = f"""
+    SELECT doc_id, fingerprint FROM (
+        SELECT DISTINCT doc_id, fingerprint FROM chunks
+    ) QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) <= {max_df}
+"""
     return f"""
 WITH RECURSIVE
 chunks AS MATERIALIZED (
     SELECT * FROM ({chunks})
 ),
+member AS MATERIALIZED ({member}),
 pairs AS (
     SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-    FROM chunks a JOIN chunks b
+    FROM member a JOIN member b
       ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
 ),
 sym AS (
@@ -563,23 +579,23 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a chunk fingerprint become edges -> connected components label each
     near-dup cluster (min doc id).  Composes two scale-safe pieces: CDC is
     shuffle-free per-row arithmetic; the fingerprint self-join is bucketed
-    by fingerprint (never all-pairs).  Pregel min-label CC fits here —
-    shared-chunk clusters are clique-dense, so diameter stays tiny; swap
-    in AlternatingConnectedComponents for adversarial chain-shaped
-    corpora.  The cluster table is computed once per Spark application +
-    sf_dir and persisted — three gate queries (clusters, size histogram,
-    keep policy) and leakage_safe_split consume the identical result, the
-    same suite-level sharing the landmark-SP cache applies (r2 verdict
-    item 3)."""
+    by fingerprint AND df-stop-listed (dedup/cdc.py — fingerprints shared
+    by > 1024 distinct docs are boilerplate and emit no pairs; non-firing
+    at gate scale, measured max df 9 at sf0.01 / 66 at sf0.1, so the
+    committed oracle needs no filter).  Components via
+    AlternatingConnectedComponents — diameter-independent, so a
+    chain-shaped cluster can never be silently split by an iteration
+    budget (r9 verdict #4).  The cluster table is computed once per Spark
+    application + sf_dir and persisted — three gate queries (clusters,
+    size histogram, keep policy) and leakage_safe_split consume the
+    identical result, the same suite-level sharing the landmark-SP cache
+    applies (r2 verdict item 3)."""
     key = (_app_key(spark), sf_dir)
     cached = _CDC_CACHE.get(key)
     if cached is not None:
         return cached
+    from pyspark_graph_spark.dedup.cdc import cdc_cluster_labels
     from pyspark_graph_spark.functions.packing import cdc_chunks
-    from pyspark_graph_spark.graph import Graph
-    from pyspark_graph_spark.operators.connected_components import (
-        ConnectedComponents,
-    )
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -589,32 +605,43 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = cdc_chunks(spread, window=3, divisor=16).select(
         "doc_id", "fingerprint"
     )
-    a = ch.select(F.col("doc_id").alias(SRC), "fingerprint")
-    b = ch.select(F.col("doc_id").alias(DST), "fingerprint")
-    # materialize once: ACC's rounds + convergence probes would otherwise
-    # re-execute the chunking + fingerprint join per round
-    pairs = (
-        a.join(b, on="fingerprint")
-        .filter(F.col(SRC) < F.col(DST))
-        .select(SRC, DST)
-        .distinct()
-        .localCheckpoint()
-    )
-    g = Graph(
-        docs.select(F.col("doc_id").alias(ID)),
-        pairs,
-        directed=False,
-        indexed=True,
-    )
-    out = ConnectedComponents(max_iterations=10).run(g)
-    result = out.select(
-        F.col(ID).alias("doc_id"), F.col("component").alias("component")
-    ).persist()
+    result = cdc_cluster_labels(docs, ch).persist()
     for old_key in list(_CDC_CACHE):
         if old_key != key:
             _CDC_CACHE.pop(old_key).unpersist()
     _CDC_CACHE[key] = result
     return result
+
+
+@query(
+    "cdc_dedup_capped",
+    oracle=_cdc_clusters_oracle(window=3, divisor=16, max_df=4),
+)
+def q_cdc_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC fingerprint stop-list, driver-verified while FIRING (r9
+    verdict #2 — the suite's one banded self-join that never got the
+    round-8 cap treatment): same pipeline as `cdc_dedup_clusters` but
+    with max_fingerprint_df=4, BELOW the gate corpus's measured max df
+    (9 at sf0.01, 66 at sf0.1), so high-df boilerplate fingerprints are
+    actually dropped and the resulting (different) clustering is
+    hash-matched against an oracle that replays the stop-list with a
+    QUALIFY COUNT(*) OVER (PARTITION BY fingerprint) <= 4.
+    `cdc_dedup_clusters` keeps pinning the default (non-firing) cap's
+    value-identity; THIS query pins the capped path's exact semantics —
+    the 100 TB knob is hash-matched by the external engine, not just
+    unit-tested (same contract as `dedup_simhash_capped`)."""
+    from pyspark_graph_spark.dedup.cdc import cdc_cluster_labels
+    from pyspark_graph_spark.functions.packing import cdc_chunks
+    from pyspark_graph_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(
+        _default_parallelism(spark), "doc_id"
+    )
+    ch = cdc_chunks(spread, window=3, divisor=16).select(
+        "doc_id", "fingerprint"
+    )
+    return cdc_cluster_labels(docs, ch, max_fingerprint_df=4)
 
 @query(
     "leakage_safe_split",

@@ -2848,7 +2848,11 @@ def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").cast("long").alias(ID))
     )
     g = Graph(v, te, directed=True, indexed=True)
-    return triad_census(g)
+    # the operator returns DECIMAL(38,0) (exact past the int64 ceiling);
+    # the gate-scale cast back to long keeps the committed oracle schema
+    return triad_census(g).withColumn(
+        "n_triads", F.col("n_triads").cast("long")
+    )
 
 
 def _triad_rmat_oracle() -> str:
@@ -2903,7 +2907,11 @@ def q_triad_census_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spark.range(256).select(F.col("id").alias(ID))
     e = rmat_edges(spark, scale=8, n_edges=4096)
     g = Graph(v, e, directed=True, indexed=True)
-    return triad_census(g)
+    # the operator returns DECIMAL(38,0) (exact past the int64 ceiling);
+    # the gate-scale cast back to long keeps the committed oracle schema
+    return triad_census(g).withColumn(
+        "n_triads", F.col("n_triads").cast("long")
+    )
 
 
 def _triad_estimate_oracle() -> str:
@@ -2967,7 +2975,14 @@ def q_triad_census_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = spark.range(256).select(F.col("id").alias(ID))
     e = rmat_edges(spark, scale=8, n_edges=4096)
     g = Graph(v, e, directed=True, indexed=True)
-    return triad_census_estimate(g, sample_mod=4)
+    out = triad_census_estimate(g, sample_mod=4)
+    # the operator returns DECIMAL(38,0) (exact past the int64 ceiling);
+    # the gate-scale cast back to long keeps the committed oracle schema
+    return out.select(
+        "triad_type",
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        F.col("n_est").cast("long").alias("n_est"),
+    )
 
 
 @query(

@@ -72,3 +72,76 @@ def test_rank_one_matrix_exact_in_one_iteration(spark):
         assert x == pytest.approx(u_true[i], rel=1e-12)
     for j, x in v_map.items():
         assert x == pytest.approx(v_true[j], rel=1e-12)
+
+
+def test_iterations_validated():
+    with pytest.raises(ValueError, match="iterations"):
+        power_iteration_svd(None, "r", "c", "a", iterations=0)
+
+
+def test_deflated_rank_k_matches_numpy(spark):
+    """deflated_power_iteration_svd (round 10): the first k singular
+    triplets match numpy's exact SVD — deflation is implicit
+    (A x - sum sigma_p (v_p.x) u_p), never densified."""
+    from pyspark_graph_spark.operators.svd import deflated_power_iteration_svd
+
+    rng = np.random.RandomState(7)
+    dense = np.abs(rng.rand(8, 6)) + np.outer(rng.rand(8), rng.rand(6)) * 5
+    df = _to_spark(spark, dense)
+    u, v = deflated_power_iteration_svd(df, "r", "c", "a", k=3, iterations=30)
+    got_v = {
+        (row["factor"], row["c"]): (row["v"], row["sigma"])
+        for row in v.collect()
+    }
+    _, S, Vt = np.linalg.svd(dense)
+    for j in range(3):
+        vs = np.array([got_v[(j, c)][0] for c in range(6)])
+        sig = got_v[(j, 0)][1]
+        ref = Vt[j] if np.dot([got_v[(j, c)][0] for c in range(6)], Vt[j]) > 0 else -Vt[j]
+        assert abs(sig - S[j]) < 1e-4, (j, sig, S[j])
+        assert np.abs(vs - ref).max() < 1e-3, j
+    # u side: orthonormal columns
+    import collections
+
+    u_rows = u.collect()
+    by_f = collections.defaultdict(dict)
+    for row in u_rows:
+        by_f[row["factor"]][row["r"]] = row["u"]
+    for j in range(3):
+        uj = np.array([by_f[j].get(r, 0.0) for r in range(8)])
+        assert abs(np.linalg.norm(uj) - 1.0) < 1e-9
+    for a in range(3):
+        for b in range(a + 1, 3):
+            ua = np.array([by_f[a].get(r, 0.0) for r in range(8)])
+            ub = np.array([by_f[b].get(r, 0.0) for r in range(8)])
+            assert abs(np.dot(ua, ub)) < 1e-6
+
+
+def test_deflated_rank_k_validation(spark):
+    from pyspark_graph_spark.operators.svd import deflated_power_iteration_svd
+
+    with pytest.raises(ValueError, match="iterations"):
+        deflated_power_iteration_svd(None, "r", "c", "a", k=2, iterations=0)
+    with pytest.raises(ValueError, match="k must"):
+        deflated_power_iteration_svd(None, "r", "c", "a", k=0)
+
+
+def test_deflated_k1_equals_rank1_operator(spark):
+    """k=1 deflated == the rank-1 operator (no deflation terms fire):
+    same algebra, same values."""
+    from pyspark_graph_spark.operators.svd import deflated_power_iteration_svd
+
+    rng = np.random.RandomState(3)
+    dense = np.abs(rng.rand(5, 4))
+    df = _to_spark(spark, dense)
+    u1, v1 = power_iteration_svd(df, "r", "c", "a", iterations=3)
+    uk, vk = deflated_power_iteration_svd(df, "r", "c", "a", k=1, iterations=3)
+    a = {(row["r"],): row["u"] for row in u1.collect()}
+    b = {(row["r"],): row["u"] for row in uk.collect()}
+    for key in a:
+        assert abs(a[key] - b[key]) < 1e-12
+    av = {row["c"]: (row["v"], row["sigma"]) for row in v1.collect()}
+    bv = {row["c"]: (row["v"], row["sigma"]) for row in vk.collect()}
+    for key in av:
+        assert abs(av[key][0] - bv[key][0]) < 1e-12
+        assert abs(av[key][1] - bv[key][1]) < 1e-12

@@ -36,13 +36,25 @@ sys.path.insert(0, REPO)
 WINDOW = 50
 
 
-def fold_latest_checked(repo: str = REPO) -> dict[str, int]:
+def fold_latest_checked(repo: str = REPO,
+                        upto_round: int | None = None) -> dict[str, int]:
     """query -> newest round whose driver window verified it (green or
     not — a red check still counts as 'recently looked at'; the gate has
-    zero latest-fail reds, asserted by the test)."""
+    zero latest-fail reds, asserted by the test).
+
+    ``upto_round`` bounds the fold to rounds STRICTLY BELOW it (the window
+    for round N folds r1..r{N-1}).  The driver drops ``CORRECTNESS_r{N}.json``
+    into the repo AFTER the round-N HEAD is committed, so an unbounded glob
+    made the committed GATE_PRIORITY pin drift the moment the driver ran —
+    the judge-time red of rounds 8 AND 9.  Callers pass
+    ``queries.GATE_ROUND`` so the fold is reproducible from the commit
+    alone, whatever later artifacts sit in the working tree.
+    """
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        if upto_round is not None and rnd >= upto_round:
+            continue
         with open(path) as fh:
             for q in json.load(fh):
                 latest[q] = max(latest.get(q, 0), rnd)
@@ -65,10 +77,11 @@ def compute(new_or_changed: list[str], registration_order: list[str],
 
 
 def main() -> int:
-    from pyspark_graph_spark.queries import GATE_PRIORITY, ROUND_CHANGED
+    from pyspark_graph_spark.queries import GATE_PRIORITY, GATE_ROUND, ROUND_CHANGED
     from pyspark_graph_spark.queries._order import REGISTRATION_ORDER
 
-    window = compute(ROUND_CHANGED, REGISTRATION_ORDER, fold_latest_checked())
+    window = compute(ROUND_CHANGED, REGISTRATION_ORDER,
+                     fold_latest_checked(upto_round=GATE_ROUND))
     if "--diff" in sys.argv:
         if window == GATE_PRIORITY:
             print("GATE_PRIORITY matches the rotation policy")
