@@ -134,7 +134,15 @@ def run_temporal(spark):
         for bound in (2_000_000, 0):
             t0 = time.time()
             df = earliest_arrival(
-                sym, seeds, "src", "dst", "ts", batch_finish=bound
+                sym,
+                seeds,
+                "src",
+                "dst",
+                "ts",
+                max_rounds=60,  # real-sf1 one-keyspace graph: label-
+                # correcting needs > the default 20 rounds (loud failure
+                # otherwise — the operator refuses truncated fixpoints)
+                batch_finish=bound,
             )
             cs = _checksum(df, ["id", "arrival"])
             dt = time.time() - t0
