@@ -53,7 +53,12 @@ def fingerprint_doc_pairs(
     pair join shuffles on — so the stop-list adds one map-side-combined
     aggregate and no extra shuffle stage beyond it.
     """
-    membership = chunks.select(doc_col, fp_col).distinct()
+    # materialize the (doc, fingerprint) membership ONCE: it feeds the df
+    # aggregate, the stop-list semi-join, and BOTH sides of the pair
+    # join — without the checkpoint the upstream chunking expression
+    # (CDC hashing over full documents) re-executes per consumer, which
+    # measured 4x the whole query's cost at sf0.1
+    membership = chunks.select(doc_col, fp_col).distinct().localCheckpoint()
     if max_fingerprint_df is not None:
         keep = (
             membership.groupBy(fp_col)

@@ -170,11 +170,16 @@ SHARED_FAMILIES: dict[str, list[str]] = {
         "harmonic_centrality",
         "eccentricity",
     ],
+    # r10: the persisted chunk table (_shared_cdc_chunks) binds
+    # cdc_chunks and the capped variant into the same family — the
+    # ~10 s hash-lambda pass lands on whichever member runs first
     "cdc_clusters": [
         "cdc_dedup_clusters",
         "leakage_safe_split",
         "dedup_keep_policy",
         "dedup_cluster_sizes",
+        "cdc_chunks",
+        "cdc_dedup_capped",
     ],
     "supplier_matching": [
         "maximal_matching",

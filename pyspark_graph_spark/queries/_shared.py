@@ -9,7 +9,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark_graph_spark.constants import DST
-from pyspark_graph_spark.session import app_key as _app_key
+from pyspark_graph_spark.session import (
+    app_key as _app_key,
+    default_parallelism as _default_parallelism,
+)
 from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.sources.tables import (
     customer_supplier_graph,
@@ -260,6 +263,38 @@ def _kmeans_oracle(k: int, n_iter: int, dim: int) -> str:
 # Within one (app, sf_dir) the files are assumed immutable for the app's
 # lifetime (the suite's batch contract); restart the app if they change.
 _CDC_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# The CDC chunk table (doc_id, chunk_id, n_tokens, fingerprint) — the
+# suite's third-most rebuilt artifact after the co-occurrence and
+# customer-supplier graphs (round 10): the per-position hash lambdas cost
+# ~10 s at sf0.1 and were paid independently by cdc_chunks, the cluster
+# cache, and the capped variant. One persisted build; same latest-entry
+# eviction as _CDC_CACHE.
+_CDC_CHUNKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc_chunks(window=3, divisor=16) over the documents table, computed
+    once per Spark application + sf_dir and persisted."""
+    from pyspark_graph_spark.functions.packing import cdc_chunks
+    from pyspark_graph_spark.sources.tables import load_table
+
+    key = (_app_key(spark), sf_dir)
+    cached = _CDC_CHUNKS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # sf0.1 documents is ONE parquet file -> one input partition; the
+    # per-position hash lambdas are the real work, so spread them
+    # (measured 48 s -> ~3 s at sf0.1 on local[32])
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _default_parallelism(spark), "doc_id"
+    )
+    out = cdc_chunks(docs, window=3, divisor=16).persist()
+    for old_key in list(_CDC_CHUNKS_CACHE):
+        if old_key != key:
+            _CDC_CHUNKS_CACHE.pop(old_key).unpersist()
+    _CDC_CHUNKS_CACHE[key] = out
+    return out
 
 def _wedge_budget_guard(sym: DataFrame, query_name: str) -> None:
     """Raise when the wedge self-join's row budget Σ_v C(deg(v), 2) exceeds

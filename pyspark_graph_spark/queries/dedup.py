@@ -547,17 +547,14 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (Rabin-style k-gram boundaries, expected
     chunk ~16 tokens) with md5 chunk fingerprints — the chunk-level dedup
     unit.  All boundary arithmetic is per-row array lambdas inside
-    whole-stage codegen; no token-level shuffle (functions/packing.py)."""
-    from pyspark_graph_spark.functions.packing import cdc_chunks
-    from pyspark_graph_spark.sources.tables import load_table
+    whole-stage codegen; no token-level shuffle (functions/packing.py).
+    Consumes the SHARED persisted chunk table (round 10,
+    `_shared_cdc_chunks`): the ~10 s-at-sf0.1 hash-lambda pass is paid
+    once per application + sf_dir across this query, the cluster cache,
+    and the capped variant."""
+    from pyspark_graph_spark.queries._shared import _shared_cdc_chunks
 
-    # sf0.1 documents is ONE parquet file -> one input partition; the
-    # per-position hash lambdas are the real work here, so spread them
-    # (measured 48 s -> ~3 s at sf0.1 on local[32])
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        _default_parallelism(spark), "doc_id"
-    )
-    return cdc_chunks(docs, window=3, divisor=16)
+    return _shared_cdc_chunks(spark, sf_dir)
 
 @query("semdedup", oracle=_semdedup_sql(k=8, n_iter=2, dim=64, tau=0.42))
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,16 +592,11 @@ def q_cdc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     from pyspark_graph_spark.dedup.cdc import cdc_cluster_labels
-    from pyspark_graph_spark.functions.packing import cdc_chunks
+    from pyspark_graph_spark.queries._shared import _shared_cdc_chunks
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    spread = docs.repartition(
-        _default_parallelism(spark), "doc_id"
-    )
-    ch = cdc_chunks(spread, window=3, divisor=16).select(
-        "doc_id", "fingerprint"
-    )
+    ch = _shared_cdc_chunks(spark, sf_dir).select("doc_id", "fingerprint")
     result = cdc_cluster_labels(docs, ch).persist()
     for old_key in list(_CDC_CACHE):
         if old_key != key:
@@ -631,16 +623,11 @@ def q_cdc_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB knob is hash-matched by the external engine, not just
     unit-tested (same contract as `dedup_simhash_capped`)."""
     from pyspark_graph_spark.dedup.cdc import cdc_cluster_labels
-    from pyspark_graph_spark.functions.packing import cdc_chunks
+    from pyspark_graph_spark.queries._shared import _shared_cdc_chunks
     from pyspark_graph_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    spread = docs.repartition(
-        _default_parallelism(spark), "doc_id"
-    )
-    ch = cdc_chunks(spread, window=3, divisor=16).select(
-        "doc_id", "fingerprint"
-    )
+    ch = _shared_cdc_chunks(spark, sf_dir).select("doc_id", "fingerprint")
     return cdc_cluster_labels(docs, ch, max_fingerprint_df=4)
 
 @query(
