@@ -151,7 +151,7 @@ def deflated_power_iteration_svd(
     for _ in range(k):
         v = all_cols.withColumn("__x", F.lit(1.0))
         u = None
-        v_raw_norm = None
+        v_full = None
         for _i in range(iterations):
             # y = A v - sum_p sigma_p (v_p . v) u_p
             terms = (
@@ -209,15 +209,26 @@ def deflated_power_iteration_svd(
                 )
                 terms_t = terms_t.unionByName(corr)
             v_raw = terms_t.groupBy("__c").agg(F.sum("__y").alias("__y"))
-            v_raw_norm = v_raw.agg(
+            v_norm = v_raw.agg(
                 F.sqrt(F.sum(F.col("__y") * F.col("__y"))).alias("__n")
-            ).localCheckpoint()
-            v = (
-                v_raw.crossJoin(F.broadcast(v_raw_norm))
-                .select("__c", (F.col("__y") / F.col("__n")).alias("__x"))
+            )
+            # one checkpoint carries both the normalized vector and the
+            # norm (the sigma estimate) — same shape as the rank-1
+            # operator's v_full; a separate singleton checkpoint per
+            # half-iteration measured ~30% of the whole query's wall
+            v_full = (
+                v_raw.crossJoin(F.broadcast(v_norm))
+                .select(
+                    "__c",
+                    (F.col("__y") / F.col("__n")).alias("__x"),
+                    F.col("__n").alias("__sigma"),
+                )
                 .localCheckpoint()
             )
-        sigma = v_raw_norm.select(F.col("__n").alias("__s"))
+            v = v_full.select("__c", "__x")
+        sigma = (
+            v_full.select(F.col("__sigma").alias("__s")).limit(1)
+        )
         factors.append((u, v, sigma))
     u_parts = [
         u_p.crossJoin(F.broadcast(s_p)).select(
