@@ -177,10 +177,20 @@ class AlternatingConnectedComponents:
     inputs and contraction tails)."""
 
     def __init__(
-        self, max_iterations: int = 20, batch_finish: int = 1_000_000
+        self,
+        max_iterations: int = 20,
+        batch_finish: int = 1_000_000,
+        require_convergence: bool = True,
     ):
         self.max_iterations = max_iterations
         self.batch_finish = batch_finish
+        # post-fixpoint the edge list is a star forest; reading it as a
+        # membership table BEFORE the fixpoint is reached returns garbage
+        # labels, not merely coarse ones — so truncation must be loud,
+        # the same contract Pregel CC and the SCC floods carry. O(log n)
+        # alternation makes 20 rounds enough for ~10^6-diameter inputs;
+        # the guard exists for the day that stops being true.
+        self.require_convergence = require_convergence
 
     def run(self, g: Graph) -> DataFrame:
         # loop-free edge pairs (large-star symmetrizes per round)
@@ -216,12 +226,23 @@ class AlternatingConnectedComponents:
             return (r["x"], r["n"])
 
         fingerprint = fp(edges)
+        converged = False
         for _ in range(self.max_iterations):
             edges = _small_star(_large_star(edges)).localCheckpoint()
             new_fingerprint = fp(edges)
             if new_fingerprint == fingerprint:
+                converged = True
                 break
             fingerprint = new_fingerprint
+        if self.require_convergence and not converged:
+            raise RuntimeError(
+                "AlternatingConnectedComponents hit max_iterations="
+                f"{self.max_iterations} before the star fixpoint — the "
+                "edge list is not yet a star forest and reading it as a "
+                "membership table would return wrong labels. Raise "
+                "max_iterations (rounds are O(log n)) or pass "
+                "require_convergence=False to accept truncation."
+            )
 
         # post-fixpoint the edge list is a star forest pointing at roots
 

@@ -103,3 +103,31 @@ def test_pregel_cc_raises_on_truncation(spark):
     # converged run passes the guard and labels the path as one component
     ok = ConnectedComponents(max_iterations=n + 1).run(g)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_acc_raises_on_truncation(spark):
+    """AlternatingCC's distributed loop now also fails LOUDLY when the
+    star fixpoint isn't reached: pre-fixpoint the edge list is not a
+    star forest, so reading it as a membership table returns garbage
+    labels — the same silent-wrong-answer class as truncated Pregel CC
+    (round 10 extension of the r9 #4 fix)."""
+    from pyspark_graph_spark.operators.connected_components import (
+        AlternatingConnectedComponents,
+    )
+
+    n = 64  # path graph: needs a few alternating rounds
+    v = spark.range(n).select(F.col("id").alias(ID))
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], f"{SRC} long, {DST} long"
+    )
+    g = Graph(v, e, directed=False, indexed=True)
+    with pytest.raises(RuntimeError, match="star fixpoint"):
+        AlternatingConnectedComponents(
+            max_iterations=1, batch_finish=0
+        ).run(g)
+    out = AlternatingConnectedComponents(
+        max_iterations=1, batch_finish=0, require_convergence=False
+    ).run(g)
+    assert out.count() == n  # truncated labels, by explicit request
+    ok = AlternatingConnectedComponents(batch_finish=0).run(g)
+    assert {r["component"] for r in ok.collect()} == {0}
