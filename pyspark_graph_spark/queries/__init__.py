@@ -101,6 +101,8 @@ ROUND_CHANGED: list[str] = [
     "ppr_multi",
     "svd_factorization",
     "temporal_reachability",
+    # plan moved: consumes the shared persisted chunk table (round 10)
+    "cdc_chunks",
 ]
 
 GATE_PRIORITY: list[str] = [
@@ -116,10 +118,10 @@ GATE_PRIORITY: list[str] = [
     "ppr_multi",
     "svd_factorization",
     "temporal_reachability",
+    "cdc_chunks",
     "kmeans_purity",
     "gopher_quality",
     "vocab_coverage",
-    "cdc_chunks",
     "semdedup",
     "embedding_pca",
     "feature_propagation",
@@ -155,6 +157,7 @@ GATE_PRIORITY: list[str] = [
     "abandoned_events",
     "ctfidf_topics",
 ]
+
 
 # Queries consuming a shared per-application cached artifact, keyed by
 # family (the cache that binds them). The artifact's build cost lands on
