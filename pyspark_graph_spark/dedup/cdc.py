@@ -52,7 +52,19 @@ def fingerprint_doc_pairs(
     The df count and the semi-join run on ``fp_col`` — the same key the
     pair join shuffles on — so the stop-list adds one map-side-combined
     aggregate and no extra shuffle stage beyond it.
+
+    ``max_fingerprint_df`` must be >= 2 (a pair needs df 2) or ``None``
+    to disable the stop-list entirely; values below 2 would silently
+    drop EVERY fingerprint and return an empty pair set —
+    indistinguishable from a genuinely duplicate-free corpus (r10
+    ADVICE #3), so they raise instead.
     """
+    if max_fingerprint_df is not None and max_fingerprint_df < 2:
+        raise ValueError(
+            "max_fingerprint_df must be >= 2 (a candidate pair needs a "
+            f"fingerprint shared by 2 documents); got {max_fingerprint_df}. "
+            "Pass None to disable the stop-list."
+        )
     # materialize the (doc, fingerprint) membership ONCE: it feeds the df
     # aggregate, the stop-list semi-join, and BOTH sides of the pair
     # join — without the checkpoint the upstream chunking expression

@@ -1,0 +1,147 @@
+"""Exact integer arithmetic helpers for closed-form COUNT expressions.
+
+Motivation (r10 verdict "What's wrong #1" + ADVICE #1): several closed
+forms multiply or halve count-shaped longs. Done naively, each step has
+a silent ceiling —
+
+  * ``c * (c - 1) / 2`` with ``/`` is a DOUBLE division: every per-row
+    term, and therefore the sum, silently loses integer precision past
+    2^53 (~9e15); a hub-heavy 100 TB graph reaches that.
+  * ``c * (c - 1)`` on longs silently wraps past c ~ 3.04e9.
+  * dividing a DECIMAL(38,0) by a literal produces DECIMAL(38,6) under
+    ``spark.sql.decimalOperations.allowPrecisionLoss`` — exact only
+    while the quotient is below ~1e32, NULL beyond.
+
+Spark's ``DIV`` is no help on wide decimals (it returns LONG, wrapping
+past int64 — verified on 4.1.2), so the only fully exact route is to
+pull the small divisor out of the product ON THE LONG SIDE — where DIV
+and shiftright are exact — and multiply the reduced factors in
+DECIMAL(38,0), where the product is exact to 1e38 and overflow beyond
+that is LOUD (NULL, or an error under ANSI), never silently wrong.
+
+Every helper returns column expressions built only from deterministic
+integer ops (%, DIV/shiftright, CASE, decimal multiply), so a DuckDB
+oracle replays them exactly with HUGEINT arithmetic (``//`` and ``*``
+on HUGEINT are exact to ~1.7e38).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC38 = "decimal(38,0)"
+
+
+def choose2_dec(c: Column) -> Column:
+    """Exact C(c,2) = c(c-1)/2 as DECIMAL(38,0) for any nonnegative long.
+
+    One of {c, c-1} is even; halve THAT one with an exact long
+    shiftright, then multiply the two reduced factors as DECIMAL(19,0)
+    — the product is exact for every c that fits int64 (max C(c,2)
+    ~ 4.3e37 < 1e38).
+    """
+    even = (c % 2) == 0
+    h1 = F.when(even, F.shiftright(c, 1)).otherwise(c).cast("decimal(19,0)")
+    h2 = (
+        F.when(even, c - 1)
+        .otherwise(F.shiftright(c - 1, 1))
+        .cast("decimal(19,0)")
+    )
+    return (h1 * h2).cast(DEC38)
+
+
+def floor_half_choose2_dec(c: Column) -> Column:
+    """Exact floor(C(c,2) / 2) as DECIMAL(38,0) for any nonnegative long.
+
+    Used to halve Σ C(c,2) without ever dividing a decimal: the caller
+    sums these per-row floors plus half the (even) count of odd terms —
+    see ``choose2_parity``. Case split on c mod 4 (q = c(c-1)/2 is odd
+    iff c ≡ 2,3 mod 4), each branch an exact product of two longs:
+
+      c = 4m   -> q/2 = m(4m-1)        (q even)
+      c = 4m+1 -> q/2 = m(4m+1)        (q even)
+      c = 4m+2 -> floor(q/2) = m(4m+3) (q odd)
+      c = 4m+3 -> floor(q/2) = (4m+1)(m+1) (q odd)
+    """
+    m = F.shiftright(c, 2)  # c DIV 4, exact for nonnegative longs
+    r = c % 4
+    d19 = "decimal(19,0)"
+    f1 = (
+        F.when(r == 3, 4 * m + 1).otherwise(m).cast(d19)
+    )
+    f2 = (
+        F.when(r == 0, 4 * m - 1)
+        .when(r == 1, 4 * m + 1)
+        .when(r == 2, 4 * m + 3)
+        .otherwise(m + 1)
+        .cast(d19)
+    )
+    return (f1 * f2).cast(DEC38)
+
+
+def choose2_parity(c: Column) -> Column:
+    """1 when C(c,2) is odd (c ≡ 2,3 mod 4) else 0, as a long."""
+    return F.when(c % 4 >= 2, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def half_sum_choose2_dec(c: Column) -> Column:
+    """Exact AGGREGATE expression for Σ_rows C(c,2) / 2 as DECIMAL(38,0).
+
+    Only valid when the mathematical total Σ C(c,2) is EVEN (e.g. the
+    opposite-corner 4-cycle identity, where every cycle is counted at
+    both diagonals). Identity:
+
+        Σ C(c,2) / 2 = Σ floor(C(c,2)/2) + (#odd terms) / 2
+
+    The floor sum is an exact DECIMAL(38,0) aggregate; the odd-term
+    count fits a long (it is at most the row count) and is halved with
+    an exact shiftright — no decimal division anywhere, so the result
+    is exact all the way to the DECIMAL(38,0) ceiling (1e38), where
+    overflow is loud.
+    """
+    return (
+        F.coalesce(F.sum(floor_half_choose2_dec(c)), F.lit(0).cast(DEC38))
+        + F.shiftright(
+            F.coalesce(F.sum(choose2_parity(c)), F.lit(0)), 1
+        ).cast(DEC38)
+    ).cast(DEC38)
+
+
+def choose3_dec(n: Column) -> Column:
+    """Exact C(n,3) = n(n-1)(n-2)/6 as DECIMAL(38,0) (r10 ADVICE #1).
+
+    Pull the factor 2 from whichever of {n, n-1} is even and the factor
+    3 from whichever reduced factor is divisible by 3 — both with exact
+    long DIVs — then multiply the three reduced factors as
+    DECIMAL(13,0). Exact for n ≤ ~8.4e12 (where C(n,3) < 1e38); beyond
+    that the DECIMAL(38,0) product overflows LOUDLY (NULL / ANSI
+    error), never silently. The previous one-shot ``/ 6`` was exact
+    only below ~1e32 (n ~ 8e10) because the quotient landed in
+    DECIMAL(38,6).
+    """
+    even = (n % 2) == 0
+    fa = F.when(even, F.shiftright(n, 1)).otherwise(n)
+    fb = F.when(even, n - 1).otherwise(F.shiftright(n - 1, 1))
+    fc = n - 2
+    # exactly one of fa, fb, fc is divisible by 3 (their product is
+    # n(n-1)(n-2)/2, a multiple of 3, and 3 is prime); DIV the first
+    a3 = (fa % 3) == 0
+    b3 = (fb % 3) == 0
+    d13 = "decimal(13,0)"
+    ga = F.when(a3, _long_div3(fa)).otherwise(fa).cast(d13)
+    gb = F.when(~a3 & b3, _long_div3(fb)).otherwise(fb).cast(d13)
+    gc = F.when(~a3 & ~b3, _long_div3(fc)).otherwise(fc).cast(d13)
+    prod = (ga * gb * gc).cast(DEC38)
+    return F.when(n >= 3, prod).otherwise(F.lit(0).cast(DEC38))
+
+
+def _long_div3(c: Column) -> Column:
+    """Exact c DIV 3 for a nonnegative long column.
+
+    pyspark's ``/`` is double division and Column has no integral-DIV
+    method, so divide in DECIMAL: decimal(19,0)/3 lands in decimal(25,6)
+    whose 6-place rounding of the .333/.667 fractional tails never
+    crosses an integer boundary, so the floor is exact for every long.
+    """
+    return F.floor(c.cast("decimal(19,0)") / F.lit(3)).cast("long")

@@ -110,6 +110,7 @@ def deflated_power_iteration_svd(
     val_col: str,
     k: int = 2,
     iterations: int = 3,
+    rank_tolerance: float = 1e-9,
 ) -> tuple[DataFrame, DataFrame]:
     """Rank-k truncated SVD by power iteration with IMPLICIT deflation.
 
@@ -135,7 +136,17 @@ def deflated_power_iteration_svd(
     Returns ``(u, v)``:
     ``u = (row_col, factor, u)``, ``v = (col_col, factor, v, sigma)``
     with ``factor`` in 0..k-1 ordered by decreasing sigma.
+
+    Raises ``ValueError`` when ``k`` exceeds the effective rank of the
+    matrix (r10 ADVICE #2): once the deflated operator is ~zero the
+    power iteration divides by a vanishing norm and would silently emit
+    NaN factor vectors — instead the sigma estimate of each factor is
+    probed (a 1-row driver action per factor, same bounded-probe class
+    as the CC truncation guard) and the run fails LOUDLY when
+    ``sigma_j < rank_tolerance * sigma_0`` or sigma_j is not finite.
     """
+    import math
+
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     if k < 1:
@@ -147,7 +158,7 @@ def deflated_power_iteration_svd(
     ).localCheckpoint()
     all_cols = a.select("__c").distinct().localCheckpoint()
     # (u_df(__r,__x), v_df(__c,__x), sigma_scalar_df(__s)) per factor
-    factors: list[tuple[DataFrame, DataFrame, DataFrame]] = []
+    factors: list[tuple[DataFrame, DataFrame, DataFrame, float]] = []
     for _ in range(k):
         v = all_cols.withColumn("__x", F.lit(1.0))
         u = None
@@ -159,7 +170,7 @@ def deflated_power_iteration_svd(
                 .groupBy("__r")
                 .agg(F.sum(F.col("__a") * F.col("__x")).alias("__y"))
             )
-            for (u_p, v_p, s_p) in factors:
+            for (u_p, v_p, s_p, _sv) in factors:
                 dot = (
                     v_p.withColumnRenamed("__x", "__xp")
                     .join(v, on="__c")
@@ -180,9 +191,18 @@ def deflated_power_iteration_svd(
             u_norm = u_raw.agg(
                 F.sqrt(F.sum(F.col("__y") * F.col("__y"))).alias("__n")
             )
+            # null (not divide-by-zero) on an exactly-exhausted operator:
+            # the per-factor sigma probe below turns it into a loud
+            # ValueError; under ANSI the bare division would abort here
+            # with an uninformative DIVIDE_BY_ZERO instead
             u = (
                 u_raw.crossJoin(F.broadcast(u_norm))
-                .select("__r", (F.col("__y") / F.col("__n")).alias("__x"))
+                .select(
+                    "__r",
+                    F.when(
+                        F.col("__n") != 0, F.col("__y") / F.col("__n")
+                    ).alias("__x"),
+                )
                 .localCheckpoint()
             )
             # z = A^T u - sum_p sigma_p (u_p . u) v_p
@@ -191,7 +211,7 @@ def deflated_power_iteration_svd(
                 .groupBy("__c")
                 .agg(F.sum(F.col("__a") * F.col("__x")).alias("__y"))
             )
-            for (u_p, v_p, s_p) in factors:
+            for (u_p, v_p, s_p, _sv) in factors:
                 dot = (
                     u_p.withColumnRenamed("__x", "__xp")
                     .join(u, on="__r")
@@ -220,7 +240,9 @@ def deflated_power_iteration_svd(
                 v_raw.crossJoin(F.broadcast(v_norm))
                 .select(
                     "__c",
-                    (F.col("__y") / F.col("__n")).alias("__x"),
+                    F.when(
+                        F.col("__n") != 0, F.col("__y") / F.col("__n")
+                    ).alias("__x"),
                     F.col("__n").alias("__sigma"),
                 )
                 .localCheckpoint()
@@ -229,7 +251,25 @@ def deflated_power_iteration_svd(
         sigma = (
             v_full.select(F.col("__sigma").alias("__s")).limit(1)
         )
-        factors.append((u, v, sigma))
+        # rank-exhaustion guard (r10 ADVICE #2): v_full is already
+        # checkpointed, so this 1-row probe re-executes nothing
+        probe = sigma.collect()
+        s_val = probe[0]["__s"] if probe else None
+        j = len(factors)
+        if s_val is None or not math.isfinite(s_val):
+            raise ValueError(
+                f"rank-{k} SVD failed at factor {j}: sigma is "
+                f"{s_val!r} — the deflated operator is numerically "
+                "zero, so k exceeds the effective rank of the matrix"
+            )
+        if factors and s_val < rank_tolerance * factors[0][3]:
+            raise ValueError(
+                f"rank-{k} SVD failed at factor {j}: sigma_{j} = "
+                f"{s_val:.3e} < rank_tolerance * sigma_0 = "
+                f"{rank_tolerance * factors[0][3]:.3e} — k exceeds the "
+                "effective rank of the matrix"
+            )
+        factors.append((u, v, sigma, s_val))
     u_parts = [
         u_p.crossJoin(F.broadcast(s_p)).select(
             F.col("__r").alias(row_col),
@@ -237,7 +277,7 @@ def deflated_power_iteration_svd(
             F.col("__x").alias("u"),
             F.col("__s").alias("__sigma"),
         )
-        for j, (u_p, v_p, s_p) in enumerate(factors)
+        for j, (u_p, v_p, s_p, _sv) in enumerate(factors)
     ]
     v_parts = [
         v_p.crossJoin(F.broadcast(s_p)).select(
@@ -246,7 +286,7 @@ def deflated_power_iteration_svd(
             F.col("__x").alias("v"),
             F.col("__s").alias("sigma"),
         )
-        for j, (u_p, v_p, s_p) in enumerate(factors)
+        for j, (u_p, v_p, s_p, _sv) in enumerate(factors)
     ]
     u_out = u_parts[0]
     for p in u_parts[1:]:

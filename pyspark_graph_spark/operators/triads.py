@@ -304,12 +304,14 @@ def triad_census(g: Graph) -> DataFrame:
     # long arithmetic overflowed at n ~ 3.05M vertices — a sparse
     # 10M-vertex graph passes the wedge budget yet C(n,3) ~ 1.7e20
     # doesn't fit int64, and at 1e9 vertices it's ~1.7e26. DECIMAL(38,0)
-    # keeps every term exact to 1e38; C(n,3) = n(n-1)(n-2)/6 is computed
-    # as the full product (n <= 1e12 fits DECIMAL(12,0), product <= 38
-    # digits) divided by 6 — exact, since 6 | n(n-1)(n-2) — then cast
-    # back to scale-0, which is lossless on an integer value
+    # keeps every term exact to 1e38. C(n,3) goes through
+    # exact_math.choose3_dec (r10 ADVICE #1): the one-shot `/ 6` landed
+    # in DECIMAL(38,6), exact only below ~1e32 (n ~ 8e10); pulling the
+    # factors 2 and 3 out with exact long DIVs before the decimal
+    # product is exact to n ~ 8.4e12 and LOUD (null/ANSI error) beyond.
+    from pyspark_graph_spark.functions.exact_math import choose3_dec
+
     dec = "decimal(38,0)"
-    n_d = F.col("__n").cast("decimal(12,0)")
     t012 = (
         F.col("__A").cast(dec) * (F.col("__n") - 2).cast(dec)
         - F.col("__conn_asym").cast(dec)
@@ -318,7 +320,7 @@ def triad_census(g: Graph) -> DataFrame:
         F.col("__M").cast(dec) * (F.col("__n") - 2).cast(dec)
         - F.col("__conn_mut").cast(dec)
     ).cast(dec)
-    c_n3 = ((n_d * (n_d - 1) * (n_d - 2)) / F.lit(6)).cast(dec)
+    c_n3 = choose3_dec(F.col("__n"))
     t003 = (
         c_n3 - F.col("__conn_total").cast(dec) - t012 - t102
     ).cast(dec)

@@ -1822,7 +1822,7 @@ cn AS (
     JOIN supplier_sym b ON a.dst = b.dst AND a.src < b.src
     GROUP BY a.src, b.src
 )
-SELECT CAST(SUM(c * (c - 1) / 2) // 2 AS BIGINT) AS four_cycles FROM cn
+SELECT CAST(SUM((c * (c - 1)) // 2) // 2 AS BIGINT) AS four_cycles FROM cn
 """,
 )
 def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1865,11 +1865,17 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # Σ C(c,2) counts every 4-cycle at both diagonal pairs → exact halves
+    # Σ C(c,2) counts every 4-cycle at both diagonal pairs → exact halves.
+    # Exact-integer arithmetic end to end (r10 verdict #1): the previous
+    # SUM(c*(c-1)/2) was a DOUBLE sum, silently losing integers past 2^53
+    # wedge pairs; half_sum_choose2_dec sums exact DECIMAL(38,0) per-row
+    # floors plus a shiftright'd odd-term count — no fractional
+    # intermediate anywhere, loud (null) past 1e38. The final long cast
+    # is gate-scale presentation, NULL-loud past int64 (triads precedent).
+    from pyspark_graph_spark.functions.exact_math import half_sum_choose2_dec
+
     return cn.agg(
-        F.floor(F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2)
-        .cast("long")
-        .alias("four_cycles")
+        half_sum_choose2_dec(F.col("c")).cast("long").alias("four_cycles")
     )
 
 @query(
@@ -1891,9 +1897,9 @@ cn AS (
     JOIN ssym b ON a.dst = b.dst AND a.src < b.src
     GROUP BY a.src, b.src
 )
-SELECT CAST(COALESCE(SUM(c * (c - 1) / 2) // 2, 0) AS BIGINT)
+SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2) // 2, 0) AS BIGINT)
          AS sampled_four_cycles,
-       CAST(ROUND(COALESCE(SUM(c * (c - 1) / 2) // 2, 0) * 16.0) AS BIGINT)
+       CAST(COALESCE(SUM((c * (c - 1)) // 2) // 2, 0) * 16 AS BIGINT)
          AS estimated_four_cycles
 FROM cn
 """,
@@ -1940,15 +1946,19 @@ def q_four_cycles_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.src").alias("u"), F.col("b.src").alias("v"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # same exact-integer treatment as four_cycles (r10 verdict #1); the
+    # 1/p^4 = 16 scale-up multiplies in DECIMAL(38,0) before the
+    # gate-scale long presentation cast, so the estimator cannot
+    # re-introduce a silent ceiling the census just escaped
+    from pyspark_graph_spark.functions.exact_math import half_sum_choose2_dec
+
     return cn.agg(
-        F.coalesce(
-            F.floor(F.sum(F.col("c") * (F.col("c") - 1) / 2) / 2), F.lit(0)
-        )
+        half_sum_choose2_dec(F.col("c"))
         .cast("long")
         .alias("sampled_four_cycles")
     ).select(
         "sampled_four_cycles",
-        (F.col("sampled_four_cycles") * 16)
+        (F.col("sampled_four_cycles").cast("decimal(38,0)") * 16)
         .cast("long")
         .alias("estimated_four_cycles"),
     )
@@ -2006,12 +2016,21 @@ def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "n_k",
             F.coalesce("e_k", F.lit(0)).alias("e_k"),
+            # phi is a 6dp-rounded DENSITY RATIO, so double relative
+            # error (~1e-16) is harmless — but the old long*long
+            # denominator silently WRAPPED past n_k ~ 3.04e9 (r10
+            # verdict #1 audit); casting each factor to double first
+            # keeps the ratio correct at any club size (gate-scale
+            # values identical: small ints are exact doubles)
             F.when(
                 F.col("n_k") > 1,
                 F.round(
                     2.0
                     * F.coalesce("e_k", F.lit(0))
-                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    / (
+                        F.col("n_k").cast("double")
+                        * (F.col("n_k") - 1).cast("double")
+                    ),
                     6,
                 ),
             )
@@ -2306,7 +2325,7 @@ tri AS (
     WHERE e1.src < e1.dst AND e2.src < e2.dst
 )
 SELECT t AS sampled_triangles,
-       CAST(ROUND(t * 8.0) AS BIGINT) AS estimated_triangles
+       CAST(t * 8 AS BIGINT) AS estimated_triangles
 FROM tri
 """,
 )
@@ -2350,9 +2369,12 @@ def q_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("e2.src") < F.col("e2.dst"))
         .agg(F.count(F.lit(1)).alias("sampled_triangles"))
     )
+    # 1/p^3 = 8 scale-up in DECIMAL(38,0) (r10 verdict #1): the previous
+    # `* 8.0` went through a double, silently losing integers past 2^50
+    # sampled triangles; the long presentation cast is NULL-loud
     return tri.select(
         "sampled_triangles",
-        F.round(F.col("sampled_triangles") * 8.0)
+        (F.col("sampled_triangles").cast("decimal(38,0)") * 8)
         .cast("long")
         .alias("estimated_triangles"),
     )

@@ -131,3 +131,22 @@ def test_acc_raises_on_truncation(spark):
     assert out.count() == n  # truncated labels, by explicit request
     ok = AlternatingConnectedComponents(batch_finish=0).run(g)
     assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_stop_list_cap_below_two_raises(spark):
+    """r10 ADVICE #3: max_fingerprint_df < 2 silently drops every
+    fingerprint (a pair needs df 2) — indistinguishable from a
+    duplicate-free corpus, so it must raise instead."""
+    import pytest
+
+    from pyspark_graph_spark.dedup.cdc import fingerprint_doc_pairs
+
+    ch = spark.createDataFrame(
+        [(1, "fp"), (2, "fp")], "doc_id long, fingerprint string"
+    )
+    for bad in (0, 1, -5):
+        with pytest.raises(ValueError, match="max_fingerprint_df"):
+            fingerprint_doc_pairs(ch, max_fingerprint_df=bad)
+    # None disables the stop-list; 2 is the smallest meaningful cap
+    assert fingerprint_doc_pairs(ch, max_fingerprint_df=None).count() == 1
+    assert fingerprint_doc_pairs(ch, max_fingerprint_df=2).count() == 1

@@ -145,3 +145,20 @@ def test_deflated_k1_equals_rank1_operator(spark):
     for key in av:
         assert abs(av[key][0] - bv[key][0]) < 1e-12
         assert abs(av[key][1] - bv[key][1]) < 1e-12
+
+
+def test_deflated_rank_exhaustion_raises_loudly(spark):
+    """r10 ADVICE #2: k beyond the effective rank must raise, not emit
+    NaN/null factor vectors — a rank-1 matrix at k=2 exhausts the
+    deflated operator after factor 0."""
+    from pyspark_graph_spark.operators.svd import deflated_power_iteration_svd
+
+    u_true = np.array([3.0, 4.0]) / 5.0
+    v_true = np.array([1.0, 2.0, 2.0]) / 3.0
+    dense = 7.5 * np.outer(u_true, v_true)
+    df = _to_spark(spark, dense)
+    with pytest.raises(ValueError, match="effective rank"):
+        u, v = deflated_power_iteration_svd(
+            df, "r", "c", "a", k=2, iterations=5
+        )
+        v.collect()
