@@ -57,12 +57,16 @@ class BipartiteCheck:
             max_iterations=self.max_iterations
         ).run(Graph(cover_vertices, cover_edges, directed=False, indexed=True))
 
+        # shiftright decodes: the double `/ 2` silently lost low bits
+        # past 2^53, wrong labels on xxhash64-range vertex ids; an
+        # arithmetic shift is floor-division, exact on even values for
+        # the whole int64 range including negatives (r10 verdict #1)
         even = cc.filter(F.col(ID) % 2 == 0).select(
-            (F.col(ID) / 2).cast("long").alias(ID),
+            F.shiftright(F.col(ID), 1).alias(ID),
             F.col(COMPONENT).alias("__ce"),
         )
         odd = cc.filter(F.col(ID) % 2 != 0).select(
-            ((F.col(ID) - 1) / 2).cast("long").alias(ID),
+            F.shiftright(F.col(ID) - 1, 1).alias(ID),
             F.col(COMPONENT).alias("__co"),
         )
         both = even.join(odd, on=ID)
@@ -70,7 +74,7 @@ class BipartiteCheck:
         return both.select(
             ID,
             # min cover label in the pair is 2*(min G vertex in component)
-            (F.least("__ce", "__co") / 2).cast("long").alias(COMPONENT),
+            F.shiftright(F.least("__ce", "__co"), 1).alias(COMPONENT),
             bipartite.alias("bipartite"),
             F.when(
                 bipartite,

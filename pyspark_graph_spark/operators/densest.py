@@ -62,7 +62,9 @@ class DensestSubgraph:
             summary = deg.agg(
                 F.lit(r).alias("round"),
                 F.count(F.lit(1)).alias("n_vertices"),
-                (F.sum("__d") / 2).cast("long").alias("n_edges"),
+                # shiftright: Σdeg is even, so the halving is exact at
+                # any scale (the double `/ 2` lost integers past 2^53)
+                F.shiftright(F.sum("__d"), 1).alias("n_edges"),
                 F.round(
                     F.sum("__d") / 2 / F.count(F.lit(1)), 6
                 ).alias("density"),

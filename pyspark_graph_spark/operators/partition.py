@@ -83,7 +83,7 @@ def two_hop_pairs(g: Graph, matching: DataFrame) -> DataFrame:
             F.xxhash64(SRC),
             F.greatest(
                 F.lit(1).cast("long"),
-                F.floor(F.col("__cnt") / F.lit(128)).cast("long"),
+                F.shiftright(F.col("__cnt"), 7),  # exact __cnt DIV 128
             ),
         ),
     )

@@ -304,13 +304,13 @@ def _wedge_budget_guard(sym: DataFrame, query_name: str) -> None:
     under tighter memory) can lower it without re-importing."""
     import os
 
+    from pyspark_graph_spark.functions.exact_math import choose2_dec
+
     budget = int(os.environ.get("SPARK_GRAFT_WEDGE_BUDGET", "2000000000"))
     wedges = (
         sym.groupBy(DST)
         .agg(F.count(F.lit(1)).alias("d"))
-        .agg(
-            F.sum(F.col("d") * (F.col("d") - F.lit(1)) / 2).alias("w")
-        )
+        .agg(F.sum(choose2_dec(F.col("d"))).alias("w"))
         .collect()[0]["w"]
     )
     wedges = int(wedges or 0)

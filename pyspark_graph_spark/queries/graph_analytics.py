@@ -671,7 +671,7 @@ def _densest_sql(rounds: int, eps: float) -> str:
         )
         selects.append(
             f"SELECT {r} AS round, COUNT(*) AS n_vertices, "
-            f"CAST(SUM(d) / 2 AS BIGINT) AS n_edges, "
+            f"CAST(SUM(d) // 2 AS BIGINT) AS n_edges, "
             f"ROUND(SUM(d) / 2.0 / COUNT(*), 6) AS density "
             f"FROM d{r} HAVING COUNT(*) > 0"
         )
@@ -1490,7 +1490,7 @@ tri AS (
     JOIN supplier_edges e3 ON e1.src = e3.src AND e2.dst = e3.dst
 ),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM supplier_sym GROUP BY src),
-w AS (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS wedges FROM deg)
+w AS (SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS wedges FROM deg)
 SELECT tri.t AS n_triangles, w.wedges,
        CAST(3 * tri.t AS DOUBLE) / CAST(w.wedges AS DOUBLE) AS transitivity
 FROM tri, w
@@ -1506,10 +1506,12 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _supplier_cooc_graph(spark, sf_dir)
     t = TriangleCount().run(g)
     tri = spark.createDataFrame([(t,)], "n_triangles long")
+    # exact-integer wedge sum (r10 verdict #1): the double SUM lost
+    # integers silently past 2^53 wedges; choose2_dec sums DECIMAL(38,0)
+    from pyspark_graph_spark.functions.exact_math import choose2_dec
+
     wedges = g.degrees.agg(
-        F.sum(F.col(DEGREE) * (F.col(DEGREE) - 1) / 2)
-        .cast("long")
-        .alias("wedges")
+        F.sum(choose2_dec(F.col(DEGREE))).cast("long").alias("wedges")
     )
     # broadcast-crossJoin of the 1-row wedge aggregate keeps the division
     # in the lazy plan (no mid-build .first(), same idiom as
