@@ -295,3 +295,195 @@ def deflated_power_iteration_svd(
     for p in v_parts[1:]:
         v_out = v_out.unionByName(p)
     return u_out.drop("__sigma"), v_out
+
+
+def block_power_iteration_svd(
+    interactions: DataFrame,
+    row_col: str,
+    col_col: str,
+    val_col: str,
+    k: int = 4,
+    iterations: int = 3,
+    rank_tolerance: float = 1e-9,
+) -> tuple[DataFrame, DataFrame]:
+    """Rank-k truncated SVD by BLOCK (simultaneous subspace) power
+    iteration — the scale shape for k >> 2 (r10 verdict #3).
+
+    ``deflated_power_iteration_svd`` computes factor j only after
+    factors 0..j-1 converge, so wall-clock is O(k * iterations) shuffle
+    rounds and the matvec plan accumulates O(k^2) correction branches.
+    Here ALL k factors ride the SAME two shuffles per iteration — the
+    ``ppr_multi`` batched-state trick, with the factor dimension laid
+    out as k columns of one row-keyed frame (wide beats (key, factor)
+    long state for small k: the matvec join fans out nnz rows once, not
+    k times):
+
+        Y = A V              one join + one groupBy(row), k sums  (shuffle 1)
+        Q, R = cholqr(Y)     CholeskyQR: ONE k(k+1)/2-scalar Gram
+                             aggregate, R entries and the Q projection
+                             pure broadcast column expressions — no
+                             extra shuffle, no per-pair row scans
+        Z = A^T Q            one join + one groupBy(col), k sums  (shuffle 2)
+        V, R' = cholqr(Z)    sigma_j = R'[j][j]
+
+    (CholeskyQR over classical Gram-Schmidt: CGS needs 2k-1 singleton
+    row-scan aggregates per half-iteration — measured 10.0 s vs the
+    deflated operator's 7.1 s at sf0.1 purely on job-launch overhead —
+    while the Gram form needs exactly ONE. The R recursion inlines as
+    an O(k^3)-term expression tree, fine for k <= ~8; k >> 8 should
+    compute the k x k Cholesky from a bounded driver-side collect
+    instead.)
+
+    Start vectors are deterministic and integer-derived —
+    ``x_j(c) = 1 + (c mod (j+1))`` (factor 0 = all-ones, matching the
+    rank-1 operator) — so the whole trajectory is exactly replayable by
+    an external SQL oracle; ``col_col`` must therefore be integral.
+
+    Returns ``(u, v)`` with the same schema/contract as
+    ``deflated_power_iteration_svd``; factors converge to descending
+    sigma. Raises ``ValueError`` (loudly, per the r10 ADVICE #2
+    contract) when k exceeds the effective rank: a vanishing Cholesky
+    diagonal null-guards into the final per-factor sigma probe instead
+    of silently emitting NaN vectors.
+
+    100 TB shape: per iteration exactly two data-sized shuffles
+    (nnz-row joins keyed on the dimension the COO side is partitioned
+    by) plus two singleton Gram aggregates over the checkpointed
+    |rows| x k / |cols| x k state — no densification, no driver-side
+    vectors, plan size O(k^3) scalars per iteration independent of
+    data volume.
+    """
+    import math
+
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    a = interactions.select(
+        F.col(row_col).alias("__r"),
+        F.col(col_col).alias("__c"),
+        F.col(val_col).cast("double").alias("__a"),
+    ).localCheckpoint()
+
+    def _chol_qr(frame: DataFrame, key: str, in_prefix: str, out_prefix: str):
+        """CholeskyQR over the k value columns of a wide keyed frame:
+        one Gram aggregate, then R (upper-triangular, left-associated
+        subtraction chains so the SQL oracle matches float-op order)
+        and Q as broadcast column expressions. Returns a frame with
+        ``key``, ``{out_prefix}0..k-1`` and ``__sig0..k-1`` = R[j][j]."""
+        gram = frame.agg(
+            *[
+                F.sum(
+                    F.col(f"{in_prefix}{i}") * F.col(f"{in_prefix}{j}")
+                ).alias(f"__g{i}_{j}")
+                for i in range(k)
+                for j in range(i, k)
+            ]
+        )
+        cur = frame.crossJoin(F.broadcast(gram))
+        for j in range(k):
+            for p in range(j + 1):
+                e = F.col(f"__g{p}_{j}")
+                for i in range(p):
+                    e = e - F.col(f"__r{i}_{p}") * F.col(f"__r{i}_{j}")
+                if p == j:
+                    # sqrt(<=0) -> null; flows to the loud sigma probe
+                    e = F.when(e > 0, F.sqrt(e))
+                else:
+                    e = F.when(
+                        F.col(f"__r{p}_{p}") != 0,
+                        e / F.col(f"__r{p}_{p}"),
+                    )
+                cur = cur.withColumn(f"__r{p}_{j}", e)
+        for j in range(k):
+            t = F.col(f"{in_prefix}{j}")
+            for p in range(j):
+                t = t - F.col(f"__r{p}_{j}") * F.col(f"{out_prefix}{p}")
+            cur = cur.withColumn(
+                f"{out_prefix}{j}",
+                F.when(F.col(f"__r{j}_{j}") != 0, t / F.col(f"__r{j}_{j}")),
+            )
+        return cur.select(
+            key,
+            *[f"{out_prefix}{j}" for j in range(k)],
+            *[
+                F.col(f"__r{j}_{j}").alias(f"__sig{j}")
+                for j in range(k)
+            ],
+        )
+
+    v = a.select("__c").distinct().select(
+        "__c",
+        *[
+            (F.lit(1.0) + F.pmod(F.col("__c"), F.lit(j + 1)).cast("double"))
+            .alias(f"x{j}")
+            for j in range(k)
+        ],
+    )
+    u_ortho = None
+    v_ortho = None
+    for _i in range(iterations):
+        yw = (
+            a.join(v.select("__c", *[f"x{j}" for j in range(k)]), on="__c")
+            .groupBy("__r")
+            .agg(
+                *[
+                    F.sum(F.col("__a") * F.col(f"x{j}")).alias(f"y{j}")
+                    for j in range(k)
+                ]
+            )
+            .localCheckpoint()
+        )
+        # not checkpointed: consumed once by zw (and lazily by u_out);
+        # the Gram broadcast inside re-executes only as a cheap
+        # map+singleton scan of the yw checkpoint
+        u_ortho = _chol_qr(yw, "__r", "y", "q")
+        zw = (
+            a.join(
+                u_ortho.select("__r", *[f"q{j}" for j in range(k)]),
+                on="__r",
+            )
+            .groupBy("__c")
+            .agg(
+                *[
+                    F.sum(F.col("__a") * F.col(f"q{j}")).alias(f"z{j}")
+                    for j in range(k)
+                ]
+            )
+            .localCheckpoint()
+        )
+        v_ortho = _chol_qr(zw, "__c", "z", "x").localCheckpoint()
+        v = v_ortho
+    # rank-exhaustion probe (1 row: sigma columns are broadcast
+    # constants replicated per row)
+    probe = v_ortho.select(*[f"__sig{j}" for j in range(k)]).limit(1).collect()
+    sigmas = [probe[0][f"__sig{j}"] if probe else None for j in range(k)]
+    for j, s_val in enumerate(sigmas):
+        if s_val is None or not math.isfinite(s_val):
+            raise ValueError(
+                f"rank-{k} block SVD failed at factor {j}: sigma is "
+                f"{s_val!r} — k exceeds the effective rank of the matrix"
+            )
+        if j > 0 and s_val < rank_tolerance * sigmas[0]:
+            raise ValueError(
+                f"rank-{k} block SVD failed at factor {j}: sigma_{j} = "
+                f"{s_val:.3e} < rank_tolerance * sigma_0 — k exceeds "
+                "the effective rank of the matrix"
+            )
+    u_out = None
+    v_out = None
+    for j in range(k):
+        up = u_ortho.select(
+            F.col("__r").alias(row_col),
+            F.lit(j).alias("factor"),
+            F.col(f"q{j}").alias("u"),
+        )
+        vp = v_ortho.select(
+            F.col("__c").alias(col_col),
+            F.lit(j).alias("factor"),
+            F.col(f"x{j}").alias("v"),
+            F.col(f"__sig{j}").alias("sigma"),
+        )
+        u_out = up if u_out is None else u_out.unionByName(up)
+        v_out = vp if v_out is None else v_out.unionByName(vp)
+    return u_out, v_out

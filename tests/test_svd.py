@@ -162,3 +162,58 @@ def test_deflated_rank_exhaustion_raises_loudly(spark):
             df, "r", "c", "a", k=2, iterations=5
         )
         v.collect()
+
+
+def test_block_rank_k_matches_numpy(spark):
+    """block_power_iteration_svd (round 11, r10 verdict #3): the first
+    k=4 singular triplets match numpy's exact SVD while all k factors
+    ride the same two shuffles per iteration."""
+    from pyspark_graph_spark.operators.svd import block_power_iteration_svd
+
+    rng = np.random.RandomState(11)
+    dense = np.abs(rng.rand(10, 8)) + np.outer(rng.rand(10), rng.rand(8)) * 5
+    df = _to_spark(spark, dense)
+    u, v = block_power_iteration_svd(df, "r", "c", "a", k=4, iterations=40)
+    got_v = {
+        (row["factor"], row["c"]): (row["v"], row["sigma"])
+        for row in v.collect()
+    }
+    U, S, Vt = np.linalg.svd(dense)
+    for j in range(4):
+        vs = np.array([got_v[(j, c)][0] for c in range(8)])
+        sig = got_v[(j, 0)][1]
+        ref = Vt[j] if np.dot(vs, Vt[j]) > 0 else -Vt[j]
+        assert abs(sig - S[j]) < 1e-4, (j, sig, S[j])
+        assert np.abs(vs - ref).max() < 1e-3, j
+    # u side: orthonormal columns
+    import collections
+
+    by_f = collections.defaultdict(dict)
+    for row in u.collect():
+        by_f[row["factor"]][row["r"]] = row["u"]
+    for x in range(4):
+        ux = np.array([by_f[x].get(r, 0.0) for r in range(10)])
+        assert abs(np.linalg.norm(ux) - 1.0) < 1e-9
+        for y in range(x + 1, 4):
+            uy = np.array([by_f[y].get(r, 0.0) for r in range(10)])
+            assert abs(np.dot(ux, uy)) < 1e-6
+
+
+def test_block_rank_exhaustion_raises_loudly(spark):
+    from pyspark_graph_spark.operators.svd import block_power_iteration_svd
+
+    u_true = np.array([3.0, 4.0]) / 5.0
+    v_true = np.array([1.0, 2.0, 2.0]) / 3.0
+    dense = 7.5 * np.outer(u_true, v_true)  # rank 1
+    df = _to_spark(spark, dense)
+    with pytest.raises(ValueError, match="effective rank"):
+        block_power_iteration_svd(df, "r", "c", "a", k=3, iterations=4)
+
+
+def test_block_validation(spark):
+    from pyspark_graph_spark.operators.svd import block_power_iteration_svd
+
+    with pytest.raises(ValueError, match="iterations"):
+        block_power_iteration_svd(None, "r", "c", "a", k=2, iterations=0)
+    with pytest.raises(ValueError, match="k must"):
+        block_power_iteration_svd(None, "r", "c", "a", k=0)
