@@ -47,17 +47,28 @@ class ConnectedComponents:
     a truncated labelling is genuinely acceptable; the scale-correct
     alternative for unknown diameters is
     :class:`AlternatingConnectedComponents`, whose O(log n) fixpoint is
-    diameter-independent."""
+    diameter-independent.
+
+    ``auto_extend`` (r10 verdict #5): opt-in resumable budget — when the
+    min-label flood is still moving at ``max_iterations``, Pregel
+    continues from the checkpointed frontier with a doubled budget
+    (bounded by ``hard_max_iterations``, default 8x) instead of forcing
+    a full restart; the truncation error below still fires if even the
+    hard cap is not enough."""
 
     def __init__(
         self,
         max_iterations: int = 20,
         salt_buckets: int | None = None,
         require_convergence: bool = True,
+        auto_extend: bool = False,
+        hard_max_iterations: int | None = None,
     ):
         self.max_iterations = max_iterations
         self.salt_buckets = salt_buckets
         self.require_convergence = require_convergence
+        self.auto_extend = auto_extend
+        self.hard_max_iterations = hard_max_iterations
 
     def run(self, g: Graph) -> DataFrame:
         # slim the state to (id, state): vertex attributes would otherwise
@@ -73,14 +84,19 @@ class ConnectedComponents:
             update_expr=F.least(F.col(STATE), F.col(MSG)),
             max_iterations=self.max_iterations,
             salt_buckets=self.salt_buckets,
+            auto_extend=self.auto_extend,
+            hard_max_iterations=self.hard_max_iterations,
         )
         out = pregel.run(slim).select(ID, F.col(STATE).alias(COMPONENT))
+        self.rounds_run = pregel.rounds_run
         if self.require_convergence and not pregel.converged:
             raise RuntimeError(
                 "ConnectedComponents hit max_iterations="
                 f"{self.max_iterations} before the min-label fixpoint — "
                 "a component with diameter beyond the budget would get "
-                "silently split labels. Raise max_iterations, use "
+                "silently split labels. Raise max_iterations, pass "
+                "auto_extend=True (resumes the checkpointed frontier with "
+                "a doubled budget, bounded by hard_max_iterations), use "
                 "AlternatingConnectedComponents (diameter-independent), "
                 "or pass require_convergence=False to accept truncation."
             )
@@ -181,9 +197,22 @@ class AlternatingConnectedComponents:
         max_iterations: int = 20,
         batch_finish: int = 1_000_000,
         require_convergence: bool = True,
+        auto_extend: bool = False,
+        hard_max_iterations: int | None = None,
     ):
         self.max_iterations = max_iterations
         self.batch_finish = batch_finish
+        # r10 verdict #5: same resumable-budget contract as Pregel —
+        # the edge list is checkpointed per round, so doubling the
+        # budget continues from the live star-contraction state
+        self.auto_extend = auto_extend
+        if hard_max_iterations is not None and hard_max_iterations < max_iterations:
+            raise ValueError("hard_max_iterations must be >= max_iterations")
+        self.hard_max_iterations = (
+            hard_max_iterations
+            if hard_max_iterations is not None
+            else (8 * max_iterations if auto_extend else max_iterations)
+        )
         # post-fixpoint the edge list is a star forest; reading it as a
         # membership table BEFORE the fixpoint is reached returns garbage
         # labels, not merely coarse ones — so truncation must be loud,
@@ -227,21 +256,33 @@ class AlternatingConnectedComponents:
 
         fingerprint = fp(edges)
         converged = False
-        for _ in range(self.max_iterations):
+        rounds = 0
+        budget = self.max_iterations
+        while rounds < budget:
             edges = _small_star(_large_star(edges)).localCheckpoint()
+            rounds += 1
             new_fingerprint = fp(edges)
             if new_fingerprint == fingerprint:
                 converged = True
                 break
             fingerprint = new_fingerprint
+            if (
+                rounds == budget
+                and self.auto_extend
+                and budget < self.hard_max_iterations
+            ):
+                budget = min(2 * budget, self.hard_max_iterations)
+        self.rounds_run = rounds
         if self.require_convergence and not converged:
             raise RuntimeError(
                 "AlternatingConnectedComponents hit max_iterations="
                 f"{self.max_iterations} before the star fixpoint — the "
                 "edge list is not yet a star forest and reading it as a "
                 "membership table would return wrong labels. Raise "
-                "max_iterations (rounds are O(log n)) or pass "
-                "require_convergence=False to accept truncation."
+                "max_iterations (rounds are O(log n)), pass "
+                "auto_extend=True (resumes the checkpointed contraction "
+                "with a doubled budget, bounded by hard_max_iterations), "
+                "or pass require_convergence=False to accept truncation."
             )
 
         # post-fixpoint the edge list is a star forest pointing at roots

@@ -315,6 +315,8 @@ def earliest_arrival(
     max_rounds: int = 20,
     broadcast_threshold: int = 1_000_000,
     batch_finish: int = 2_000_000,
+    auto_extend: bool = False,
+    hard_max_rounds: int | None = None,
 ) -> DataFrame:
     """Time-respecting reachability (temporal BFS, Wu et al. 2014):
     earliest arrival time at every vertex reachable from the seeds along
@@ -340,7 +342,22 @@ def earliest_arrival(
     correct plan for wavefronts that no longer fit an executor. One
     count() action per round doubles as the convergence probe and the
     next round's plan choice.
+
+    ``auto_extend`` (r10 verdict #5): opt-in resumable budget — state and
+    frontier are checkpointed per round, so when the wavefront is still
+    moving at ``max_rounds`` the loop continues with a doubled budget
+    (bounded by ``hard_max_rounds``, default 8x) instead of forcing a
+    full restart (the real-sf1 run in SCALE.md round 10 had to restart
+    from scratch at max_rounds=60 after the default-20 refusal); the
+    truncation error still fires at the hard cap.
     """
+    if hard_max_rounds is not None and hard_max_rounds < max_rounds:
+        raise ValueError("hard_max_rounds must be >= max_rounds")
+    hard_cap = (
+        hard_max_rounds
+        if hard_max_rounds is not None
+        else (8 * max_rounds if auto_extend else max_rounds)
+    )
     state = (
         seeds.select(
             F.col(seeds.columns[0]).alias("id"),
@@ -383,7 +400,9 @@ def earliest_arrival(
                 "id long, arrival long",
             )
         )
-    for _ in range(max_rounds):
+    rounds = 0
+    budget = max_rounds
+    while rounds < budget:
         fr = (
             F.broadcast(frontier)
             if n_front <= broadcast_threshold
@@ -411,6 +430,7 @@ def earliest_arrival(
             .select("id", "arrival")
             .localCheckpoint()
         )
+        rounds += 1
         n_front = improved.count()
         if n_front == 0:
             return state
@@ -420,9 +440,15 @@ def earliest_arrival(
             .localCheckpoint()
         )
         frontier = improved
+        if rounds == budget and auto_extend and budget < hard_cap:
+            # continuation from the checkpointed frontier, not a restart
+            budget = min(2 * budget, hard_cap)
     # consistent with CriticalPath/TransitiveClosure: a silent truncated
     # state would hand callers wrong arrival times with no signal
     raise ValueError(
-        "earliest_arrival did not converge within max_rounds — raise "
-        "max_rounds (bounded by the longest time-respecting path)"
+        "earliest_arrival did not converge within max_rounds="
+        f"{max_rounds} (ran {rounds} rounds) — raise max_rounds (bounded "
+        "by the longest time-respecting path) or pass auto_extend=True "
+        "(resumes the checkpointed frontier with a doubled budget, "
+        "bounded by hard_max_rounds)"
     )
