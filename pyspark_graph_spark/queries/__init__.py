@@ -67,95 +67,98 @@ for _mapping in (QUERIES, ORACLES):
 # this round — declared below in ROUND_CHANGED — then (b) the stalest
 # latest-wins driver-green queries (fold of the committed
 # CORRECTNESS_r*.json artifacts), registration order within a round.
-# Round 10's changed set: cdc_dedup_capped (new: the CDC fingerprint
-# self-join behind a document-frequency stop-list cap — r9 verdict #2,
-# the suite's one remaining uncapped banded join), svd_factorization_k
-# (new: rank-k truncated SVD by deflated power iteration — r9 verdict
-# #6), cdc_dedup_clusters + its family (plan moved: hot-fingerprint cap
-# in the shared cluster cache plus a convergence guard on the CC rounds
-# — r9 verdict #4), triad_census / triad_census_estimate /
-# triad_census_rmat (closed forms 003/012/102 and the estimator's 1/p^3
-# scale-up now DECIMAL(38,0) — exact past the ~3M-vertex int64 ceiling,
-# r9 verdict #3), ppr_multi (alpha applied once post-aggregate to match
-# the oracle's arithmetic order exactly — ADVICE #3), svd_factorization
-# (top-15 ordered by the rounded value on both sides, iterations
-# validated — ADVICE #1/#4), temporal_reachability (batch front-path
-# bound now counts seeds+state, not just edges — ADVICE #2).
+# Round 11's changed set: svd_factorization_block (new: rank-k truncated
+# SVD by BLOCK power iteration with CholeskyQR orthogonalization — all k
+# factors on the same two shuffles per iteration, r10 verdict #3);
+# four_cycles / four_cycles_estimate / transitivity / triangle_estimate
+# / rich_club / triad_census family / densest_subgraph / bipartite_check
+# / coarsen_two_level / multilevel_partition (exact-integer DECIMAL(38,0)
+# / shiftright arithmetic replacing double sums, long wraps, and
+# fractional intermediates in every closed-form counting expression —
+# r10 verdict #1 + ADVICE #1); svd_factorization_k (normalizations
+# null-guard exhausted operators so the new rank probe raises loudly —
+# ADVICE #2); connected_components / connected_components_pregel /
+# temporal_reachability (iteration loops restructured for the opt-in
+# auto_extend resumable budget, r10 verdict #5 — default-off, plans
+# unchanged).
 # (b) = the stalest greens.
-# The full-suite backstop is ORACLE_FULL_r10.json.
+# The full-suite backstop is ORACLE_FULL_r11.json.
 # GATE_ROUND bounds the staleness fold: this window folds
 # CORRECTNESS_r{1..GATE_ROUND-1} ONLY, so the driver dropping the
 # post-HEAD CORRECTNESS_r{GATE_ROUND}.json can never drift the pin
 # (the judge-time red of rounds 8 and 9 — r9 verdict #1).
-GATE_ROUND = 10
+GATE_ROUND = 11
 ROUND_CHANGED: list[str] = [
-    "cdc_dedup_capped",
-    "svd_factorization_k",
-    "cdc_dedup_clusters",
-    "leakage_safe_split",
-    "dedup_keep_policy",
-    "dedup_cluster_sizes",
+    "svd_factorization_block",
+    "four_cycles",
+    "four_cycles_estimate",
+    "transitivity",
+    "triangle_estimate",
+    "rich_club",
     "triad_census",
     "triad_census_estimate",
     "triad_census_rmat",
-    "ppr_multi",
-    "svd_factorization",
+    "densest_subgraph",
+    "bipartite_check",
+    "coarsen_two_level",
+    "multilevel_partition",
+    "svd_factorization_k",
+    "connected_components",
+    "connected_components_pregel",
     "temporal_reachability",
-    # plan moved: consumes the shared persisted chunk table (round 10)
-    "cdc_chunks",
 ]
 
 GATE_PRIORITY: list[str] = [
-    "cdc_dedup_capped",
-    "svd_factorization_k",
-    "cdc_dedup_clusters",
-    "leakage_safe_split",
-    "dedup_keep_policy",
-    "dedup_cluster_sizes",
+    "svd_factorization_block",
+    "four_cycles",
+    "four_cycles_estimate",
+    "transitivity",
+    "triangle_estimate",
+    "rich_club",
     "triad_census",
     "triad_census_estimate",
     "triad_census_rmat",
-    "ppr_multi",
-    "svd_factorization",
+    "densest_subgraph",
+    "bipartite_check",
+    "coarsen_two_level",
+    "multilevel_partition",
+    "svd_factorization_k",
+    "connected_components",
+    "connected_components_pregel",
     "temporal_reachability",
-    "cdc_chunks",
-    "kmeans_purity",
-    "gopher_quality",
-    "vocab_coverage",
-    "semdedup",
-    "embedding_pca",
-    "feature_propagation",
-    "powerlaw_fit",
-    "bigram_scores",
-    "topological_layers",
-    "dup_spans",
-    "dsir_weights",
-    "hll_distinct",
-    "multimodal_decode_gif",
-    "simrank",
-    "audio_spectral",
-    "four_cycles",
-    "rich_club",
-    "node2vec_walks",
-    "neighborhood_function",
-    "link_prediction",
-    "community_conductance",
-    "attribute_assortativity",
-    "shipping_priority",
-    "local_supplier_volume",
-    "order_priority",
-    "winnow_dedup",
-    "dataset_card",
-    "trending_topk",
-    "anomaly_zscore",
-    "image_thumbnail",
-    "kcenter_select",
-    "set_similarity_join",
-    "bloom_membership",
-    "concurrent_sessions",
-    "trend_detection",
-    "abandoned_events",
-    "ctfidf_topics",
+    "critical_path",
+    "burst_windows",
+    "weighted_sample",
+    "returned_items",
+    "bilateral_volume",
+    "transitive_closure",
+    "multimodal_decode_tiff",
+    "k_anonymity",
+    "daily_type_pivot",
+    "hilbert_key",
+    "frequent_itemsets",
+    "event_transitions",
+    "running_cusum",
+    "table_profile",
+    "approx_closeness",
+    "effective_diameter",
+    "disorder_profile",
+    "tfidf_cosine_pairs",
+    "ab_test_z",
+    "seasonality_chi2",
+    "survival_curve",
+    "image_ahash",
+    "tokenizer_fertility",
+    "audio_fingerprint",
+    "video_shot_boundaries",
+    "association_rules",
+    "gini_concentration",
+    "promo_revenue",
+    "large_orders",
+    "market_share",
+    "brand_revenue",
+    "autocorrelation",
+    "changepoint",
 ]
 
 
