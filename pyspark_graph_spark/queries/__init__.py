@@ -70,6 +70,9 @@ for _mapping in (QUERIES, ORACLES):
 # Round 11's changed set: svd_factorization_block (new: rank-k truncated
 # SVD by BLOCK power iteration with CholeskyQR orthogonalization — all k
 # factors on the same two shuffles per iteration, r10 verdict #3);
+# als_bias_rank2 (new: biased rank-2 ALS, the distributed trainer for
+# the SVD++-class model the reference's matrix marks ❌ everywhere —
+# closes r10 "What's missing" #2 as far as determinism allows);
 # four_cycles / four_cycles_estimate / transitivity / triangle_estimate
 # / rich_club / triad_census family / densest_subgraph / bipartite_check
 # / coarsen_two_level / multilevel_partition (exact-integer DECIMAL(38,0)
@@ -90,6 +93,7 @@ for _mapping in (QUERIES, ORACLES):
 GATE_ROUND = 11
 ROUND_CHANGED: list[str] = [
     "svd_factorization_block",
+    "als_bias_rank2",
     "four_cycles",
     "four_cycles_estimate",
     "transitivity",
@@ -110,6 +114,7 @@ ROUND_CHANGED: list[str] = [
 
 GATE_PRIORITY: list[str] = [
     "svd_factorization_block",
+    "als_bias_rank2",
     "four_cycles",
     "four_cycles_estimate",
     "transitivity",
@@ -158,8 +163,8 @@ GATE_PRIORITY: list[str] = [
     "market_share",
     "brand_revenue",
     "autocorrelation",
-    "changepoint",
 ]
+
 
 
 # Queries consuming a shared per-application cached artifact, keyed by

@@ -1243,6 +1243,133 @@ def q_svd_factorization_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _als_oracle(iters: int = 2, reg: float = 0.1, topk: int = 10) -> str:
+    """Unrolled biased rank-2 ALS (operators/als.py: als_bias_rank2):
+    per alternation four aggregate CTEs (user 2x2 ridge solve, user
+    bias, item solve, item bias), every residual and determinant
+    written in the exact left-associated float-op order the Spark
+    expressions use."""
+    parts = [
+        """
+a AS MATERIALIZED (
+    SELECT o_custkey AS u, l_partkey AS i,
+           CAST(SUM(l_quantity) AS DOUBLE) AS r
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)""",
+        "mu AS MATERIALIZED (SELECT AVG(r) AS mu FROM a)",
+        "v0 AS MATERIALIZED (SELECT DISTINCT i, 1.0 + (i % 2) AS v1,"
+        " 1.0 + (i % 3) AS v2, 0.0 AS bi FROM a)",
+        "u0 AS MATERIALIZED (SELECT DISTINCT u, 0.0 AS u1, 0.0 AS u2,"
+        " 0.0 AS bu FROM a)",
+    ]
+    pu, pv = "u0", "v0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+ug{t} AS MATERIALIZED (
+    SELECT a.u,
+           SUM(f.v1 * f.v1) AS g11, SUM(f.v1 * f.v2) AS g12,
+           SUM(f.v2 * f.v2) AS g22,
+           SUM((a.r - mu.mu - o.bu - f.bi) * f.v1) AS r1,
+           SUM((a.r - mu.mu - o.bu - f.bi) * f.v2) AS r2
+    FROM a JOIN {pv} f USING (i) JOIN {pu} o USING (u) CROSS JOIN mu
+    GROUP BY a.u
+),
+uf{t} AS MATERIALIZED (
+    SELECT u,
+           ((g22 + {reg!r}) * r1 - g12 * r2)
+             / ((g11 + {reg!r}) * (g22 + {reg!r}) - g12 * g12) AS u1,
+           ((g11 + {reg!r}) * r2 - g12 * r1)
+             / ((g11 + {reg!r}) * (g22 + {reg!r}) - g12 * g12) AS u2
+    FROM ug{t}
+),
+ub{t} AS MATERIALIZED (
+    SELECT a.u, u1, u2,
+           SUM(a.r - mu.mu - f.bi - (n.u1 * f.v1 + n.u2 * f.v2))
+             / ({reg!r} + COUNT(*)) AS bu
+    FROM a JOIN {pv} f USING (i) JOIN uf{t} n USING (u) CROSS JOIN mu
+    GROUP BY a.u, u1, u2
+),
+vg{t} AS MATERIALIZED (
+    SELECT a.i,
+           SUM(f.u1 * f.u1) AS g11, SUM(f.u1 * f.u2) AS g12,
+           SUM(f.u2 * f.u2) AS g22,
+           SUM((a.r - mu.mu - o.bi - f.bu) * f.u1) AS r1,
+           SUM((a.r - mu.mu - o.bi - f.bu) * f.u2) AS r2
+    FROM a JOIN ub{t} f USING (u) JOIN {pv} o USING (i) CROSS JOIN mu
+    GROUP BY a.i
+),
+vf{t} AS MATERIALIZED (
+    SELECT i,
+           ((g22 + {reg!r}) * r1 - g12 * r2)
+             / ((g11 + {reg!r}) * (g22 + {reg!r}) - g12 * g12) AS v1,
+           ((g11 + {reg!r}) * r2 - g12 * r1)
+             / ((g11 + {reg!r}) * (g22 + {reg!r}) - g12 * g12) AS v2
+    FROM vg{t}
+),
+vb{t} AS MATERIALIZED (
+    SELECT a.i, v1, v2,
+           SUM(a.r - mu.mu - f.bu - (n.v1 * f.u1 + n.v2 * f.u2))
+             / ({reg!r} + COUNT(*)) AS bi
+    FROM a JOIN ub{t} f USING (u) JOIN vf{t} n USING (i) CROSS JOIN mu
+    GROUP BY a.i, v1, v2
+)""")
+        pu, pv = f"ub{t}", f"vb{t}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT CAST(i AS BIGINT) AS partkey, ROUND(v1, 6) AS v1,
+       ROUND(v2, 6) AS v2, ROUND(bi, 6) AS bi
+FROM {pv}
+ORDER BY ROUND(bi, 6) DESC, i LIMIT {topk}
+"""
+    )
+
+
+@query("als_bias_rank2", oracle=_als_oracle(iters=2, reg=0.1, topk=10))
+def q_als_bias_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Biased rank-2 ALS on the customer x part interaction matrix — the
+    distributed trainer for the SVD++-class model r = mu + b_u + b_i +
+    u·v that the reference's comparison matrix marks unsupported in
+    every engine including itself (reference README.md:32; SGD-trained
+    SVD++ is inherently sequential — ALS is the parallel trainer for
+    the same model class, and its closed-form 2x2 ridge solves are pure
+    JVM-side expressions an external oracle replays exactly). Four
+    groupBy aggregates per alternation, deterministic integer-derived
+    starts, reg > 0 keeps every solve nonsingular. Returns the top-10
+    parts by learned item bias (the 'intrinsically over-ordered parts'
+    readout), selected on the ROUNDED value with a partkey tie-break on
+    both sides."""
+    from pyspark_graph_spark.operators.als import als_bias_rank2
+    from pyspark_graph_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    inter = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("qty"))
+    )
+    _, items = als_bias_rank2(
+        inter, "custkey", "partkey", "qty", iterations=2, reg=0.1
+    )
+    return (
+        items.orderBy(F.desc(F.round("bi", 6)), F.asc("partkey"))
+        .limit(10)
+        .select(
+            F.col("partkey").cast("long").alias("partkey"),
+            F.round("v1", 6).alias("v1"),
+            F.round("v2", 6).alias("v2"),
+            F.round("bi", 6).alias("bi"),
+        )
+    )
+
 @query("svd_factorization", oracle=_svd_oracle(iters=2, topk=15))
 def q_svd_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant singular pair of the customer x part interaction matrix
