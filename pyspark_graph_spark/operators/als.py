@@ -74,6 +74,12 @@ def als_bias_rank2(
         F.col(item_col).alias("__i"),
         F.col(rating_col).cast("double").alias("__r"),
     ).localCheckpoint()
+    # two pre-partitioned copies of the (only) big operand, the Pregel
+    # edges_by_src/dst trick: each step's join against a factor table
+    # then shuffles only the |users|/|items|-sized side, never the
+    # ratings — the checkpoint pins the partitioning for every reuse
+    r_by_i = r.repartition("__i").localCheckpoint()
+    r_by_u = r.repartition("__u").localCheckpoint()
     mu = r.agg(F.avg("__r").alias("__mu"))  # 1-row broadcast
     items = r.select("__i").distinct().select(
         "__i",
@@ -96,8 +102,9 @@ def als_bias_rank2(
         """One factor solve: per side_key, 2x2 ridge normal equations
         against the fixed side's (f1, f2, fb) columns. own_bias is the
         solving side's current bias table (joined for the residual)."""
+        rk = r_by_i if fixed_key == "__i" else r_by_u
         j = (
-            r.join(fixed, on=fixed_key)
+            rk.join(fixed, on=fixed_key)
             .join(own_bias, on=side_key)
             .crossJoin(F.broadcast(mu))
         )
@@ -120,8 +127,9 @@ def als_bias_rank2(
 
     def solve_bias(side_key, fixed, fixed_key, f1, f2, fb, own_factors):
         """b = Σ (r - mu - other_bias - u·v) / (reg + n)."""
+        rk = r_by_i if fixed_key == "__i" else r_by_u
         j = (
-            r.join(fixed, on=fixed_key)
+            rk.join(fixed, on=fixed_key)
             .join(own_factors, on=side_key)
             .crossJoin(F.broadcast(mu))
         )
