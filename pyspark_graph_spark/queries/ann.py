@@ -1058,18 +1058,9 @@ def q_svd_factorization_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators.svd import deflated_power_iteration_svd
     from pyspark_graph_spark.sources.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    inter = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_partkey").alias("partkey"),
-        )
-        .agg(F.sum("l_quantity").cast("double").alias("qty"))
-    )
+    from pyspark_graph_spark.queries._shared import _shared_interactions
+
+    inter = _shared_interactions(spark, sf_dir)
     _, v = deflated_power_iteration_svd(
         inter, "custkey", "partkey", "qty", k=2, iterations=2
     )
@@ -1213,18 +1204,9 @@ def q_svd_factorization_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators.svd import block_power_iteration_svd
     from pyspark_graph_spark.sources.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    inter = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_partkey").alias("partkey"),
-        )
-        .agg(F.sum("l_quantity").cast("double").alias("qty"))
-    )
+    from pyspark_graph_spark.queries._shared import _shared_interactions
+
+    inter = _shared_interactions(spark, sf_dir)
     _, v = block_power_iteration_svd(
         inter, "custkey", "partkey", "qty", k=4, iterations=2
     )
@@ -1344,18 +1326,9 @@ def q_als_bias_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators.als import als_bias_rank2
     from pyspark_graph_spark.sources.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    inter = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_partkey").alias("partkey"),
-        )
-        .agg(F.sum("l_quantity").cast("double").alias("qty"))
-    )
+    from pyspark_graph_spark.queries._shared import _shared_interactions
+
+    inter = _shared_interactions(spark, sf_dir)
     _, items = als_bias_rank2(
         inter, "custkey", "partkey", "qty", iterations=2, reg=0.1
     )
@@ -1386,18 +1359,9 @@ def q_svd_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_graph_spark.operators.svd import power_iteration_svd
     from pyspark_graph_spark.sources.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_quantity"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    inter = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .groupBy(
-            F.col("o_custkey").alias("custkey"),
-            F.col("l_partkey").alias("partkey"),
-        )
-        .agg(F.sum("l_quantity").cast("double").alias("qty"))
-    )
+    from pyspark_graph_spark.queries._shared import _shared_interactions
+
+    inter = _shared_interactions(spark, sf_dir)
     _, v = power_iteration_svd(
         inter, "custkey", "partkey", "qty", iterations=2
     )
