@@ -1056,8 +1056,6 @@ def q_svd_factorization_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from pyspark_graph_spark.operators.svd import deflated_power_iteration_svd
-    from pyspark_graph_spark.sources.tables import load_table
-
     from pyspark_graph_spark.queries._shared import _shared_interactions
 
     inter = _shared_interactions(spark, sf_dir)
@@ -1202,8 +1200,6 @@ def q_svd_factorization_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from pyspark_graph_spark.operators.svd import block_power_iteration_svd
-    from pyspark_graph_spark.sources.tables import load_table
-
     from pyspark_graph_spark.queries._shared import _shared_interactions
 
     inter = _shared_interactions(spark, sf_dir)
@@ -1324,8 +1320,6 @@ def q_als_bias_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
     readout), selected on the ROUNDED value with a partkey tie-break on
     both sides."""
     from pyspark_graph_spark.operators.als import als_bias_rank2
-    from pyspark_graph_spark.sources.tables import load_table
-
     from pyspark_graph_spark.queries._shared import _shared_interactions
 
     inter = _shared_interactions(spark, sf_dir)
@@ -1357,8 +1351,6 @@ def q_svd_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate. Nonnegative matrix + all-ones start fixes the sign
     (Perron), so no eigenvector ambiguity reaches the hash."""
     from pyspark_graph_spark.operators.svd import power_iteration_svd
-    from pyspark_graph_spark.sources.tables import load_table
-
     from pyspark_graph_spark.queries._shared import _shared_interactions
 
     inter = _shared_interactions(spark, sf_dir)
