@@ -16,11 +16,16 @@ operator trains mu + b_u + b_i + u·v at rank 2, where the per-key 2x2
 normal equations invert in closed form (determinant expressions) — no
 per-row matrix library, no UDF, pure JVM-side expressions.
 
-The implicit-feedback y-factors that complete full SVD++ stay out of
-scope (they add a |N(u)|^-1/2 Σ y_j term to every user vector — another
-groupBy per step, but the model is rarely worth it without SGD's
-fine-grained updates); biases + factors are the part every engine in
-the reference's matrix lacks.
+SVD++'s distinguishing idea — learning from IMPLICIT feedback (which
+items a user touched, not just the ratings they left) — has its own
+canonical distributed trainer: implicit-feedback ALS (Hu, Koren &
+Volinsky 2008, "Collaborative Filtering for Implicit Feedback
+Datasets"), `als_implicit_rank2` below. Together the two operators
+cover the SVD++ model class end to end: explicit biases + factors
+(this function) and confidence-weighted implicit preference (the
+other). Only SGD's per-sample update order — which no external oracle
+can replay and no cluster can parallelize without changing the result
+— is deliberately absent.
 
 Physical shape per alternation: 4 hash joins of the COO ratings with
 the current small-side tables + 4 groupBy-sums (user Gram / user bias /
@@ -205,4 +210,112 @@ def als_bias_rank2(
         items.select(
             F.col("__i").alias(item_col), "v1", "v2", "bi"
         ),
+    )
+
+
+def als_implicit_rank2(
+    ratings: DataFrame,
+    user_col: str,
+    item_col: str,
+    rating_col: str,
+    iterations: int = 2,
+    reg: float = 0.1,
+    alpha: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Implicit-feedback ALS (Hu, Koren & Volinsky 2008) at rank 2 —
+    the confidence-weighted half of the SVD++ model class.
+
+    Every observed (user, item, r) row is a binary preference p = 1
+    held with confidence c = 1 + alpha * r; every UNOBSERVED pair is
+    p = 0 with confidence 1. The loss sums over the full user x item
+    cross product, yet the solve never materializes it: the normal
+    equations split as
+
+        x_u = (YtY + Yt(Cu - I)Y + reg*I)^-1  Yt Cu p_u
+
+    where ``YtY`` is ONE global 2x2 Gram over all item factors (a
+    1-row broadcast) and the correction + right-hand side sum only
+    over the user's OBSERVED rows — the classic sparse + low-rank
+    split that makes implicit ALS linear in nnz at any scale. Per
+    half-step: one 3-scalar aggregate of the small factor table plus
+    one join + groupBy over the pre-partitioned ratings; the COO
+    table never re-shuffles after the two initial checkpoints.
+
+    Deterministic: item factors start at (1 + (i % 2), 1 + (i % 3))
+    (``item_col`` must be integral), users solve first, and every
+    update is a closed-form 2x2 solve over aggregates. A = YtY +
+    PSD correction + reg*I is positive definite for any reg > 0, so
+    no rank guard is needed.
+
+    Returns ``(users, items)``: ``(user_col, u1, u2)`` and
+    ``(item_col, v1, v2)``.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not reg > 0:
+        raise ValueError("reg must be > 0 (it keeps every solve nonsingular)")
+    if not alpha > 0:
+        raise ValueError("alpha must be > 0 (zero confidence never learns)")
+    r = ratings.select(
+        F.col(user_col).alias("__u"),
+        F.col(item_col).alias("__i"),
+        F.col(rating_col).cast("double").alias("__r"),
+    ).localCheckpoint()
+    r_by_i = r.repartition("__i").localCheckpoint()
+    r_by_u = r.repartition("__u").localCheckpoint()
+    items = r.select("__i").distinct().select(
+        "__i",
+        (F.lit(1.0) + F.pmod(F.col("__i"), F.lit(2)).cast("double")).alias(
+            "v1"
+        ),
+        (F.lit(1.0) + F.pmod(F.col("__i"), F.lit(3)).cast("double")).alias(
+            "v2"
+        ),
+    ).localCheckpoint()
+    users = None
+
+    def solve(side_key, fixed, fixed_key, f1, f2):
+        """One implicit half-step: global Gram of the fixed side +
+        per-key confidence-weighted correction and RHS, closed-form
+        2x2 solve. Expression order is pinned left-associated so the
+        SQL oracle replays the float ops exactly."""
+        gram = fixed.agg(
+            F.sum(F.col(f1) * F.col(f1)).alias("__G11"),
+            F.sum(F.col(f1) * F.col(f2)).alias("__G12"),
+            F.sum(F.col(f2) * F.col(f2)).alias("__G22"),
+        )
+        rk = r_by_i if fixed_key == "__i" else r_by_u
+        cw = F.lit(alpha) * F.col("__r")  # c - 1
+        j = rk.join(fixed, on=fixed_key)
+        g = j.groupBy(side_key).agg(
+            F.sum(cw * F.col(f1) * F.col(f1)).alias("__s11"),
+            F.sum(cw * F.col(f1) * F.col(f2)).alias("__s12"),
+            F.sum(cw * F.col(f2) * F.col(f2)).alias("__s22"),
+            F.sum((F.lit(1.0) + cw) * F.col(f1)).alias("__b1"),
+            F.sum((F.lit(1.0) + cw) * F.col(f2)).alias("__b2"),
+        )
+        a11 = F.col("__G11") + F.col("__s11") + F.lit(reg)
+        a12 = F.col("__G12") + F.col("__s12")
+        a22 = F.col("__G22") + F.col("__s22") + F.lit(reg)
+        det = a11 * a22 - a12 * a12
+        return g.crossJoin(F.broadcast(gram)).select(
+            side_key,
+            ((a22 * F.col("__b1") - a12 * F.col("__b2")) / det),
+            ((a11 * F.col("__b2") - a12 * F.col("__b1")) / det),
+        )
+
+    for _ in range(iterations):
+        users = (
+            solve("__u", items.select("__i", "v1", "v2"), "__i", "v1", "v2")
+            .toDF("__u", "u1", "u2")
+            .localCheckpoint()
+        )
+        items = (
+            solve("__i", users.select("__u", "u1", "u2"), "__u", "u1", "u2")
+            .toDF("__i", "v1", "v2")
+            .localCheckpoint()
+        )
+    return (
+        users.select(F.col("__u").alias(user_col), "u1", "u2"),
+        items.select(F.col("__i").alias(item_col), "v1", "v2"),
     )

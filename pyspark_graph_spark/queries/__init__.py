@@ -73,6 +73,9 @@ for _mapping in (QUERIES, ORACLES):
 # als_bias_rank2 (new: biased rank-2 ALS, the distributed trainer for
 # the SVD++-class model the reference's matrix marks ❌ everywhere —
 # closes r10 "What's missing" #2 as far as determinism allows);
+# als_implicit_rank2 (new: implicit-feedback ALS, Hu-Koren-Volinsky
+# 2008 — the confidence-weighted implicit half of the SVD++ model
+# class, global-Gram + sparse-correction solves, linear in nnz);
 # four_cycles / four_cycles_estimate / transitivity / triangle_estimate
 # / rich_club / triad_census family / densest_subgraph / bipartite_check
 # / coarsen_two_level / multilevel_partition (exact-integer DECIMAL(38,0)
@@ -94,6 +97,7 @@ GATE_ROUND = 11
 ROUND_CHANGED: list[str] = [
     "svd_factorization_block",
     "als_bias_rank2",
+    "als_implicit_rank2",
     "four_cycles",
     "four_cycles_estimate",
     "transitivity",
@@ -115,6 +119,7 @@ ROUND_CHANGED: list[str] = [
 GATE_PRIORITY: list[str] = [
     "svd_factorization_block",
     "als_bias_rank2",
+    "als_implicit_rank2",
     "four_cycles",
     "four_cycles_estimate",
     "transitivity",
@@ -162,7 +167,6 @@ GATE_PRIORITY: list[str] = [
     "large_orders",
     "market_share",
     "brand_revenue",
-    "autocorrelation",
 ]
 
 
@@ -191,6 +195,7 @@ SHARED_FAMILIES: dict[str, list[str]] = {
         "svd_factorization_k",
         "svd_factorization_block",
         "als_bias_rank2",
+        "als_implicit_rank2",
     ],
     "cdc_clusters": [
         "cdc_dedup_clusters",

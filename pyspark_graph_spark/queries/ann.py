@@ -1337,6 +1337,131 @@ def q_als_bias_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+def _als_implicit_oracle(
+    iters: int = 2, reg: float = 0.1, alpha: float = 0.5, topk: int = 10
+) -> str:
+    """Unrolled implicit-feedback ALS (operators/als.py:
+    als_implicit_rank2, Hu-Koren-Volinsky 2008): per half-step a 1-row
+    global item/user Gram CTE plus one confidence-weighted aggregate,
+    every product and normal-equation entry in the exact
+    left-associated float-op order the Spark expressions use."""
+    parts = [
+        """
+a AS MATERIALIZED (
+    SELECT o_custkey AS u, l_partkey AS i,
+           CAST(SUM(l_quantity) AS DOUBLE) AS r
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+)""",
+        "v0 AS MATERIALIZED (SELECT DISTINCT i, 1.0 + (i % 2) AS v1,"
+        " 1.0 + (i % 3) AS v2 FROM a)",
+    ]
+    pu, pv = None, "v0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+yg{t} AS MATERIALIZED (
+    SELECT SUM(v1 * v1) AS G11, SUM(v1 * v2) AS G12,
+           SUM(v2 * v2) AS G22
+    FROM {pv}
+),
+us{t} AS MATERIALIZED (
+    SELECT a.u,
+           SUM({alpha!r} * a.r * f.v1 * f.v1) AS s11,
+           SUM({alpha!r} * a.r * f.v1 * f.v2) AS s12,
+           SUM({alpha!r} * a.r * f.v2 * f.v2) AS s22,
+           SUM((1.0 + {alpha!r} * a.r) * f.v1) AS b1,
+           SUM((1.0 + {alpha!r} * a.r) * f.v2) AS b2
+    FROM a JOIN {pv} f USING (i)
+    GROUP BY a.u
+),
+uf{t} AS MATERIALIZED (
+    SELECT u,
+           ((G22 + s22 + {reg!r}) * b1 - (G12 + s12) * b2)
+             / ((G11 + s11 + {reg!r}) * (G22 + s22 + {reg!r})
+                - (G12 + s12) * (G12 + s12)) AS u1,
+           ((G11 + s11 + {reg!r}) * b2 - (G12 + s12) * b1)
+             / ((G11 + s11 + {reg!r}) * (G22 + s22 + {reg!r})
+                - (G12 + s12) * (G12 + s12)) AS u2
+    FROM us{t} CROSS JOIN yg{t}
+),
+xg{t} AS MATERIALIZED (
+    SELECT SUM(u1 * u1) AS G11, SUM(u1 * u2) AS G12,
+           SUM(u2 * u2) AS G22
+    FROM uf{t}
+),
+vs{t} AS MATERIALIZED (
+    SELECT a.i,
+           SUM({alpha!r} * a.r * f.u1 * f.u1) AS s11,
+           SUM({alpha!r} * a.r * f.u1 * f.u2) AS s12,
+           SUM({alpha!r} * a.r * f.u2 * f.u2) AS s22,
+           SUM((1.0 + {alpha!r} * a.r) * f.u1) AS b1,
+           SUM((1.0 + {alpha!r} * a.r) * f.u2) AS b2
+    FROM a JOIN uf{t} f USING (u)
+    GROUP BY a.i
+),
+vf{t} AS MATERIALIZED (
+    SELECT i,
+           ((G22 + s22 + {reg!r}) * b1 - (G12 + s12) * b2)
+             / ((G11 + s11 + {reg!r}) * (G22 + s22 + {reg!r})
+                - (G12 + s12) * (G12 + s12)) AS v1,
+           ((G11 + s11 + {reg!r}) * b2 - (G12 + s12) * b1)
+             / ((G11 + s11 + {reg!r}) * (G22 + s22 + {reg!r})
+                - (G12 + s12) * (G12 + s12)) AS v2
+    FROM vs{t} CROSS JOIN xg{t}
+)""")
+        pu, pv = f"uf{t}", f"vf{t}"
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+SELECT CAST(i AS BIGINT) AS partkey, ROUND(v1, 6) AS v1,
+       ROUND(v2, 6) AS v2, ROUND(v1 * v1 + v2 * v2, 6) AS norm2
+FROM {pv}
+ORDER BY ROUND(v1 * v1 + v2 * v2, 6) DESC, i LIMIT {topk}
+"""
+    )
+
+
+@query(
+    "als_implicit_rank2",
+    oracle=_als_implicit_oracle(iters=2, reg=0.1, alpha=0.5, topk=10),
+)
+def q_als_implicit_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS (Hu-Koren-Volinsky 2008) at rank 2 on the
+    customer x part interactions, read as binary preference held with
+    confidence 1 + 0.5*qty — the implicit half of the SVD++ model class
+    (reference README.md:32 marks SVDPlusPlus ❌ everywhere; SVD++'s
+    defining ingredient is exactly this kind of implicit-feedback
+    signal, and implicit ALS is its canonical distributed trainer).
+    The loss ranges over the FULL customer x part cross product but
+    the solve never materializes it: one global 2x2 Gram broadcast +
+    per-key aggregates over observed rows only (the sparse + low-rank
+    split that stays linear in nnz at 100 TB). Returns the top-10
+    parts by learned factor norm (the 'most-engaged parts' readout),
+    selected on the ROUNDED value with a partkey tie-break on both
+    sides."""
+    from pyspark_graph_spark.operators.als import als_implicit_rank2
+    from pyspark_graph_spark.queries._shared import _shared_interactions
+
+    inter = _shared_interactions(spark, sf_dir)
+    _, items = als_implicit_rank2(
+        inter, "custkey", "partkey", "qty", iterations=2, reg=0.1, alpha=0.5
+    )
+    norm2 = F.round(
+        F.col("v1") * F.col("v1") + F.col("v2") * F.col("v2"), 6
+    )
+    return (
+        items.orderBy(norm2.desc(), F.asc("partkey"))
+        .limit(10)
+        .select(
+            F.col("partkey").cast("long").alias("partkey"),
+            F.round("v1", 6).alias("v1"),
+            F.round("v2", 6).alias("v2"),
+            norm2.alias("norm2"),
+        )
+    )
+
+
 @query("svd_factorization", oracle=_svd_oracle(iters=2, topk=15))
 def q_svd_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant singular pair of the customer x part interaction matrix
