@@ -305,6 +305,7 @@ def block_power_iteration_svd(
     k: int = 4,
     iterations: int = 3,
     rank_tolerance: float = 1e-9,
+    gram_mode: str = "expr",
 ) -> tuple[DataFrame, DataFrame]:
     """Rank-k truncated SVD by BLOCK (simultaneous subspace) power
     iteration — the scale shape for k >> 2 (r10 verdict #3).
@@ -330,9 +331,15 @@ def block_power_iteration_svd(
     row-scan aggregates per half-iteration — measured 10.0 s vs the
     deflated operator's 7.1 s at sf0.1 purely on job-launch overhead —
     while the Gram form needs exactly ONE. The R recursion inlines as
-    an O(k^3)-term expression tree, fine for k <= ~8; k >> 8 should
-    compute the k x k Cholesky from a bounded driver-side collect
-    instead.)
+    an O(k^3)-term expression tree, fine for k <= ~8; for k >> 8 pass
+    ``gram_mode="driver"``: the k(k+1)/2 Gram scalars — a bounded
+    1-row collect, NOT a data-sized one — come back to the driver,
+    numpy factors the k x k Cholesky, and R re-enters the plan as
+    LITERALS, so the Q projection is O(k^2) literal-coefficient
+    columns whatever k is. The trajectory is the same up to float-op
+    ordering inside the k x k factorization (data-sized arithmetic is
+    identical), so "driver" is the embeddings-scale shape while
+    "expr" remains the gate-verified zero-collect default.)
 
     Start vectors are deterministic and integer-derived —
     ``x_j(c) = 1 + (c mod (j+1))`` (factor 0 = all-ones, matching the
@@ -359,11 +366,62 @@ def block_power_iteration_svd(
         raise ValueError("iterations must be >= 1")
     if k < 1:
         raise ValueError("k must be >= 1")
+    if gram_mode not in ("expr", "driver"):
+        raise ValueError("gram_mode must be 'expr' or 'driver'")
     a = interactions.select(
         F.col(row_col).alias("__r"),
         F.col(col_col).alias("__c"),
         F.col(val_col).cast("double").alias("__a"),
     ).localCheckpoint()
+
+    def _chol_qr_driver(
+        frame: DataFrame, key: str, in_prefix: str, out_prefix: str
+    ):
+        """CholeskyQR with the k x k factorization on the DRIVER: collect
+        the k(k+1)/2 Gram scalars (ONE row — bounded by k, never by
+        data), numpy-Cholesky them, and re-enter R as literals. The Q
+        back-substitution is then O(k^2) literal-coefficient columns —
+        the k >> 8 shape where the inline R recursion's O(k^3)-term
+        expression tree would drown Catalyst."""
+        import numpy as np
+
+        row = frame.agg(
+            *[
+                F.sum(
+                    F.col(f"{in_prefix}{i}") * F.col(f"{in_prefix}{j}")
+                ).alias(f"__g{i}_{j}")
+                for i in range(k)
+                for j in range(i, k)
+            ]
+        ).first()
+        g = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                val = row[f"__g{i}_{j}"]
+                g[i, j] = g[j, i] = 0.0 if val is None else float(val)
+        try:
+            r_mat = np.linalg.cholesky(g).T
+        except np.linalg.LinAlgError:
+            raise ValueError(
+                f"rank-{k} block SVD: the Gram matrix is not positive "
+                "definite — k exceeds the effective rank of the matrix"
+            )
+        cur = frame
+        for j in range(k):
+            t = F.col(f"{in_prefix}{j}")
+            for p in range(j):
+                t = t - F.lit(float(r_mat[p, j])) * F.col(f"{out_prefix}{p}")
+            cur = cur.withColumn(
+                f"{out_prefix}{j}", t / F.lit(float(r_mat[j, j]))
+            )
+        return cur.select(
+            key,
+            *[f"{out_prefix}{j}" for j in range(k)],
+            *[
+                F.lit(float(r_mat[j, j])).alias(f"__sig{j}")
+                for j in range(k)
+            ],
+        )
 
     def _chol_qr(frame: DataFrame, key: str, in_prefix: str, out_prefix: str):
         """CholeskyQR over the k value columns of a wide keyed frame:
@@ -437,7 +495,8 @@ def block_power_iteration_svd(
         # not checkpointed: consumed once by zw (and lazily by u_out);
         # the Gram broadcast inside re-executes only as a cheap
         # map+singleton scan of the yw checkpoint
-        u_ortho = _chol_qr(yw, "__r", "y", "q")
+        qr = _chol_qr if gram_mode == "expr" else _chol_qr_driver
+        u_ortho = qr(yw, "__r", "y", "q")
         zw = (
             a.join(
                 u_ortho.select("__r", *[f"q{j}" for j in range(k)]),
@@ -452,7 +511,7 @@ def block_power_iteration_svd(
             )
             .localCheckpoint()
         )
-        v_ortho = _chol_qr(zw, "__c", "z", "x").localCheckpoint()
+        v_ortho = qr(zw, "__c", "z", "x").localCheckpoint()
         v = v_ortho
     # rank-exhaustion probe (1 row: sigma columns are broadcast
     # constants replicated per row)

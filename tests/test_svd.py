@@ -217,3 +217,74 @@ def test_block_validation(spark):
         block_power_iteration_svd(None, "r", "c", "a", k=2, iterations=0)
     with pytest.raises(ValueError, match="k must"):
         block_power_iteration_svd(None, "r", "c", "a", k=0)
+
+
+def test_block_driver_gram_matches_numpy_at_k12(spark):
+    """gram_mode='driver' (round 11): the k >> 8 shape — the k x k
+    Cholesky factors on the driver from a bounded 1-row Gram collect
+    and R re-enters the plan as literals. Pinned at k=12, past the
+    inline R recursion's comfort zone, against numpy's exact SVD."""
+    from pyspark_graph_spark.operators.svd import block_power_iteration_svd
+
+    rng = np.random.RandomState(23)
+    # well-separated geometric spectrum (ratio 0.75) from random
+    # orthogonal bases: subspace iteration converges like
+    # (sigma_{j+1}/sigma_j)^(2*iters), so interior factors are pinned
+    # tight without needing hundreds of rounds
+    qu, _ = np.linalg.qr(rng.randn(24, 16))
+    qv, _ = np.linalg.qr(rng.randn(16, 16))
+    s_true = 100.0 * (0.75 ** np.arange(16))
+    dense = (qu * s_true) @ qv.T
+    df = _to_spark(spark, dense)
+    u, v = block_power_iteration_svd(
+        df, "r", "c", "a", k=12, iterations=40, gram_mode="driver"
+    )
+    got_v = {
+        (row["factor"], row["c"]): (row["v"], row["sigma"])
+        for row in v.collect()
+    }
+    U, S, Vt = np.linalg.svd(dense)
+    for j in range(12):
+        vs = np.array([got_v[(j, c)][0] for c in range(16)])
+        sig = got_v[(j, 0)][1]
+        ref = Vt[j] if np.dot(vs, Vt[j]) > 0 else -Vt[j]
+        assert abs(sig - S[j]) < 1e-3, (j, sig, S[j])
+        assert np.abs(vs - ref).max() < 1e-2, j
+
+
+def test_block_driver_gram_agrees_with_expr_mode(spark):
+    """Same trajectory up to float-op order inside the k x k
+    factorization: driver and expr modes agree to ~1e-9 at k=4."""
+    from pyspark_graph_spark.operators.svd import block_power_iteration_svd
+
+    rng = np.random.RandomState(31)
+    dense = np.abs(rng.rand(10, 8)) + np.outer(rng.rand(10), rng.rand(8)) * 3
+    df = _to_spark(spark, dense)
+    _, v_e = block_power_iteration_svd(df, "r", "c", "a", k=4, iterations=3)
+    _, v_d = block_power_iteration_svd(
+        df, "r", "c", "a", k=4, iterations=3, gram_mode="driver"
+    )
+    e = {(r["factor"], r["c"]): (r["v"], r["sigma"]) for r in v_e.collect()}
+    d = {(r["factor"], r["c"]): (r["v"], r["sigma"]) for r in v_d.collect()}
+    assert set(e) == set(d)
+    for key in e:
+        assert e[key][0] == pytest.approx(d[key][0], abs=1e-9)
+        assert e[key][1] == pytest.approx(d[key][1], abs=1e-9)
+
+
+def test_block_driver_gram_rank_exhaustion_raises_loudly(spark):
+    from pyspark_graph_spark.operators.svd import block_power_iteration_svd
+
+    dense = 7.5 * np.outer([0.6, 0.8], [1 / 3, 2 / 3, 2 / 3])  # rank 1
+    df = _to_spark(spark, dense)
+    with pytest.raises(ValueError, match="rank"):
+        block_power_iteration_svd(
+            df, "r", "c", "a", k=3, iterations=4, gram_mode="driver"
+        )
+
+
+def test_block_gram_mode_validation(spark):
+    from pyspark_graph_spark.operators.svd import block_power_iteration_svd
+
+    with pytest.raises(ValueError, match="gram_mode"):
+        block_power_iteration_svd(None, "r", "c", "a", k=2, gram_mode="bogus")
