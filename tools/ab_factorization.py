@@ -14,7 +14,13 @@ a subspace, deflation converges factor j before j+1 — so sigmas agree
 approximately, not bit-exactly; both estimate the same true spectrum).
 
 Usage:
-    python tools/ab_factorization.py [k] [iterations]
+    python tools/ab_factorization.py [k] [iterations] [gram_mode]
+
+gram_mode (default "expr") applies to the BLOCK arm only; pass
+"driver" to reproduce the k=16 driver-Gram row (SCALE.md round 11) —
+at k >= 12 skip the deflated arm with iterations unchanged unless you
+have minutes to burn, e.g.:
+    python tools/ab_factorization.py 16 2 driver
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ def main() -> None:
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     iterations = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    gram_mode = sys.argv[3] if len(sys.argv) > 3 else "expr"
     spark = get_spark("ab-factorization")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -64,9 +71,10 @@ def main() -> None:
             if which == "block"
             else deflated_power_iteration_svd
         )
+        kw = {"gram_mode": gram_mode} if which == "block" else {}
         t0 = time.time()
         _, v = fn(inter, "custkey", "partkey", "qty", k=k,
-                  iterations=iterations)
+                  iterations=iterations, **kw)
         sig = [
             r["sigma"]
             for r in v.select("factor", "sigma")
