@@ -23,7 +23,7 @@ def _ratings(rng, n_users=7, n_items=9, density=0.5):
     return rows
 
 
-def _numpy_implicit_als(rows, n_items, iterations=2, reg=0.1, alpha=0.5):
+def _numpy_implicit_als(rows, iterations=2, reg=0.1, alpha=0.5):
     by_u: dict[int, list] = {}
     by_i: dict[int, list] = {}
     for u, i, x in rows:
@@ -59,7 +59,7 @@ def test_matches_numpy_replication(spark):
     users, items = als_implicit_rank2(
         df, "u", "i", "r", iterations=2, reg=0.1, alpha=0.5
     )
-    u_np, v_np = _numpy_implicit_als(rows, 9)
+    u_np, v_np = _numpy_implicit_als(rows)
     for row in users.collect():
         assert row["u1"] == pytest.approx(u_np[row["u"]][0], abs=1e-9)
         assert row["u2"] == pytest.approx(u_np[row["u"]][1], abs=1e-9)
@@ -103,7 +103,7 @@ def test_solve_is_linear_in_nnz_not_cross_product(spark):
     assert set(got) == {0, 1, 2}
     for f in got.values():
         assert all(np.isfinite(f))
-    u_np, _ = _numpy_implicit_als(rows, 2)
+    u_np, _ = _numpy_implicit_als(rows)
     for uu, (f1, f2) in got.items():
         assert f1 == pytest.approx(u_np[uu][0], abs=1e-9)
         assert f2 == pytest.approx(u_np[uu][1], abs=1e-9)
