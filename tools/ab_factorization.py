@@ -16,11 +16,11 @@ approximately, not bit-exactly; both estimate the same true spectrum).
 Usage:
     python tools/ab_factorization.py [k] [iterations] [gram_mode]
 
-gram_mode (default "expr") applies to the BLOCK arm only; pass
-"driver" to reproduce the k=16 driver-Gram row (SCALE.md round 11) —
-at k >= 12 skip the deflated arm with iterations unchanged unless you
-have minutes to burn, e.g.:
-    python tools/ab_factorization.py 16 2 driver
+gram_mode (default "expr") applies to the BLOCK arm only. To
+reproduce the k=16 driver-Gram row (SCALE.md round 11) — where the
+deflated arm would take minutes — set SPARK_GRAFT_AB_BLOCK_ONLY=1 to
+run just the block arm:
+    SPARK_GRAFT_AB_BLOCK_ONLY=1 python tools/ab_factorization.py 16 2 driver
 """
 
 from __future__ import annotations
@@ -84,18 +84,27 @@ def main() -> None:
         ]
         return time.time() - t0, sig
 
-    walls: dict[str, list[float]] = {"block": [], "deflated": []}
+    arms = (
+        ("block",)
+        if os.environ.get("SPARK_GRAFT_AB_BLOCK_ONLY")
+        else ("block", "deflated")
+    )
+    walls: dict[str, list[float]] = {arm: [] for arm in arms}
     sigmas: dict[str, list[float]] = {}
     for p in range(2):
-        for arm in ("block", "deflated"):
+        for arm in arms:
             w, sig = run(arm)
             walls[arm].append(w)
             sigmas[arm] = sig
             print(f"pass{p + 1} {arm:>8}: {w:6.1f}s  sigmas="
                   f"{[round(s, 1) for s in sig]}", flush=True)
-    b, d = min(walls["block"]), min(walls["deflated"])
-    print(f"min-of-two: block {b:.1f}s  deflated {d:.1f}s  "
-          f"(block/deflated = {b / d:.2f}x)")
+    b = min(walls["block"])
+    if "deflated" in walls:
+        d = min(walls["deflated"])
+        print(f"min-of-two: block {b:.1f}s  deflated {d:.1f}s  "
+              f"(block/deflated = {b / d:.2f}x)")
+    else:
+        print(f"min-of-two: block {b:.1f}s")
 
 
 if __name__ == "__main__":
