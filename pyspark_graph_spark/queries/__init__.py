@@ -76,6 +76,9 @@ for _mapping in (QUERIES, ORACLES):
 # als_implicit_rank2 (new: implicit-feedback ALS, Hu-Koren-Volinsky
 # 2008 — the confidence-weighted implicit half of the SVD++ model
 # class, global-Gram + sparse-correction solves, linear in nnz);
+# netmf_embeddings (new: NetMF graph embeddings, Qiu et al. 2018 —
+# rank-2 block SVD of the 6dp-rounded walk-PPMI matrix, composing the
+# walk corpus, walk_pmi's scored pairs, and the block SVD operator);
 # four_cycles / four_cycles_estimate / transitivity / triangle_estimate
 # / rich_club / triad_census family / densest_subgraph / bipartite_check
 # / coarsen_two_level / multilevel_partition (exact-integer DECIMAL(38,0)
@@ -98,6 +101,7 @@ ROUND_CHANGED: list[str] = [
     "svd_factorization_block",
     "als_bias_rank2",
     "als_implicit_rank2",
+    "netmf_embeddings",
     "four_cycles",
     "four_cycles_estimate",
     "transitivity",
@@ -120,6 +124,7 @@ GATE_PRIORITY: list[str] = [
     "svd_factorization_block",
     "als_bias_rank2",
     "als_implicit_rank2",
+    "netmf_embeddings",
     "four_cycles",
     "four_cycles_estimate",
     "transitivity",
@@ -166,7 +171,6 @@ GATE_PRIORITY: list[str] = [
     "promo_revenue",
     "large_orders",
     "market_share",
-    "brand_revenue",
 ]
 
 

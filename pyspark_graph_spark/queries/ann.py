@@ -1079,14 +1079,25 @@ def q_svd_factorization_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _svd_block_oracle(k: int = 4, iters: int = 2, topk: int = 8) -> str:
+def _svd_block_oracle(
+    k: int = 4,
+    iters: int = 2,
+    topk: int = 8,
+    base_parts: list[str] | None = None,
+    id_alias: str = "partkey",
+) -> str:
     """Unrolled BLOCK power iteration with CholeskyQR orthogonalization
     (operators/svd.py: block_power_iteration_svd): per half-iteration
     one wide matvec CTE, one k(k+1)/2-scalar Gram CTE, then one tiny
     1-row CTE per R entry (left-associated subtraction chains — the
     exact float-op order the Spark expressions use) and one CTE per Q
-    column, so DuckDB replays the exact trajectory."""
-    parts = [
+    column, so DuckDB replays the exact trajectory.
+
+    ``base_parts`` swaps the default customer x part interaction matrix
+    for any CTE chain whose LAST element defines ``a(r, c, a)`` — the
+    netmf_embeddings composition feeds the walk-PPMI matrix through the
+    identical unroll. ``id_alias`` names the output id column."""
+    parts = list(base_parts) if base_parts is not None else [
         """
 a AS MATERIALIZED (
     SELECT o_custkey AS r, l_partkey AS c,
@@ -1173,7 +1184,7 @@ a AS MATERIALIZED (
         + ",".join(parts)
         + f""",
 allv AS ({union})
-SELECT CAST(factor AS BIGINT) AS factor, CAST(c AS BIGINT) AS partkey,
+SELECT CAST(factor AS BIGINT) AS factor, CAST(c AS BIGINT) AS {id_alias},
        ROUND(x, 6) AS v, ROUND(s, 3) AS sigma
 FROM allv
 QUALIFY ROW_NUMBER() OVER (
@@ -1215,6 +1226,114 @@ def q_svd_factorization_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("factor").cast("long").alias("factor"),
             F.col("partkey").cast("long").alias("partkey"),
+            F.round("v", 6).alias("v"),
+            F.round("sigma", 3).alias("sigma"),
+        )
+    )
+
+
+def _netmf_base_parts(length: int = 8, seed: int = 42, window: int = 2) -> list[str]:
+    """CTE chain producing the symmetric walk-PPMI matrix as ``a(r, c,
+    a)`` — the NetMF observation (Qiu et al. 2018, "Network Embedding
+    as Matrix Factorization") that DeepWalk/word2vec embeddings are a
+    low-rank factorization of the walk co-occurrence PMI matrix. The
+    walk, pair, and PMI CTEs are byte-shared with the walk_pmi oracle
+    (_shared._walks_ctes / queries/text.py); PPMI entries are ROUNDED
+    to 6dp on BOTH engines before the factorization, so the SVD unroll
+    consumes bit-identical inputs and cross-engine log2 ulp drift
+    cannot reach the hash."""
+    from pyspark_graph_spark.queries._shared import (
+        BIPARTITE_EDGES_CTE,
+        _walks_ctes,
+    )
+
+    parts = [BIPARTITE_EDGES_CTE.strip()]
+    parts += _walks_ctes(length, seed)
+    parts.append(
+        f"wp AS (SELECT walk_id, string_split(path, ',') AS p FROM s{length})"
+    )
+    parts.append(
+        "occ AS (SELECT CAST(x AS BIGINT) AS v, COUNT(*) AS n FROM "
+        "(SELECT unnest(p) AS x FROM wp) GROUP BY 1)"
+    )
+    parts.append(
+        "pairs AS (SELECT LEAST(CAST(p[CAST(i AS INT)] AS BIGINT), "
+        "CAST(p[CAST(j AS INT)] AS BIGINT)) AS a, "
+        "GREATEST(CAST(p[CAST(i AS INT)] AS BIGINT), "
+        "CAST(p[CAST(j AS INT)] AS BIGINT)) AS b "
+        "FROM wp CROSS JOIN UNNEST(range(1, len(p)+1)) AS g(i) "
+        "CROSS JOIN UNNEST(range(1, len(p)+1)) AS h(j) "
+        f"WHERE j > i AND j <= i + {window})"
+    )
+    parts.append(
+        "pc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM pairs GROUP BY a, b)"
+    )
+    parts.append("tot AS (SELECT SUM(n_pairs) AS t FROM pc)")
+    parts.append("occ_tot AS (SELECT SUM(n) AS ot FROM occ)")
+    parts.append(
+        "ppmi0 AS (SELECT a, b, "
+        "ROUND(log2((n_pairs * 1.0 / tot.t) "
+        "/ ((oa.n * 1.0 / occ_tot.ot) * (ob.n * 1.0 / occ_tot.ot))), 6) "
+        "AS val FROM pc "
+        "JOIN occ oa ON pc.a = oa.v JOIN occ ob ON pc.b = ob.v "
+        "CROSS JOIN tot CROSS JOIN occ_tot)"
+    )
+    parts.append("ppmi AS (SELECT * FROM ppmi0 WHERE val > 0)")
+    parts.append(
+        "a AS MATERIALIZED (SELECT a AS r, b AS c, val AS a FROM ppmi "
+        "UNION ALL SELECT b AS r, a AS c, val AS a FROM ppmi WHERE a != b)"
+    )
+    return parts
+
+
+@query(
+    "netmf_embeddings",
+    oracle=_svd_block_oracle(
+        k=2, iters=2, topk=8, base_parts=_netmf_base_parts(), id_alias="vertex"
+    ),
+)
+def q_netmf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetMF graph embeddings (Qiu et al. 2018): DeepWalk-style vertex
+    embeddings computed NOT by SGD over sampled walks but as the
+    truncated SVD of the walk co-occurrence PPMI matrix — the
+    closed-form equivalence that makes walk embeddings both
+    deterministic and distributed. Composes three already-gated pieces
+    end to end: the deterministic walk corpus (random_walks), its
+    PMI-scored skip-gram pairs (walk_pmi — byte-shared trajectory via
+    _walk_pmi_scored), and rank-2 BLOCK SVD (svd_factorization_block's
+    operator) over the positive-PMI entries symmetrized into a square
+    matrix. PPMI values are rounded to 6dp in BOTH engines before the
+    factorization, so the unrolled oracle consumes bit-identical
+    inputs. 100 TB shape: the PPMI matrix is output-sized (only
+    co-occurring pairs), the SVD is two data-sized shuffles per
+    iteration, and nothing densifies. Top-8 vertices per factor on the
+    rounded value with a vertex tie-break on both sides."""
+    from pyspark.sql import Window
+
+    from pyspark_graph_spark.operators.svd import block_power_iteration_svd
+    from pyspark_graph_spark.queries.text import _walk_pmi_scored
+
+    scored = _walk_pmi_scored(spark, sf_dir)
+    ppmi = scored.filter(F.col("pmi") > 0).select(
+        F.col("a").alias("r"), F.col("b").alias("c"), F.col("pmi").alias("val")
+    )
+    sym = ppmi.unionByName(
+        ppmi.filter(F.col("r") != F.col("c")).select(
+            F.col("c").alias("r"), F.col("r").alias("c"), "val"
+        )
+    )
+    _, v = block_power_iteration_svd(sym, "r", "c", "val", k=2, iterations=2)
+    w = Window.partitionBy("factor").orderBy(
+        F.desc(F.round("v", 6)), F.asc("vertex")
+    )
+    return (
+        v.withColumnRenamed("c", "vertex")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 8)
+        .select(
+            F.col("factor").cast("long").alias("factor"),
+            F.col("vertex").cast("long").alias("vertex"),
             F.round("v", 6).alias("v"),
             F.round("sigma", 3).alias("sigma"),
         )

@@ -688,14 +688,11 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [(l, r) for _, l, r in learned]
     return apply_bpe(docs, merges)
 
-@query("walk_pmi", oracle=_walk_pmi_sql(length=8, seed=42, window=2, topn=100))
-def q_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DeepWalk preprocessing: skip-gram co-occurrence pairs (window 2)
-    over the deterministic walk corpus, scored by PMI — the statistics a
-    word2vec-style embedding trains on. Pair explosion is a bounded
-    within-walk positional self-join (length x window fan-out per walk);
-    counts are map-side combined; one exact division chain into log2,
-    rounded. Top-100 by count for a stable gate surface."""
+def _walk_pmi_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PMI-scored skip-gram pair table (a, b, n_pairs, pmi) over
+    the deterministic walk corpus — shared by the walk_pmi gate readout
+    and the netmf_embeddings factorization (queries/ann.py), which must
+    see the identical trajectory the oracle replays."""
     from pyspark_graph_spark.operators import RandomWalks
 
     g = _cust_supp_graph(spark, sf_dir, directed=False)
@@ -742,6 +739,18 @@ def q_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+    return scored
+
+
+@query("walk_pmi", oracle=_walk_pmi_sql(length=8, seed=42, window=2, topn=100))
+def q_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk preprocessing: skip-gram co-occurrence pairs (window 2)
+    over the deterministic walk corpus, scored by PMI — the statistics a
+    word2vec-style embedding trains on. Pair explosion is a bounded
+    within-walk positional self-join (length x window fan-out per walk);
+    counts are map-side combined; one exact division chain into log2,
+    rounded. Top-100 by count for a stable gate surface."""
+    scored = _walk_pmi_scored(spark, sf_dir)
     return scored.orderBy(F.desc("n_pairs"), "a", "b").limit(100)
 
 @query(
