@@ -89,7 +89,12 @@ class BetweennessCentrality:
             if expanded.isEmpty():
                 break
             levels.append(expanded)
-            paths = paths.unionByName(expanded).localCheckpoint()
+            # union of already-checkpointed level frames: no re-checkpoint
+            # (r11, guide §2.4 — the per-level union+localCheckpoint was a
+            # full extra shuffle-and-materialize of the whole paths table
+            # every level; the anti-join consumer scans the checkpointed
+            # parts directly)
+            paths = paths.unionByName(expanded)
             frontier = expanded
 
         # ---- backward sweep: dependencies per level ----

@@ -220,15 +220,19 @@ class Louvain:
             ).alias("best"),
             F.first(F.col("own")).alias("own"),
         )
-        # id-parity gate: even ids move on even rounds, odd on odd
+        # id-parity gate: even ids move on even rounds, odd on odd.
+        # __moved rides along so the convergence probe counts a flag on
+        # the checkpointed frame instead of re-joining against the
+        # previous assignment (r11: one join+shuffle per probed round
+        # removed; fixed_rounds callers drop the column unexecuted)
+        new_c = F.when(
+            F.pmod(F.abs(F.col("u")), F.lit(2)) == F.lit(round_no % 2),
+            F.col("best"),
+        ).otherwise(F.col("own"))
         return best.select(
             F.col("u").alias("v"),
-            F.when(
-                F.pmod(F.abs(F.col("u")), F.lit(2)) == F.lit(round_no % 2),
-                F.col("best"),
-            )
-            .otherwise(F.col("own"))
-            .alias("c"),
+            new_c.alias("c"),
+            (new_c != F.col("own")).alias("__moved"),
         )
 
     def _local_moving(
@@ -262,16 +266,12 @@ class Louvain:
         for r in range(rounds):
             nxt = self._move_round(sym, deg, asg, two_m, r).localCheckpoint()
             if self.fixed_rounds is None:
-                moved = (
-                    nxt.join(asg.withColumnRenamed("c", "pc"), on="v")
-                    .filter(F.col("c") != F.col("pc"))
-                    .count()
-                )
-                asg = nxt
+                moved = nxt.filter(F.col("__moved")).count()
+                asg = nxt.drop("__moved")
                 if moved == 0:
                     break
             else:
-                asg = nxt
+                asg = nxt.drop("__moved")
         return asg
 
     def run(self, g: Graph) -> DataFrame:

@@ -174,28 +174,30 @@ class MaximalIndependentSet:
         self, undecided: DataFrame, edges: DataFrame, rnd: int
     ) -> DataFrame:
         """Simulate up to ``_LOCAL_ROUNDS`` Luby rounds in one cogrouped
-        Arrow batch. Priorities are the SAME Spark expressions the
-        distributed rounds would use, projected as columns before the
-        batch, so the result is bit-identical to continuing the loop.
+        Arrow batch. Priorities are the SAME values the distributed
+        rounds would use — xxhash64(id, seed, round) — computed inside
+        the batch by the NumPy replica of Spark's xxhash64
+        (functions/xxh64_np.py, pinned bit-for-bit by
+        tests/test_xxh64_np.py), so the result stays bit-identical to
+        continuing the loop while the batch input shrinks from
+        ``_LOCAL_ROUNDS``+1 columns to one (r11: the 32 projected hash
+        columns were ~1/3 of the batch job's wall at the 1M bound).
         Returns (id, chosen) covering chosen winners AND any vertices
         still undecided after the local budget (handed back to the
         distributed loop)."""
         n_rounds = self._LOCAL_ROUNDS
+        seed = self.seed
 
-        vb = undecided.select(
-            ID,
-            *[
-                F.xxhash64(
-                    F.col(ID), F.lit(self.seed), F.lit(rnd + j)
-                ).alias(f"__p{j}")
-                for j in range(n_rounds)
-            ],
-        ).withColumn("__g", F.lit(0))
+        vb = undecided.select(ID).withColumn("__g", F.lit(0))
         eb = edges.select(SRC, DST).withColumn("__g", F.lit(0))
 
         def local_luby(vp, ep):
             import numpy as np
             import pandas as pd
+
+            from pyspark_graph_spark.functions.xxh64_np import (
+                xxhash64_long_int_int,
+            )
 
             ids = vp[ID].to_numpy()
             n = len(ids)
@@ -206,9 +208,6 @@ class MaximalIndependentSet:
             d = np.fromiter(
                 (idx[v] for v in ep[DST]), dtype=np.int64, count=len(ep)
             )
-            pri = np.stack(
-                [vp[f"__p{j}"].to_numpy() for j in range(n_rounds)], axis=1
-            )
             alive = np.ones(n, dtype=bool)
             chosen = np.zeros(n, dtype=bool)
             for j in range(n_rounds):
@@ -216,7 +215,7 @@ class MaximalIndependentSet:
                     break
                 live = alive[s] & alive[d]
                 ls, ld = s[live], d[live]
-                p = pri[:, j]
+                p = xxhash64_long_int_int(ids, seed, rnd + j)
                 # max undecided-neighbor priority; isolated vertices win
                 nbr = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
                 np.maximum.at(nbr, ls, p[ld])
@@ -256,13 +255,121 @@ class MaximalIndependentSet:
         )
 
 
-def greedy_coloring(g: Graph, max_colors: int = 64) -> DataFrame:
+def _batch_color(
+    remaining_v: DataFrame,
+    remaining_e: DataFrame,
+    first_color: int,
+    max_colors: int,
+    mis_budget: int,
+    local_rounds: int,
+) -> DataFrame:
+    """Finish the WHOLE Luby-MIS coloring inside one cogrouped Arrow
+    batch: for each color c the kernel replays exactly the rounds the
+    per-color ``MaximalIndependentSet(seed=c)`` run would execute —
+    same xxhash64(id, c, round) priorities (NumPy replica, pinned
+    bit-for-bit by tests/test_xxh64_np.py), same strict-majority win
+    rule, same all-tie-continue, same round budget — so the coloring is
+    bit-identical to the per-color distributed loop while the per-color
+    fixed-overhead jobs (MIS batch + 4 bookkeeping checkpoints, ~7 jobs
+    × n_colors) collapse into ONE job. Returns (id, color) for every
+    input vertex; color -1 = uncolored within max_colors (caller raises
+    the same RuntimeError the loop would), -2 = a color's MIS failed to
+    decide every vertex within its budget (caller raises ValueError,
+    matching MaximalIndependentSet's loud contract)."""
+    # budget bookkeeping copied from MaximalIndependentSet.run: each
+    # batch call charges _LOCAL_ROUNDS, and the loop re-enters while
+    # rnd < max_iterations — so a color may run ceil(budget/rounds)
+    # batches of local_rounds rounds each
+    n_batches = -(-mis_budget // local_rounds)  # ceil
+    rounds_per_color = n_batches * local_rounds
+
+    vb = remaining_v.select(ID).withColumn("__g", F.lit(0))
+    eb = remaining_e.select(SRC, DST).withColumn("__g", F.lit(0))
+
+    def local_color(vp, ep):
+        import numpy as np
+        import pandas as pd
+
+        from pyspark_graph_spark.functions.xxh64_np import (
+            xxhash64_long_int_int,
+        )
+
+        ids = vp[ID].to_numpy()
+        n = len(ids)
+        idx = {v: i for i, v in enumerate(ids)}
+        s = np.fromiter(
+            (idx[v] for v in ep[SRC]), dtype=np.int64, count=len(ep)
+        )
+        d = np.fromiter(
+            (idx[v] for v in ep[DST]), dtype=np.int64, count=len(ep)
+        )
+        color = np.full(n, -1, dtype=np.int32)
+        uncolored = np.ones(n, dtype=bool)
+        for c in range(first_color, max_colors):
+            if not uncolored.any():
+                break
+            alive = uncolored.copy()
+            chosen = np.zeros(n, dtype=bool)
+            cs, cd = s, d
+            for j in range(rounds_per_color):
+                if not alive.any():
+                    break
+                live = alive[cs] & alive[cd]
+                ls, ld = cs[live], cd[live]
+                p = xxhash64_long_int_int(ids, c, j)
+                nbr = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+                np.maximum.at(nbr, ls, p[ld])
+                win = alive & (p > nbr)
+                if not win.any():
+                    continue
+                chosen |= win
+                dead = win.copy()
+                wd = win[ld]
+                dead[ls[wd]] = True
+                wl = win[ls]
+                dead[ld[wl]] = True
+                alive &= ~dead
+                keep = alive[cs] & alive[cd]
+                cs, cd = cs[keep], cd[keep]
+            if alive.any():
+                # MIS budget exhausted mid-color: loud, like the
+                # distributed MaximalIndependentSet contract
+                color[alive] = -2
+                uncolored &= ~alive
+            color[chosen] = c
+            uncolored &= ~chosen
+            # next color's subgraph: only still-uncolored vertices
+            keep = uncolored[s] & uncolored[d]
+            s, d = s[keep], d[keep]
+        return pd.DataFrame({ID: ids, "color": color})
+
+    def wrapped(key, vp, ep):
+        return local_color(vp, ep)
+
+    return (
+        vb.groupBy("__g")
+        .cogroup(eb.groupBy("__g"))
+        .applyInPandas(wrapped, f"{ID} long, color int")
+        .localCheckpoint()
+    )
+
+
+def greedy_coloring(
+    g: Graph, max_colors: int = 64, batch_finish: int = 1_000_000
+) -> DataFrame:
     """(id, color) proper coloring: repeatedly take an MIS of the remaining
     subgraph and give it the next color (Luby-MIS coloring — expected
     O(log n) rounds per color, colors ≤ degeneracy-ish in practice).
 
     Proper by construction: each color class is an independent set.
-    """
+
+    Once the remaining vertex AND edge lists fit ``batch_finish`` rows
+    (the MIS operator's bounded-batch class — ~16 MB of id/edge columns
+    on one executor), the rest of the coloring runs inside one cogrouped
+    Arrow batch, BIT-IDENTICAL to the per-color loop because the kernel
+    consumes the same xxhash64 priorities and round budgets
+    (``_batch_color``). The per-color distributed peel remains the path
+    for graphs above the bound; 0 disables the batch."""
     remaining_v = g.vertices.select(ID).localCheckpoint()
     base = g.edges.select(SRC, DST)
     remaining_e = (
@@ -274,10 +381,39 @@ def greedy_coloring(g: Graph, max_colors: int = 64) -> DataFrame:
         .localCheckpoint()
     )
     spark = remaining_v.sparkSession
-    result = spark.createDataFrame([], f"{ID} long, color int")
-    for color in range(max_colors):
+    parts: list[DataFrame] = []
+    color = 0
+    while color < max_colors:
         if remaining_v.isEmpty():
-            return result
+            break
+        if (
+            batch_finish
+            and remaining_v.count() <= batch_finish
+            and remaining_e.count() <= batch_finish
+        ):
+            colored = _batch_color(
+                remaining_v,
+                remaining_e,
+                first_color=color,
+                max_colors=max_colors,
+                mis_budget=MaximalIndependentSet().max_iterations,
+                local_rounds=MaximalIndependentSet._LOCAL_ROUNDS,
+            )
+            if not colored.filter(F.col("color") == -2).isEmpty():
+                raise ValueError(
+                    "MaximalIndependentSet did not decide every vertex "
+                    "within its round budget during batched coloring; "
+                    "Luby rounds are O(log n) w.h.p. — raise the budget "
+                    "for adversarial graphs"
+                )
+            if not colored.filter(F.col("color") == -1).isEmpty():
+                raise RuntimeError(
+                    f"graph not colored within {max_colors} colors"
+                )
+            parts.append(colored.select(ID, "color"))
+            color = max_colors  # batch finishes the job
+            remaining_v = None
+            break
         sub = Graph(remaining_v, remaining_e, directed=True, indexed=True)
         # remaining_e is maintained symmetric/distinct/checkpointed by
         # this loop — skip MIS's per-run re-symmetrization jobs
@@ -286,9 +422,7 @@ def greedy_coloring(g: Graph, max_colors: int = 64) -> DataFrame:
             .run(sub)
             .localCheckpoint()
         )
-        result = result.unionByName(
-            mis.withColumn("color", F.lit(color))
-        ).localCheckpoint()
+        parts.append(mis.withColumn("color", F.lit(color)))
         remaining_v = remaining_v.join(mis, on=ID, how="anti").localCheckpoint()
         remaining_e = (
             remaining_e.join(
@@ -297,4 +431,10 @@ def greedy_coloring(g: Graph, max_colors: int = 64) -> DataFrame:
             .join(remaining_v.withColumnRenamed(ID, DST), on=DST, how="semi")
             .localCheckpoint()
         )
-    raise RuntimeError(f"graph not colored within {max_colors} colors")
+        color += 1
+    else:
+        raise RuntimeError(f"graph not colored within {max_colors} colors")
+    result = spark.createDataFrame([], f"{ID} long, color int")
+    for p in parts:
+        result = result.unionByName(p)
+    return result

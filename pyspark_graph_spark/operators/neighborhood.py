@@ -59,7 +59,17 @@ class NeighborhoodFunction:
             F.round(F.sum("est"), 2).alias("n_pairs"),
         )
 
-    def run(self, g: Graph) -> DataFrame:
+    def registers(self, g: Graph) -> list[DataFrame]:
+        """The evolved register table per hop: ``frames[h]`` is the
+        (id, reg, mx) sketch state after h merge rounds, checkpointed.
+
+        Split out of run()/run_per_vertex() in round 11: the three ANF
+        consumers (neighborhood_function, approx_closeness,
+        effective_diameter) evolve IDENTICAL registers over the same
+        graph, so the suite shares this list through a per-application
+        cache (_shared_anf_registers) and each query derives its own
+        estimates — the estimate arithmetic is untouched, only the
+        3x-repeated join+max evolution is deduplicated."""
         b, m = self.b, 1 << self.b
         width = 60 - b
         h = md5_hash60(F.col(ID).cast("string"))
@@ -85,9 +95,8 @@ class NeighborhoodFunction:
             .distinct()
             .localCheckpoint()
         )
-
-        out = self._estimate(regs, 0)
-        for hop in range(1, self.hops + 1):
+        frames = [regs]
+        for _hop in range(1, self.hops + 1):
             contrib = sym.join(
                 regs.withColumnRenamed(ID, SRC), on=SRC
             ).select(F.col(DST).alias(ID), "reg", "mx")
@@ -97,7 +106,16 @@ class NeighborhoodFunction:
                 .agg(F.max("mx").alias("mx"))
                 .localCheckpoint()
             )
-            out = out.unionByName(self._estimate(regs, hop))
+            frames.append(regs)
+        return frames
+
+    def run(self, g: Graph) -> DataFrame:
+        return self.run_from_registers(self.registers(g))
+
+    def run_from_registers(self, frames: list[DataFrame]) -> DataFrame:
+        out = self._estimate(frames[0], 0)
+        for hop in range(1, self.hops + 1):
+            out = out.unionByName(self._estimate(frames[hop], hop))
         return out
 
     def run_per_vertex(self, g: Graph) -> DataFrame:
@@ -110,49 +128,18 @@ class NeighborhoodFunction:
         one-join + max-agg per hop; the estimate per (vertex, hop) is
         rounded to 4 decimals so the derived arithmetic is replayable
         bit-for-bit by a SQL oracle."""
-        b, m = self.b, 1 << self.b
-        width = 60 - b
-        h = md5_hash60(F.col(ID).cast("string"))
-        q = F.shiftright(h, b)
-        rank = F.when(q == 0, F.lit(width + 1)).otherwise(
-            F.lit(width + 1) - F.length(F.bin(q))
-        )
-        regs = g.vertices.select(
-            ID,
-            F.pmod(h, F.lit(m)).alias("reg"),
-            rank.cast("long").alias("mx"),
-        ).localCheckpoint()
-        e = g.edges.select(SRC, DST)
-        sym = (
-            e.unionByName(
-                e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+        return self.run_per_vertex_from_registers(self.registers(g))
+
+    def run_per_vertex_from_registers(
+        self, frames: list[DataFrame]
+    ) -> DataFrame:
+        parts = [
+            self._per_vertex(frames[h]).select(
+                ID, F.lit(h).alias("hop"), F.round("est", 4).alias("ball")
             )
-            .distinct()
-            .localCheckpoint()
-        )
-        frames = [
-            self._per_vertex(regs).select(
-                ID, F.lit(0).alias("hop"), F.round("est", 4).alias("ball")
-            )
+            for h in range(self.hops + 1)
         ]
-        for hop in range(1, self.hops + 1):
-            contrib = sym.join(
-                regs.withColumnRenamed(ID, SRC), on=SRC
-            ).select(F.col(DST).alias(ID), "reg", "mx")
-            regs = (
-                regs.unionByName(contrib)
-                .groupBy(ID, "reg")
-                .agg(F.max("mx").alias("mx"))
-                .localCheckpoint()
-            )
-            frames.append(
-                self._per_vertex(regs).select(
-                    ID,
-                    F.lit(hop).alias("hop"),
-                    F.round("est", 4).alias("ball"),
-                )
-            )
-        out = frames[0]
-        for f in frames[1:]:
+        out = parts[0]
+        for f in parts[1:]:
             out = out.unionByName(f)
         return out

@@ -229,25 +229,51 @@ class Pregel:
             agg = self._aggregate(
                 self._messages(edges_by_src, edges_by_dst, changed)
             )
+            # Fused upsert (round 11, guide §2.4): the previous shape was
+            # an INNER join to compute updates, then an anti-join + union
+            # to fold them back into `state` — two full-vertex shuffles
+            # and two localCheckpoint jobs per round. A single LEFT join
+            # computes the identical next state in one pass: vertices
+            # with no message keep their state (exactly the rows the
+            # inner join dropped and the anti-join kept), vertices with a
+            # message apply update_expr. `__has_msg` distinguishes "no
+            # message" from an aggregated NULL message, preserving the
+            # inner-join semantics bit for bit; the changed flag rides
+            # the same checkpointed frame, so one job per round replaces
+            # two and the anti+union shuffle disappears outright.
             updated = (
-                state.join(agg, on=ID, how="inner")
+                state.join(
+                    agg.withColumn("__has_msg", F.lit(True)),
+                    on=ID,
+                    how="left",
+                )
                 .withColumn(OLD_STATE, F.col(STATE))
-                .withColumn(STATE, self.update_expr)
-            )
-            changed = (
-                updated.filter(self.comparison(F.col(OLD_STATE), F.col(STATE)))
-                .drop(OLD_STATE, MSG)
+                .withColumn("__new_state", self.update_expr)
+                .withColumn(
+                    "__changed",
+                    F.coalesce(F.col("__has_msg"), F.lit(False))
+                    & self.comparison(F.col(OLD_STATE), F.col("__new_state")),
+                )
+                # a messaged-but-unchanged vertex KEEPS its old state row
+                # (the anti-join in the previous shape never replaced it),
+                # which matters when a lenient custom comparison deems two
+                # unequal values "unchanged"
+                .withColumn(
+                    STATE,
+                    F.when(
+                        F.col("__changed"), F.col("__new_state")
+                    ).otherwise(F.col(STATE)),
+                )
+                .drop(OLD_STATE, MSG, "__has_msg", "__new_state")
                 .localCheckpoint()
             )
+            changed = updated.filter(F.col("__changed")).drop("__changed")
+            state = updated.drop("__changed")
             self.rounds_run += 1
+            # the filter scans checkpointed partitions only — no recompute
             if changed.isEmpty():
                 self.converged = True
                 break
-            state = (
-                state.join(changed.select(ID), on=ID, how="anti")
-                .unionByName(changed)
-                .localCheckpoint()
-            )
             if (
                 self.rounds_run == budget
                 and self.auto_extend

@@ -189,6 +189,14 @@ SHARED_FAMILIES: dict[str, list[str]] = {
         "harmonic_centrality",
         "eccentricity",
     ],
+    # r11: the persisted ANF register evolution (_shared_anf_registers)
+    # binds the three HyperANF consumers — the 3-round join+max register
+    # build lands on whichever member runs first
+    "anf_registers": [
+        "neighborhood_function",
+        "approx_closeness",
+        "effective_diameter",
+    ],
     # r10: the persisted chunk table (_shared_cdc_chunks) binds
     # cdc_chunks and the capped variant into the same family — the
     # ~10 s hash-lambda pass lands on whichever member runs first
@@ -267,14 +275,18 @@ def clear_shared_caches() -> None:
         _PARTITION_CACHE,
         _COOC_CACHE,
         _CSG_CACHE,
+        _ANF_CACHE,
     ):
         for key in list(cache):
             val = cache.pop(key)
-            # _COOC_CACHE holds a Graph (two persisted frames), the rest
+            # _COOC_CACHE holds a Graph (two persisted frames),
+            # _ANF_CACHE a list of per-hop register frames, the rest
             # hold a single DataFrame
             frames = (
                 (val.vertices, val.edges)
                 if hasattr(val, "edges")
+                else tuple(val)
+                if isinstance(val, list)
                 else (val,)
             )
             for df in frames:

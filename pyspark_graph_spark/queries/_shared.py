@@ -182,6 +182,40 @@ def _landmark_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SP_CACHE[key] = df
     return df
 
+# Shared ANF register evolution (round 11): neighborhood_function,
+# approx_closeness and effective_diameter all evolve the IDENTICAL
+# 16-register HLL sketch table over the customer-supplier graph
+# (hops=3, b=4) — three rebuilds of the same 3-round join+max pipeline
+# per suite pass. One persisted build (the list holds frames[h] for
+# h = 0..3); each query derives its own estimate arithmetic from the
+# registers, so results are bit-identical. Same (applicationId, sf_dir)
+# keying / one-entry eviction contract as every other shared artifact.
+_ANF_CACHE: dict[tuple[str, str], list[DataFrame]] = {}
+
+
+def _shared_anf_registers(
+    spark: SparkSession, sf_dir: str
+) -> list[DataFrame]:
+    from pyspark_graph_spark.operators.neighborhood import (
+        NeighborhoodFunction,
+    )
+
+    key = (_app_key(spark), sf_dir)
+    cached = _ANF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    g = _cust_supp_graph(spark, sf_dir)
+    frames = [
+        f.persist() for f in NeighborhoodFunction(hops=3, b=4).registers(g)
+    ]
+    for old_key in list(_ANF_CACHE):
+        if old_key != key:
+            for f in _ANF_CACHE.pop(old_key):
+                f.unpersist()
+    _ANF_CACHE[key] = frames
+    return frames
+
+
 def _walks_ctes(length: int, seed: int) -> list:
     """CTE list replaying the deterministic walks step-for-step (shared
     by the walk gate and the walk-PMI composition)."""

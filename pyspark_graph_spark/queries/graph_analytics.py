@@ -2075,13 +2075,16 @@ def q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + max-aggregation per hop merges neighbor sketches — the
     effective-diameter machinery that replaces all-pairs BFS at scale.
     Registers are integer bin()-length constructions, so the oracle
-    rebuilds every sketch and estimate exactly."""
+    rebuilds every sketch and estimate exactly. Register evolution is
+    the suite-shared artifact (_shared_anf_registers, r11) — estimates
+    here are derived from the shared frames, arithmetic unchanged."""
     from pyspark_graph_spark.operators.neighborhood import (
         NeighborhoodFunction,
     )
+    from pyspark_graph_spark.queries._shared import _shared_anf_registers
 
-    g = _cust_supp_graph(spark, sf_dir)
-    return NeighborhoodFunction(hops=3, b=4).run(g)
+    regs = _shared_anf_registers(spark, sf_dir)
+    return NeighborhoodFunction(hops=3, b=4).run_from_registers(regs)
 
 @query(
     "link_prediction",
@@ -2389,14 +2392,18 @@ def q_approx_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     closeness the landmark-sampled exact operator cannot afford,
     composed from the same mergeable register machinery as
     neighborhood_function. Oracle rebuilds every register, ball, and
-    difference."""
+    difference. Consumes the suite-shared register evolution
+    (_shared_anf_registers, r11); per-vertex arithmetic unchanged."""
     from pyspark_graph_spark.operators.neighborhood import (
         NeighborhoodFunction,
     )
+    from pyspark_graph_spark.queries._shared import _shared_anf_registers
 
-    g = _cust_supp_graph(spark, sf_dir)
     hops = 3
-    pv = NeighborhoodFunction(hops=hops, b=4).run_per_vertex(g)
+    regs = _shared_anf_registers(spark, sf_dir)
+    pv = NeighborhoodFunction(hops=hops, b=4).run_per_vertex_from_registers(
+        regs
+    )
     wide = pv.groupBy(ID).agg(
         *[
             F.max(F.when(F.col("hop") == h, F.col("ball"))).alias(
@@ -2439,13 +2446,15 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the smallest hop count h where N(h) reaches 90% of the plateau — the
     'how many hops is this graph wide' readout that replaces all-pairs
     BFS at scale. Derived entirely from the (hops+1)-row N(h) table, so
-    the only graph work is the shared register evolution."""
+    the only graph work is the suite-shared register evolution
+    (_shared_anf_registers, r11)."""
     from pyspark_graph_spark.operators.neighborhood import (
         NeighborhoodFunction,
     )
+    from pyspark_graph_spark.queries._shared import _shared_anf_registers
 
-    g = _cust_supp_graph(spark, sf_dir)
-    nf = NeighborhoodFunction(hops=3, b=4).run(g)
+    regs = _shared_anf_registers(spark, sf_dir)
+    nf = NeighborhoodFunction(hops=3, b=4).run_from_registers(regs)
     mx = nf.agg(F.max("n_pairs").alias("nmax"))
     tgt = mx.select((F.lit(0.9) * F.col("nmax")).alias("t"))
     lo = nf.crossJoin(F.broadcast(tgt)).filter(
