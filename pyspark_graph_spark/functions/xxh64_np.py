@@ -75,3 +75,30 @@ def xxhash64_long_int_int(
         h = hash_int(int(a), h)
         h = hash_int(int(b), h)
     return h.view(np.int64)
+
+
+def xxhash64_long(values: np.ndarray) -> np.ndarray:
+    """Replica of single-column ``F.xxhash64(longCol)`` as signed int64."""
+    with np.errstate(over="ignore"):
+        h = hash_long(np.asarray(values), SPARK_SEED)
+    return h.view(np.int64)
+
+
+def xxhash64_long_int(values: np.ndarray, a: int) -> np.ndarray:
+    """Replica of ``F.xxhash64(longCol, F.lit(a))`` (int literal)."""
+    with np.errstate(over="ignore"):
+        h = hash_long(np.asarray(values), SPARK_SEED)
+        h = hash_int(int(a), h)
+    return h.view(np.int64)
+
+
+def xxhash64_long_long_int(
+    src: np.ndarray, dst: np.ndarray, a: int
+) -> np.ndarray:
+    """Replica of ``F.xxhash64(srcCol, dstCol, F.lit(a))`` — the
+    MaximalMatching edge-priority expression — as signed int64."""
+    with np.errstate(over="ignore"):
+        h = hash_long(np.asarray(src), SPARK_SEED)
+        h = hash_long(np.asarray(dst), h)
+        h = hash_int(int(a), h)
+    return h.view(np.int64)

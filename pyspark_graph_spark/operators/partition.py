@@ -113,6 +113,22 @@ class MultilevelPartition:
     level yields no matching (isolated-vertex-only residue); if the
     graph still exceeds ``max_batch`` supervertices at that point, run
     raises rather than silently shipping an unbounded batch.
+
+    Once a level's vertex AND edge lists both fit ``batch_finish`` rows
+    (the same bounded-batch class as MaximalMatching's tail finish and
+    greedy_coloring's ``_batch_color``), the REST of the multilevel
+    recipe — every remaining match/contract level, the 2-hop pairing,
+    and the final greedy bin packing — runs inside one cogrouped Arrow
+    batch, bit-identical to the distributed loop: matchings replay the
+    sequential greedy the peel provably converges to (module docstring
+    of operators/matching.py) over the same xxhash64(src, dst, seed+lvl)
+    priorities (NumPy replica, pinned by tests/test_xxh64_np.py), the
+    2-hop pairing replays two_hop_pairs' anchor/bucket/rank arithmetic
+    over the same xxhash64(src) buckets, and the packing is the same
+    heap loop ``run`` already executed as a bounded batch. The
+    distributed per-level path remains for graphs above the bound
+    (r11: each level cost ~8 fixed-overhead jobs at gate scale;
+    batch_finish=0 disables).
     """
 
     def __init__(
@@ -127,6 +143,7 @@ class MultilevelPartition:
         seed: int = 0,
         first_matching: DataFrame | None = None,
         two_hop: bool | str = "auto",
+        batch_finish: int = 1_000_000,
     ):
         if k < 1:
             raise ValueError("k must be positive")
@@ -137,6 +154,7 @@ class MultilevelPartition:
         self.max_levels = max_levels
         self.max_batch = max_batch
         self.seed = seed
+        self.batch_finish = batch_finish
         # optional precomputed level-0 matching (src, dst) — the level-0
         # peel is the partitioner's dominant cost and is often already
         # computed by a sibling consumer (the gate's shared matching cache)
@@ -166,6 +184,12 @@ class MultilevelPartition:
             n_v = cur.vertices.count()
             if n_v <= self.max_coarse:
                 break
+            if (
+                self.batch_finish
+                and n_v <= self.batch_finish
+                and cur.edges.count() <= self.batch_finish
+            ):
+                return self._finish_batched(cur, comp, lvl, prev_n)
             if prev_n is not None:
                 hub_starved = n_v > 0.7 * prev_n
             prev_n = n_v
@@ -209,6 +233,250 @@ class MultilevelPartition:
                 "raise max_batch"
             )
 
+        return self._pack_and_project(comp, sizes)
+
+    def _finish_batched(
+        self,
+        cur: Graph,
+        comp: DataFrame,
+        lvl: int,
+        prev_n: int | None,
+    ) -> DataFrame:
+        """Run the remaining levels + packing inside one cogrouped Arrow
+        batch (docstring of the class). ``cur`` fits ``batch_finish``
+        rows on both frames; ``comp`` maps fine ids to ``cur``'s
+        vertices. The kernel's output is one row per current-level
+        vertex: its coarsest supervertex and part; ``part = -1`` rows
+        signal the coarsening-stalled overflow the distributed loop
+        raises on."""
+        if lvl == 0:
+            vsz = cur.vertices.select(
+                F.col(ID).alias("v"), F.lit(1).cast("long").alias("size")
+            )
+        else:
+            vsz = (
+                comp.groupBy("super")
+                .agg(F.count(F.lit(1)).alias("size"))
+                .select(F.col("super").alias("v"), "size")
+            )
+        e = cur.edges.select(SRC, DST).withColumn("__m", F.lit(0))
+        has_fm = lvl == 0 and self.first_matching is not None
+        if has_fm:
+            e = e.unionByName(
+                self.first_matching.select(SRC, DST).withColumn(
+                    "__m", F.lit(1)
+                )
+            )
+        vb = vsz.withColumn("__g", F.lit(0))
+        eb = e.withColumn("__g", F.lit(0))
+
+        k = self.k
+        max_coarse = self.max_coarse
+        max_levels = self.max_levels
+        max_batch = self.max_batch
+        seed = self.seed
+        two_hop = self.two_hop
+        lvl_entry = lvl
+        prev_n_in = -1 if prev_n is None else prev_n
+
+        def local_finish(vp, ep):
+            import heapq
+
+            import numpy as np
+            import pandas as pd
+
+            from pyspark_graph_spark.functions.xxh64_np import (
+                xxhash64_long,
+                xxhash64_long_long_int,
+            )
+
+            _empty = np.empty(0, dtype=np.int64)
+
+            def two_hop_np(s, d, ms, md):
+                """NumPy replay of two_hop_pairs over the raw sym edge
+                list — same anchors, same xxhash64(src) sub-buckets,
+                same id-ordered consecutive pairing."""
+                if len(s) == 0:
+                    return _empty, _empty
+                src_sym = np.concatenate([s, d])
+                dst_sym = np.concatenate([d, s])
+                matched = np.concatenate([ms, md])
+                unm = ~np.isin(src_sym, matched)
+                su, du = src_sym[unm], dst_sym[unm]
+                if len(su) == 0:
+                    return _empty, _empty
+                uids, inv = np.unique(su, return_inverse=True)
+                anchor = np.full(
+                    len(uids), np.iinfo(np.int64).max, dtype=np.int64
+                )
+                np.minimum.at(anchor, inv, du)
+                ua, ainv = np.unique(anchor, return_inverse=True)
+                cnt = np.bincount(ainv).astype(np.int64)
+                nb = np.maximum(1, cnt[ainv] >> 7)  # exact cnt DIV 128
+                b = xxhash64_long(uids) % nb  # floored mod = Spark pmod
+                order = np.lexsort((uids, b, anchor))
+                a_o, b_o, u_o = anchor[order], b[order], uids[order]
+                newg = np.ones(len(u_o), dtype=bool)
+                newg[1:] = (a_o[1:] != a_o[:-1]) | (b_o[1:] != b_o[:-1])
+                gidx = np.cumsum(newg) - 1
+                starts = np.flatnonzero(newg)
+                rank = np.arange(len(u_o)) - starts[gidx]
+                first = rank % 2 == 0
+                has_next = np.zeros(len(u_o), dtype=bool)
+                has_next[:-1] = first[:-1] & (gidx[1:] == gidx[:-1])
+                return u_o[has_next], u_o[np.flatnonzero(has_next) + 1]
+
+            entry = vp["v"].to_numpy().astype(np.int64, copy=True)
+            vs_size = vp["size"].to_numpy().astype(np.int64, copy=True)
+            em = ep["__m"].to_numpy()
+            s_all = ep[SRC].to_numpy().astype(np.int64, copy=False)
+            d_all = ep[DST].to_numpy().astype(np.int64, copy=False)
+            s = s_all[em == 0].copy()
+            d = d_all[em == 0].copy()
+            fm_s = s_all[em == 1].copy()
+            fm_d = d_all[em == 1].copy()
+
+            vs_ids = entry.copy()
+            sup_of_entry = entry.copy()
+            n_prev = None if prev_n_in < 0 else prev_n_in
+            hub_starved = False
+
+            lvl_cur = lvl_entry
+            while lvl_cur < max_levels:
+                n_v = len(vs_ids)
+                if n_v <= max_coarse:
+                    break
+                if n_prev is not None:
+                    hub_starved = n_v > 0.7 * n_prev
+                n_prev = n_v
+                if lvl_cur == lvl_entry and len(fm_s):
+                    ms, md = fm_s, fm_d
+                else:
+                    # canonical (min, max) distinct edges, then the
+                    # sequential greedy the peel provably converges to:
+                    # sort by (priority, src, dst), take vertex-disjoint
+                    lo = np.minimum(s, d)
+                    hi = np.maximum(s, d)
+                    keep = lo < hi
+                    lo, hi = lo[keep], hi[keep]
+                    if len(lo):
+                        pairs = np.unique(
+                            np.stack([lo, hi], axis=1), axis=0
+                        )
+                        clo, chi = (
+                            pairs[:, 0].copy(),
+                            pairs[:, 1].copy(),
+                        )
+                    else:
+                        clo = chi = _empty
+                    pri = xxhash64_long_long_int(clo, chi, seed + lvl_cur)
+                    order = np.lexsort((chi, clo, pri))
+                    taken: set = set()
+                    ms_l: list = []
+                    md_l: list = []
+                    for i in order:
+                        a = int(clo[i])
+                        bb = int(chi[i])
+                        if a not in taken and bb not in taken:
+                            taken.add(a)
+                            taken.add(bb)
+                            ms_l.append(a)
+                            md_l.append(bb)
+                    ms = np.array(ms_l, dtype=np.int64)
+                    md = np.array(md_l, dtype=np.int64)
+                use_two_hop = two_hop is True or (
+                    two_hop == "auto" and hub_starved
+                )
+                if use_two_hop:
+                    ths, thd = two_hop_np(s, d, ms, md)
+                    ms = np.concatenate([ms, ths])
+                    md = np.concatenate([md, thd])
+                if len(ms) == 0:
+                    break
+                # contract: matched pair -> min(pair), unmatched -> self
+                least = np.minimum(ms, md)
+                sorted_ids = np.sort(vs_ids)
+                sup_map = sorted_ids.copy()
+                sup_map[np.searchsorted(sorted_ids, ms)] = least
+                sup_map[np.searchsorted(sorted_ids, md)] = least
+                sup_of_entry = sup_map[
+                    np.searchsorted(sorted_ids, sup_of_entry)
+                ]
+                v_sup = sup_map[np.searchsorted(sorted_ids, vs_ids)]
+                new_ids, inv = np.unique(v_sup, return_inverse=True)
+                new_size = np.zeros(len(new_ids), dtype=np.int64)
+                np.add.at(new_size, inv, vs_size)
+                es_sup = sup_map[np.searchsorted(sorted_ids, s)]
+                ed_sup = sup_map[np.searchsorted(sorted_ids, d)]
+                lo = np.minimum(es_sup, ed_sup)
+                hi = np.maximum(es_sup, ed_sup)
+                keep = lo < hi
+                if keep.any():
+                    pairs = np.unique(
+                        np.stack([lo[keep], hi[keep]], axis=1), axis=0
+                    )
+                    s, d = pairs[:, 0].copy(), pairs[:, 1].copy()
+                else:
+                    s = d = _empty
+                vs_ids, vs_size = new_ids, new_size
+                lvl_cur += 1
+
+            if len(vs_ids) > max_batch:
+                return pd.DataFrame(
+                    {
+                        "v": entry,
+                        "final": sup_of_entry,
+                        "part": np.full(len(entry), -1, dtype=np.int32),
+                    }
+                )
+
+            # greedy least-loaded packing, size desc / super asc — the
+            # same heap loop `assign` runs in the distributed path
+            order = np.lexsort((vs_ids, -vs_size))
+            heap = [(0, p) for p in range(k)]
+            heapq.heapify(heap)
+            part_of: dict = {}
+            for i in order:
+                load, pt = heapq.heappop(heap)
+                part_of[int(vs_ids[i])] = pt
+                heapq.heappush(heap, (load + int(vs_size[i]), pt))
+            parts = np.fromiter(
+                (part_of[int(x)] for x in sup_of_entry),
+                dtype=np.int32,
+                count=len(entry),
+            )
+            return pd.DataFrame(
+                {"v": entry, "final": sup_of_entry, "part": parts}
+            )
+
+        def wrapped(key, vp, ep):
+            return local_finish(vp, ep)
+
+        out = (
+            vb.groupBy("__g")
+            .cogroup(eb.groupBy("__g"))
+            .applyInPandas(wrapped, "v long, final long, part int")
+            .localCheckpoint()
+        )
+        if not out.filter(F.col("part") < 0).isEmpty():
+            n_coarse = out.select("final").distinct().count()
+            raise ValueError(
+                f"coarsening stalled at {n_coarse} supervertices "
+                f"(> max_batch={self.max_batch}); the residue has no "
+                "matchable edges — partition components separately or "
+                "raise max_batch"
+            )
+        return comp.join(
+            F.broadcast(out.withColumnRenamed("v", "super")), on="super"
+        ).select(ID, "part", F.col("final").alias("super"))
+
+    def _pack_and_project(
+        self, comp: DataFrame, sizes: DataFrame
+    ) -> DataFrame:
+        """Greedy least-loaded bin packing of the coarsest level in one
+        bounded Arrow batch, then label projection — the distributed
+        path's tail (the batched path replays the identical heap loop
+        inside its kernel)."""
         k = self.k
 
         def assign(pdf):

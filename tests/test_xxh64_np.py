@@ -62,3 +62,38 @@ def test_replica_matches_spark_bulk(spark):
     ]
     got = xxhash64_long_int_int(ids, 5, 12)
     assert list(got) == expected
+
+
+def test_single_and_pair_replicas_match_spark(spark):
+    from pyspark_graph_spark.functions.xxh64_np import (
+        xxhash64_long,
+        xxhash64_long_int,
+        xxhash64_long_long_int,
+    )
+
+    ids = np.array(IDS, dtype=np.int64)
+    df = spark.createDataFrame([(int(i),) for i in IDS], "id long")
+    exp1 = [r["h"] for r in df.select(F.xxhash64("id").alias("h")).collect()]
+    assert list(xxhash64_long(ids)) == exp1
+    exp2 = [
+        r["h"]
+        for r in df.select(
+            F.xxhash64(F.col("id"), F.lit(9)).alias("h")
+        ).collect()
+    ]
+    assert list(xxhash64_long_int(ids, 9)) == exp2
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64)
+    dst = rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64)
+    pdf = spark.createDataFrame(
+        [(int(s), int(d)) for s, d in zip(src, dst)], "src long, dst long"
+    )
+    for seed in (0, 1, 5):
+        exp = [
+            r["h"]
+            for r in pdf.select(
+                F.xxhash64(F.col("src"), F.col("dst"), F.lit(seed)).alias("h")
+            ).collect()
+        ]
+        assert list(xxhash64_long_long_int(src, dst, seed)) == exp
