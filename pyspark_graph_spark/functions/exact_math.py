@@ -85,7 +85,37 @@ def choose2_parity(c: Column) -> Column:
     return F.when(c % 4 >= 2, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
 
-def half_sum_choose2_dec(c: Column) -> Column:
+def floor_half_choose2_long(c: Column) -> Column:
+    """floor(C(c,2) / 2) as a LONG — the same factor split as
+    ``floor_half_choose2_dec`` with the product carried in int64.
+
+    Exact for every c where the product fits int64 (c ≲ 6.07e9); under
+    ANSI mode a wider c errors LOUDLY instead of wrapping. Callers must
+    only select this path when a proven bound keeps both the per-row
+    product and the downstream SUM inside int64 — see
+    ``half_sum_choose2_dec(total_bound=...)``.
+    """
+    m = F.shiftright(c, 2)  # c DIV 4, exact for nonnegative longs
+    r = c % 4
+    f1 = F.when(r == 3, 4 * m + 1).otherwise(m)
+    f2 = (
+        F.when(r == 0, 4 * m - 1)
+        .when(r == 1, 4 * m + 1)
+        .when(r == 2, 4 * m + 3)
+        .otherwise(m + 1)
+    )
+    return (f1 * f2).cast("long")
+
+
+# Largest proven Σ_rows c for which the all-long fast path of
+# half_sum_choose2_dec is exact: with B = Σ c,
+#   Σ floor(C(c_i,2)/2) ≤ C(B,2)/2 < B²/4 = 4e18 < 2^63 ≈ 9.22e18
+# and the odd-term count ≤ n_rows ≤ B, so every per-row product,
+# every partial sum, and the final addition stay inside int64.
+_LONG_EXACT_TOTAL = 4_000_000_000
+
+
+def half_sum_choose2_dec(c: Column, total_bound: int | None = None) -> Column:
     """Exact AGGREGATE expression for Σ_rows C(c,2) / 2 as DECIMAL(38,0).
 
     Only valid when the mathematical total Σ C(c,2) is EVEN (e.g. the
@@ -99,7 +129,31 @@ def half_sum_choose2_dec(c: Column) -> Column:
     an exact shiftright — no decimal division anywhere, so the result
     is exact all the way to the DECIMAL(38,0) ceiling (1e38), where
     overflow is loud.
+
+    ``total_bound`` (round 12, guide §2.3 "narrower types"): when the
+    caller holds a PROVEN bound on Σ_rows c — e.g. four_cycles'
+    wedge-budget guard, which raises unless Σ C(deg,2) = Σ_pairs c ≤
+    budget — and that bound is ≤ ``_LONG_EXACT_TOTAL``, the whole
+    aggregate runs in int64: same case-split, same integers, only the
+    carrier type narrows, so the result is bit-identical by
+    construction (pinned by tests/test_exact_math.py) while the per-row
+    DECIMAL(38,0) multiply and the decimal SUM buffer disappear. ANSI
+    overflow stays loud if the proof were ever violated. A bound above
+    the threshold (or None) keeps the exact-to-1e38 decimal path.
     """
+    if total_bound is not None and 0 <= total_bound <= _LONG_EXACT_TOTAL:
+        return (
+            (
+                F.coalesce(
+                    F.sum(floor_half_choose2_long(c)),
+                    F.lit(0).cast("long"),
+                )
+                + F.shiftright(
+                    F.coalesce(F.sum(choose2_parity(c)), F.lit(0)), 1
+                )
+            )
+            .cast(DEC38)
+        )
     return (
         F.coalesce(F.sum(floor_half_choose2_dec(c)), F.lit(0).cast(DEC38))
         + F.shiftright(

@@ -259,12 +259,52 @@ class StronglyConnectedComponents:
         return done
 
 
+def _batch_reachable(max_rounds: int):
+    """Kernel factory for the bounded-batch reachable_set finish: one
+    Arrow batch holds the (already direction-oriented) edge list plus
+    the seed ids, and the BFS closure replays the distributed loop's
+    round structure exactly — up to ``max_rounds`` frontier expansions,
+    early return on an empty frontier, and the SAME loud failure when
+    the budget is exhausted before the fixpoint (ValueError text
+    identical; it surfaces through the task failure)."""
+
+    def bfs(pdf):
+        import pandas as pd
+
+        m = pdf["__m"].to_numpy()
+        a = pdf["a"].to_numpy()
+        b = pdf["b"].to_numpy()
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(a[m == 0], b[m == 0]):
+            adj.setdefault(int(s), []).append(int(d))
+        visited = {int(v) for v in a[m == 1]}
+        frontier = visited
+        for _ in range(max_rounds):
+            nxt = {
+                w
+                for v in frontier
+                for w in adj.get(v, ())
+                if w not in visited
+            }
+            if not nxt:
+                return pd.DataFrame({ID: sorted(visited)})
+            visited |= nxt
+            frontier = nxt
+        raise ValueError(
+            "reachable_set did not converge within max_rounds — raise "
+            "the budget toward the graph diameter"
+        )
+
+    return bfs
+
+
 def reachable_set(
     edges: DataFrame,
     seeds: DataFrame,
     direction: str = "forward",
     max_rounds: int = 30,
     broadcast_threshold: int = 1_000_000,
+    batch_finish: int = 1_000_000,
 ) -> DataFrame:
     """All vertex ids reachable from ``seeds`` along ``edges`` —
     ``forward`` follows src→dst, ``backward`` yields the set that REACHES
@@ -276,12 +316,52 @@ def reachable_set(
     frames carry no stats, so Catalyst would otherwise shuffle+sort the
     full edge list every round — same lesson as earliest_arrival); a
     larger wavefront falls back to the shuffle join. The per-round
-    count() doubles as convergence probe and plan selector."""
+    count() doubles as convergence probe and plan selector.
+
+    ``batch_finish`` (round 12, guide §2.4): once the edge list fits the
+    bound (one count probe), the whole closure runs as ONE cogrouped
+    Arrow BFS instead of 2-3 fixed-overhead jobs per frontier round —
+    the same bounded-batch-finish contract as the SCC/matching/partition
+    kernels, replaying the identical round budget and loud
+    non-convergence failure. The set of returned ids is identical by
+    construction (reachability is order-free). 0 disables; the
+    distributed loop remains the only path above the bound."""
     if direction not in ("forward", "backward"):
         raise ValueError("direction must be 'forward' or 'backward'")
     out_col, in_col = (
         (SRC, DST) if direction == "forward" else (DST, SRC)
     )
+    if batch_finish and edges.count() <= batch_finish:
+        oriented = edges.select(
+            F.col(out_col).cast("long").alias("a"),
+            F.col(in_col).cast("long").alias("b"),
+        ).withColumn("__m", F.lit(0))
+        seed_rows = (
+            seeds.select(
+                F.col(seeds.columns[0]).cast("long").alias("a")
+            )
+            .distinct()
+            .select("a", F.lit(0).cast("long").alias("b"))
+            .withColumn("__m", F.lit(1))
+        )
+        batched = (
+            oriented.unionByName(seed_rows)
+            .withColumn("__g", F.lit(0))
+            .groupBy("__g")
+            .applyInPandas(_batch_reachable(max_rounds), f"{ID} long")
+        )
+        try:
+            # eager like the distributed loop: the non-convergence
+            # failure must surface as a ValueError AT THE CALL, not as a
+            # lazy task failure in whatever action touches the frame next
+            return batched.localCheckpoint()
+        except Exception as e:  # translate the task-wrapped kernel error
+            if "did not converge within max_rounds" in str(e):
+                raise ValueError(
+                    "reachable_set did not converge within max_rounds — "
+                    "raise the budget toward the graph diameter"
+                ) from None
+            raise
     visited = seeds.select(F.col(seeds.columns[0]).alias(ID)).distinct(
     ).localCheckpoint()
     frontier = visited

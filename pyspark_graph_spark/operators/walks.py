@@ -75,10 +75,6 @@ class RandomWalks:
                 on="__cur",
                 how="left",
             )
-            ended = joined.filter(F.col("__nbrs").isNull()).select(
-                "walk_id", "start", "path"
-            )
-            finished.append(ended.localCheckpoint())
             nxt = F.get(
                 F.col("__nbrs"),
                 F.pmod(
@@ -86,16 +82,31 @@ class RandomWalks:
                     F.size("__nbrs"),
                 ).cast("int"),
             )
-            active = (
-                joined.filter(F.col("__nbrs").isNotNull())
-                .select(
-                    "walk_id",
-                    "start",
-                    nxt.alias("__cur"),
-                    F.array_append("path", nxt).alias("path"),
+            # one checkpoint carries BOTH outcomes of the step (round 12,
+            # guide §2.4): ended walks keep their path with __cur = NULL,
+            # live walks append the selected hop — the step join executes
+            # ONCE per round instead of twice (the previous shape
+            # materialized `ended` and `active` as two separate
+            # checkpoints, each re-running the same join), and the ended
+            # rows are split off the materialized frame by a cheap filter.
+            # Row content is expression-identical, so walks are unchanged.
+            stepped = joined.select(
+                "walk_id",
+                "start",
+                F.when(F.col("__nbrs").isNotNull(), nxt).alias("__cur"),
+                F.when(
+                    F.col("__nbrs").isNotNull(),
+                    F.array_append("path", nxt),
                 )
-                .localCheckpoint()
+                .otherwise(F.col("path"))
+                .alias("path"),
+            ).localCheckpoint()
+            finished.append(
+                stepped.filter(F.col("__cur").isNull()).select(
+                    "walk_id", "start", "path"
+                )
             )
+            active = stepped.filter(F.col("__cur").isNotNull())
             if active.isEmpty():
                 break
         out = active.select("walk_id", "start", "path")
@@ -160,16 +171,17 @@ class Node2VecWalks(RandomWalks):
 
         empty = F.array().cast("array<bigint>")
         for step in range(1, self.length):
-            joined = active.join(
+            # same single-checkpoint step fusion as RandomWalks.run
+            # (round 12, guide §2.4): ended and live walks ride ONE
+            # materialized frame, so the two adjacency joins execute
+            # once per step instead of twice. A NULL __prev / ended row
+            # passes the prev-neighbor left join unmatched, exactly as
+            # the filtered shape never joined it — values identical.
+            live = active.join(
                 adj.withColumnsRenamed({ID: "__cur", ADJ: "__nbrs"}),
                 on="__cur",
                 how="left",
-            )
-            ended = joined.filter(F.col("__nbrs").isNull()).select(
-                "walk_id", "start", "path"
-            )
-            finished.append(ended.localCheckpoint())
-            live = joined.filter(F.col("__nbrs").isNotNull()).join(
+            ).join(
                 adj.withColumnsRenamed({ID: "__prev", ADJ: "__pnbrs"}),
                 on="__prev",
                 how="left",
@@ -220,13 +232,22 @@ class Node2VecWalks(RandomWalks):
                 ),
             )["sel"]
             nxt = F.get(F.col("__nbrs"), sel)
-            active = live.select(
+            alive = F.col("__nbrs").isNotNull()
+            stepped = live.select(
                 "walk_id",
                 "start",
-                F.col("__cur").alias("__prev"),
-                nxt.alias("__cur"),
-                F.array_append("path", nxt).alias("path"),
+                F.when(alive, F.col("__cur")).alias("__prev"),
+                F.when(alive, nxt).alias("__cur"),
+                F.when(alive, F.array_append("path", nxt))
+                .otherwise(F.col("path"))
+                .alias("path"),
             ).localCheckpoint()
+            finished.append(
+                stepped.filter(F.col("__cur").isNull()).select(
+                    "walk_id", "start", "path"
+                )
+            )
+            active = stepped.filter(F.col("__cur").isNotNull())
             if active.isEmpty():
                 break
         out = active.select("walk_id", "start", "path")

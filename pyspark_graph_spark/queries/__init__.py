@@ -197,6 +197,12 @@ SHARED_FAMILIES: dict[str, list[str]] = {
         "approx_closeness",
         "effective_diameter",
     ],
+    # r12: the persisted directed trade digraph (_trade_digraph) —
+    # scc and bowtie_structure consumed two identical rebuilds
+    "trade_digraph": [
+        "scc",
+        "bowtie_structure",
+    ],
     # r10: the persisted chunk table (_shared_cdc_chunks) binds
     # cdc_chunks and the capped variant into the same family — the
     # ~10 s hash-lambda pass lands on whichever member runs first
@@ -276,6 +282,7 @@ def clear_shared_caches() -> None:
         _COOC_CACHE,
         _CSG_CACHE,
         _ANF_CACHE,
+        _TRADE_CACHE,
     ):
         for key in list(cache):
             val = cache.pop(key)

@@ -182,6 +182,56 @@ def _landmark_sp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SP_CACHE[key] = df
     return df
 
+# Shared directed trade digraph (round 12): `scc` and `bowtie_structure`
+# both rebuild the identical customer→supplier / bounded-return edge
+# list (sources.tables.directed_trade_graph) — the build was ~half of
+# each query's wall at sf0.1. Built once per (applicationId, sf_dir)
+# on top of the cached customer-supplier base graph, edges persisted;
+# registered as bench family "trade_digraph" so first-consumer-pays
+# stays attributable. Same one-entry eviction contract as _COOC_CACHE.
+_TRADE_CACHE: dict[tuple[str, str], "Graph"] = {}
+
+
+def _trade_digraph(spark: SparkSession, sf_dir: str) -> "Graph":
+    from pyspark_graph_spark.constants import DST, SRC
+    from pyspark_graph_spark.sources.tables import load_table
+
+    key = (_app_key(spark), sf_dir)
+    cached = _TRADE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # identical construction to sources.tables.directed_trade_graph,
+    # with the customer-supplier base drawn from the shared cache
+    base = _cust_supp_graph(spark, sf_dir, directed=True)
+    suppliers = load_table(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") * 2 + 1).alias(SRC),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    customers = (
+        load_table(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") % 7) == 0)
+        .select(
+            (F.col("c_custkey") * 2).alias(DST),
+            F.col("c_nationkey").alias("nationkey"),
+        )
+    )
+    returns = suppliers.join(customers, on="nationkey").select(SRC, DST)
+    edges = (
+        base.edges.select(SRC, DST).unionByName(returns).distinct()
+    )
+    shared = Graph(
+        base.vertices,  # already persisted by _CSG_CACHE
+        edges.persist(),
+        directed=True,
+        indexed=True,
+    )
+    for old_key in list(_TRADE_CACHE):
+        if old_key != key:
+            _TRADE_CACHE.pop(old_key).edges.unpersist()
+    _TRADE_CACHE[key] = shared
+    return shared
+
+
 # Shared ANF register evolution (round 11): neighborhood_function,
 # approx_closeness and effective_diameter all evolve the IDENTICAL
 # 16-register HLL sketch table over the customer-supplier graph
@@ -367,12 +417,18 @@ def _shared_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     _CDC_CHUNKS_CACHE[key] = out
     return out
 
-def _wedge_budget_guard(sym: DataFrame, query_name: str) -> None:
+def _wedge_budget_guard(sym: DataFrame, query_name: str) -> int:
     """Raise when the wedge self-join's row budget Σ_v C(deg(v), 2) exceeds
     SPARK_GRAFT_WEDGE_BUDGET (default 2_000_000_000). One degree
     aggregation + a 1-row collect — O(E) probe vs the O(Σ deg²) join it
     guards. Read from the env at call time so tests (and operators run
-    under tighter memory) can lower it without re-importing."""
+    under tighter memory) can lower it without re-importing.
+
+    Returns the budget that passed: downstream of the guard it is a
+    PROVEN bound on the wedge-pair row count (Σ_pairs c ≤ budget), which
+    lets the final closed-form aggregate pick the exact int64 fast path
+    (exact_math.half_sum_choose2_dec(total_bound=...)) when the bound is
+    narrow enough."""
     import os
 
     from pyspark_graph_spark.functions.exact_math import choose2_dec
@@ -394,6 +450,7 @@ def _wedge_budget_guard(sym: DataFrame, query_name: str) -> None:
             " sparsifier, exact identity on the subgraph, 1/p^4 scaling)"
             " or raise the budget explicitly."
         )
+    return budget
 
 _MATCHING_CACHE: dict[tuple[str, str], DataFrame] = {}
 

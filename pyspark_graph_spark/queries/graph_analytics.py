@@ -1577,9 +1577,9 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists SCC as unsupported (README.md:24-38); its CC operator's SCC
     claim is wrong (connected_components.py:19-21)."""
     from pyspark_graph_spark.operators.scc import StronglyConnectedComponents
-    from pyspark_graph_spark.sources.tables import directed_trade_graph
+    from pyspark_graph_spark.queries._shared import _trade_digraph
 
-    g = directed_trade_graph(spark, sf_dir)
+    g = _trade_digraph(spark, sf_dir)
     return StronglyConnectedComponents(
         max_outer_iterations=20, max_flood_iterations=40
     ).run(g)
@@ -1853,7 +1853,7 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     that one O(E) job at call time; tools/plan_audit.py already does."""
     g = _supplier_cooc_graph(spark, sf_dir)
     sym = g.symmetric_edges.select(SRC, DST)
-    _wedge_budget_guard(sym, query_name="four_cycles")
+    wedge_budget = _wedge_budget_guard(sym, query_name="four_cycles")
     a = sym.alias("a")
     b = sym.alias("b")
     cn = (
@@ -1874,10 +1874,17 @@ def q_four_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # floors plus a shiftright'd odd-term count — no fractional
     # intermediate anywhere, loud (null) past 1e38. The final long cast
     # is gate-scale presentation, NULL-loud past int64 (triads precedent).
+    # total_bound (round 12): the guard above PROVED Σ_pairs c ≤ the
+    # wedge budget, so below exact_math._LONG_EXACT_TOTAL the identical
+    # integers ride int64 instead of DECIMAL(38,0) — bit-identical by
+    # construction, and a budget raised past the threshold falls back to
+    # the decimal wide path automatically.
     from pyspark_graph_spark.functions.exact_math import half_sum_choose2_dec
 
     return cn.agg(
-        half_sum_choose2_dec(F.col("c")).cast("long").alias("four_cycles")
+        half_sum_choose2_dec(F.col("c"), total_bound=wedge_budget)
+        .cast("long")
+        .alias("four_cycles")
     )
 
 @query(
@@ -3119,9 +3126,9 @@ def q_bowtie_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
         StronglyConnectedComponents,
         reachable_set,
     )
-    from pyspark_graph_spark.sources.tables import directed_trade_graph
+    from pyspark_graph_spark.queries._shared import _trade_digraph
 
-    g = directed_trade_graph(spark, sf_dir)
+    g = _trade_digraph(spark, sf_dir)
     scc = StronglyConnectedComponents(
         max_outer_iterations=20, max_flood_iterations=40
     ).run(g).localCheckpoint()

@@ -66,6 +66,61 @@ def test_half_sum_choose2_even_total_past_double_ceiling(spark):
     assert int(got) == total // 2
 
 
+def test_half_sum_choose2_long_fast_path_bit_identical(spark):
+    """total_bound fast path (round 12): identical integers on int64 —
+    pinned against both Python bigints and the decimal wide path, over
+    c values past 2^26 (per-row products past 2^53, where a double
+    carrier would already be lossy) and across every c mod 4 branch."""
+    from pyspark_graph_spark.functions.exact_math import (
+        _LONG_EXACT_TOTAL,
+        floor_half_choose2_long,
+    )
+
+    vals = [0, 1, 2, 3, 4, 5, 6, 7, 100, 101, 102, 103,
+            2**26 + 1, 2**26 + 2, 2**26 + 3, 134_217_731]
+    vals = vals + vals  # doubled multiset -> Σ C(c,2) provably even
+    assert sum(vals) <= _LONG_EXACT_TOTAL  # the fast path's precondition
+    total = sum(math.comb(v, 2) for v in vals)
+    assert total % 2 == 0
+    df = _df(spark, vals)
+    fast = df.agg(
+        half_sum_choose2_dec(F.col("c"), total_bound=sum(vals)).alias("h")
+    )
+    # same output type as the wide path (callers cast/compose identically)
+    assert fast.schema["h"].dataType.simpleString() == "decimal(38,0)"
+    got_fast = fast.collect()[0]["h"]
+    got_wide = df.agg(
+        half_sum_choose2_dec(F.col("c")).alias("h")
+    ).collect()[0]["h"]
+    assert int(got_fast) == total // 2
+    assert got_fast == got_wide
+    # per-row long floors agree with the decimal floors everywhere
+    rows = df.select(
+        "c",
+        floor_half_choose2_long(F.col("c")).alias("l"),
+        floor_half_choose2_dec(F.col("c")).alias("d"),
+    ).collect()
+    for r in rows:
+        assert int(r["l"]) == int(r["d"]) == math.comb(r["c"], 2) // 2, r
+
+
+def test_half_sum_choose2_wide_bound_falls_back_to_decimal(spark):
+    # a bound past _LONG_EXACT_TOTAL must select the decimal path (the
+    # past-int64 multiset would overflow the long carrier loudly)
+    vals = [6_000_000_003, 6_000_000_003, 3, 3, 7, 7]
+    total = sum(math.comb(v, 2) for v in vals)
+    got = (
+        _df(spark, vals)
+        .agg(
+            half_sum_choose2_dec(
+                F.col("c"), total_bound=20_000_000_000
+            ).alias("h")
+        )
+        .collect()[0]["h"]
+    )
+    assert int(got) == total // 2
+
+
 def test_half_sum_choose2_empty_input(spark):
     got = (
         _df(spark, [])
