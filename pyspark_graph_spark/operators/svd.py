@@ -33,6 +33,296 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# Bounded-batch finish (round 12, guide §2.4): once the COO table fits
+# batch_finish rows (one count probe on the already-checkpointed frame),
+# the whole power-iteration trajectory runs inside ONE cogrouped Arrow
+# kernel instead of 2-5 fixed-overhead jobs per half-iteration — the
+# same bounded-batch-finish contract as the CC/SCC/matching/partition
+# kernels, with the distributed per-iteration plan unchanged above the
+# bound (it is the only 100 TB path; the bound only short-circuits
+# dimension-scale inputs). The kernel replays the identical IEEE-754
+# double algebra expression by expression (same matvec -> correction ->
+# normalize order, same null guards, same loud rank-exhaustion
+# ValueErrors). The one thing it cannot replay is the ORDER Spark's
+# parallel partial aggregates happen to merge per-key sums in — which
+# Spark itself does not pin run to run (shuffle fetch order) — so
+# per-sum results can differ from a distributed run in the last ulp,
+# exactly the noise class the engine's own reruns carry; the queries'
+# 6-decimal output rounding sits ~6 orders of magnitude above it.
+# Equality of both paths' gate outputs is pinned by
+# tests/test_svd_batch.py and the committed oracle sweeps.
+# ---------------------------------------------------------------------------
+
+_BATCH_SCHEMA = "side tinyint, key long, factor long, x double, sigma double"
+
+
+def _coo_arrays(pdf):
+    """Sorted COO triplets + dense reindexing — the deterministic batch
+    layout every SVD kernel starts from."""
+    import numpy as np
+
+    r = pdf["__r"].to_numpy(dtype=np.int64)
+    c = pdf["__c"].to_numpy(dtype=np.int64)
+    a = pdf["__a"].to_numpy(dtype=np.float64)
+    order = np.lexsort((c, r))
+    r, c, a = r[order], c[order], a[order]
+    rows, r_idx = np.unique(r, return_inverse=True)
+    cols, c_idx = np.unique(c, return_inverse=True)
+    return rows, cols, r_idx, c_idx, a
+
+
+def _segsum(n, idx, vals):
+    import numpy as np
+
+    out = np.zeros(n, dtype=np.float64)
+    np.add.at(out, idx, vals)
+    return out
+
+
+def _emit(parts):
+    """Assemble (side, key, factor, x, sigma) output rows."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "side": [p[0] for p in parts],
+            "key": [p[1] for p in parts],
+            "factor": [p[2] for p in parts],
+            "x": [p[3] for p in parts],
+            "sigma": [p[4] for p in parts],
+        }
+    )
+
+
+def _batch_out(a: DataFrame, kernel) -> DataFrame | None:
+    """Run one SVD batch kernel over the checkpointed COO frame and
+    return the checkpointed tagged output. The localCheckpoint is eager,
+    so kernel ValueErrors surface AT THE CALL exactly like the
+    distributed path's driver-side sigma probes. Returns ``None`` when
+    the kernel reports an exactly-degenerate trajectory (a norm or
+    Cholesky pivot hit 0.0/NaN, where the plan's `when` guards start
+    producing NULL rows with null-skipping aggregate semantics): the
+    caller then runs the distributed plan, which IS those semantics —
+    the wasted kernel probe only costs on pathological inputs. Real
+    rank exhaustion (tiny-but-nonzero sigma, the r10 ADVICE #2 class)
+    raises inside the kernel with the distributed path's exact text."""
+    out = (
+        a.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(kernel, _BATCH_SCHEMA)
+    )
+    try:
+        return out.localCheckpoint()
+    except Exception as e:
+        msg = str(e)
+        if "__SVD_BATCH_DEGENERATE__" in msg:
+            return None
+        marker = "__SVD_BATCH_VALUEERROR__"
+        if marker in msg:
+            detail = msg.split(marker, 1)[1].split("\n", 1)[0].strip()
+            raise ValueError(detail) from None
+        raise
+
+
+def _check_finite_norm(n: float) -> float:
+    """Zero or non-finite norms put the distributed plan into its
+    NULL-guard regime — defer those trajectories to it (see
+    _batch_out). Raises through the Arrow task as the degenerate
+    marker."""
+    import math
+
+    if n == 0.0 or not math.isfinite(n):
+        raise RuntimeError("__SVD_BATCH_DEGENERATE__")
+    return n
+
+
+def _integral_keys(a: DataFrame) -> bool:
+    kinds = {f.name: f.dataType.typeName() for f in a.schema.fields}
+    return all(
+        kinds[k] in ("long", "integer", "short", "byte")
+        for k in ("__r", "__c")
+    )
+
+
+def _power_batch_kernel(iterations: int):
+    """Rank-1 alternating power iteration in one Arrow batch — the
+    identical u_k = A v / ||A v||, v_k = A^T u / ||A^T u|| recursion."""
+
+    def kern(pdf):
+        import numpy as np
+
+        rows, cols, r_idx, c_idx, av = _coo_arrays(pdf)
+        x = np.ones(len(cols), dtype=np.float64)
+        u = None
+        sigma = None
+        for _ in range(iterations):
+            y = _segsum(len(rows), r_idx, av * x[c_idx])
+            n = np.sqrt(np.sum(y * y))
+            u = y / n
+            z = _segsum(len(cols), c_idx, av * u[r_idx])
+            vn = np.sqrt(np.sum(z * z))
+            x = z / vn
+            sigma = vn
+        parts = [(0, int(rows[i]), 0, float(u[i]), None) for i in range(len(rows))]
+        parts += [
+            (1, int(cols[i]), 0, float(x[i]), float(sigma))
+            for i in range(len(cols))
+        ]
+        return _emit(parts)
+
+    return kern
+
+
+def _deflated_batch_kernel(k: int, iterations: int, rank_tolerance: float):
+    """Implicitly-deflated rank-k power iteration in one Arrow batch —
+    the same matvec → per-prior-factor correction → normalize order and
+    the same loud rank-exhaustion ValueErrors as the distributed plan.
+    Exactly-degenerate trajectories (a norm hits 0.0/NaN — the plan's
+    NULL-guard regime) defer to the distributed path via
+    _check_finite_norm."""
+
+    def kern(pdf):
+        import math
+
+        import numpy as np
+
+        rows, cols, r_idx, c_idx, av = _coo_arrays(pdf)
+        if len(rows) == 0:
+            raise RuntimeError("__SVD_BATCH_DEGENERATE__")
+        factors = []  # (u_vec, v_vec, sigma_float)
+        for j in range(k):
+            x = np.ones(len(cols), dtype=np.float64)
+            u = None
+            sigma = None
+            for _ in range(iterations):
+                y = _segsum(len(rows), r_idx, av * x[c_idx])
+                for (u_p, v_p, s_p) in factors:
+                    d = float(np.sum(v_p * x))
+                    y = y + (-s_p * d) * u_p
+                n = _check_finite_norm(float(np.sqrt(np.sum(y * y))))
+                u = y / n
+                z = _segsum(len(cols), c_idx, av * u[r_idx])
+                for (u_p, v_p, s_p) in factors:
+                    d = float(np.sum(u_p * u))
+                    z = z + (-s_p * d) * v_p
+                vn = _check_finite_norm(float(np.sqrt(np.sum(z * z))))
+                x = z / vn
+                sigma = vn
+            s_val = sigma
+            if not math.isfinite(s_val):
+                raise RuntimeError("__SVD_BATCH_DEGENERATE__")
+            if factors and s_val < rank_tolerance * factors[0][2]:
+                raise ValueError(
+                    f"__SVD_BATCH_VALUEERROR__rank-{k} SVD failed at "
+                    f"factor {j}: sigma_{j} = {s_val:.3e} < "
+                    f"rank_tolerance * sigma_0 = "
+                    f"{rank_tolerance * factors[0][2]:.3e} — k exceeds "
+                    "the effective rank of the matrix"
+                )
+            factors.append((u, x, sigma))
+        parts = []
+        for j, (u_p, v_p, s_p) in enumerate(factors):
+            parts += [
+                (0, int(rows[i]), j, float(u_p[i]), None)
+                for i in range(len(rows))
+            ]
+            parts += [
+                (1, int(cols[i]), j, float(v_p[i]), float(s_p))
+                for i in range(len(cols))
+            ]
+        return _emit(parts)
+
+    return kern
+
+
+def _block_batch_kernel(k: int, iterations: int, rank_tolerance: float):
+    """Block power iteration with CholeskyQR in one Arrow batch — the
+    exact expr-mode recursion (left-associated R subtraction chains, the
+    same `when(> 0)` / `when(!= 0)` null guards as NaN) and the same
+    loud rank-exhaustion ValueErrors. gram_mode only changes where the
+    k x k factorization's scalar ops run (executor expressions vs
+    driver numpy — 'same trajectory up to float-op ordering inside the
+    k x k factorization', svd.py r11); the kernel replays the expr-mode
+    order, the gate-verified default."""
+
+    def kern(pdf):
+        import math
+
+        import numpy as np
+
+        rows, cols, r_idx, c_idx, av = _coo_arrays(pdf)
+        if len(rows) == 0:
+            raise RuntimeError("__SVD_BATCH_DEGENERATE__")
+
+        def chol_qr(mat):
+            """mat: (n, k) input columns; returns (q (n,k), diag sigma
+            list) replaying the expression recursion. A non-positive
+            pivot or zero diagonal is the plan's NULL regime — defer."""
+            g = {}
+            for i in range(k):
+                for j2 in range(i, k):
+                    g[(i, j2)] = float(np.sum(mat[:, i] * mat[:, j2]))
+            r = {}
+            for j2 in range(k):
+                for p in range(j2 + 1):
+                    e = g[(p, j2)]
+                    for i in range(p):
+                        e = e - r[(i, p)] * r[(i, j2)]
+                    if p == j2:
+                        if not e > 0:
+                            raise RuntimeError("__SVD_BATCH_DEGENERATE__")
+                        r[(p, j2)] = math.sqrt(e)
+                    else:
+                        r[(p, j2)] = e / _check_finite_norm(r[(p, p)])
+            q = np.empty_like(mat)
+            for j2 in range(k):
+                t = mat[:, j2].copy()
+                for p in range(j2):
+                    t = t - r[(p, j2)] * q[:, p]
+                q[:, j2] = t / _check_finite_norm(r[(j2, j2)])
+            sigs = [r[(j2, j2)] for j2 in range(k)]
+            return q, sigs
+
+        v = np.empty((len(cols), k), dtype=np.float64)
+        for j in range(k):
+            v[:, j] = 1.0 + np.mod(cols, j + 1).astype(np.float64)
+        u_q = None
+        sigs = None
+        for _ in range(iterations):
+            yw = np.empty((len(rows), k), dtype=np.float64)
+            for j in range(k):
+                yw[:, j] = _segsum(len(rows), r_idx, av * v[c_idx, j])
+            u_q, _ = chol_qr(yw)
+            zw = np.empty((len(cols), k), dtype=np.float64)
+            for j in range(k):
+                zw[:, j] = _segsum(len(cols), c_idx, av * u_q[r_idx, j])
+            v, sigs = chol_qr(zw)
+        for j in range(k):
+            s_val = sigs[j]
+            if not math.isfinite(s_val):
+                raise RuntimeError("__SVD_BATCH_DEGENERATE__")
+            if j > 0 and s_val < rank_tolerance * sigs[0]:
+                raise ValueError(
+                    f"__SVD_BATCH_VALUEERROR__rank-{k} block SVD failed "
+                    f"at factor {j}: sigma_{j} = {s_val:.3e} < "
+                    "rank_tolerance * sigma_0 — k exceeds the effective "
+                    "rank of the matrix"
+                )
+        parts = []
+        for j in range(k):
+            parts += [
+                (0, int(rows[i]), j, float(u_q[i, j]), None)
+                for i in range(len(rows))
+            ]
+            parts += [
+                (1, int(cols[i]), j, float(v[i, j]), float(sigs[j]))
+                for i in range(len(cols))
+            ]
+        return _emit(parts)
+
+    return kern
+
 
 def power_iteration_svd(
     interactions: DataFrame,
@@ -40,6 +330,7 @@ def power_iteration_svd(
     col_col: str,
     val_col: str,
     iterations: int = 3,
+    batch_finish: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Dominant singular pair of the sparse matrix given as COO rows.
 
@@ -49,6 +340,11 @@ def power_iteration_svd(
     Entries absent from the COO table get no vector row (they are exact
     zeros). Signs follow the all-ones start vector (v_0 = 1), so the
     output is deterministic — no random init to pin down.
+
+    ``batch_finish`` (round 12, guide §2.4): once the COO table fits the
+    bound, the whole trajectory runs in one Arrow batch (see the module
+    note above). 0 disables; the two-shuffle-per-half-iteration plan is
+    the only path above the bound.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -57,6 +353,22 @@ def power_iteration_svd(
         F.col(col_col).alias("__c"),
         F.col(val_col).cast("double").alias("__a"),
     ).localCheckpoint()
+    if (
+        batch_finish
+        and _integral_keys(a)
+        and 0 < a.count() <= batch_finish
+    ):
+        out = _batch_out(a, _power_batch_kernel(iterations))
+        if out is not None:
+            u_out = out.filter(F.col("side") == 0).select(
+                F.col("key").alias(row_col), F.col("x").alias("u")
+            )
+            v_out = out.filter(F.col("side") == 1).select(
+                F.col("key").alias(col_col),
+                F.col("x").alias("v"),
+                F.col("sigma").alias("sigma"),
+            )
+            return u_out, v_out
     v = a.select("__c").distinct().withColumn("__x", F.lit(1.0))
     u = None
     v_full = None
@@ -111,6 +423,7 @@ def deflated_power_iteration_svd(
     k: int = 2,
     iterations: int = 3,
     rank_tolerance: float = 1e-9,
+    batch_finish: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Rank-k truncated SVD by power iteration with IMPLICIT deflation.
 
@@ -156,6 +469,27 @@ def deflated_power_iteration_svd(
         F.col(col_col).alias("__c"),
         F.col(val_col).cast("double").alias("__a"),
     ).localCheckpoint()
+    if (
+        batch_finish
+        and _integral_keys(a)
+        and 0 < a.count() <= batch_finish
+    ):
+        out = _batch_out(
+            a, _deflated_batch_kernel(k, iterations, rank_tolerance)
+        )
+        if out is not None:
+            u_out = out.filter(F.col("side") == 0).select(
+                F.col("key").alias(row_col),
+                F.col("factor").cast("int").alias("factor"),
+                F.col("x").alias("u"),
+            )
+            v_out = out.filter(F.col("side") == 1).select(
+                F.col("key").alias(col_col),
+                F.col("factor").cast("int").alias("factor"),
+                F.col("x").alias("v"),
+                F.col("sigma").alias("sigma"),
+            )
+            return u_out, v_out
     all_cols = a.select("__c").distinct().localCheckpoint()
     # (u_df(__r,__x), v_df(__c,__x), sigma_scalar_df(__s)) per factor
     factors: list[tuple[DataFrame, DataFrame, DataFrame, float]] = []
@@ -306,6 +640,7 @@ def block_power_iteration_svd(
     iterations: int = 3,
     rank_tolerance: float = 1e-9,
     gram_mode: str = "expr",
+    batch_finish: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Rank-k truncated SVD by BLOCK (simultaneous subspace) power
     iteration — the scale shape for k >> 2 (r10 verdict #3).
@@ -373,6 +708,31 @@ def block_power_iteration_svd(
         F.col(col_col).alias("__c"),
         F.col(val_col).cast("double").alias("__a"),
     ).localCheckpoint()
+    # the batch kernel replays expr mode's scalar order; gram_mode only
+    # moves the k x k factorization's float ops (driver numpy vs
+    # executor expressions — "same trajectory up to float-op ordering"),
+    # so both modes batch through the same kernel
+    if (
+        batch_finish
+        and _integral_keys(a)
+        and 0 < a.count() <= batch_finish
+    ):
+        out = _batch_out(
+            a, _block_batch_kernel(k, iterations, rank_tolerance)
+        )
+        if out is not None:
+            u_out = out.filter(F.col("side") == 0).select(
+                F.col("key").alias(row_col),
+                F.col("factor").cast("int").alias("factor"),
+                F.col("x").alias("u"),
+            )
+            v_out = out.filter(F.col("side") == 1).select(
+                F.col("key").alias(col_col),
+                F.col("factor").cast("int").alias("factor"),
+                F.col("x").alias("v"),
+                F.col("sigma").alias("sigma"),
+            )
+            return u_out, v_out
 
     def _chol_qr_driver(
         frame: DataFrame, key: str, in_prefix: str, out_prefix: str

@@ -203,6 +203,15 @@ SHARED_FAMILIES: dict[str, list[str]] = {
         "scc",
         "bowtie_structure",
     ],
+    # r12: the persisted walk corpus (_shared_walks) + PMI-scored pair
+    # table (_shared_walk_pmi) — three queries replayed the identical
+    # deterministic walk loop, two of them also the identical pair
+    # scoring
+    "walk_corpus": [
+        "random_walks",
+        "walk_pmi",
+        "netmf_embeddings",
+    ],
     # r10: the persisted chunk table (_shared_cdc_chunks) binds
     # cdc_chunks and the capped variant into the same family — the
     # ~10 s hash-lambda pass lands on whichever member runs first
@@ -283,6 +292,8 @@ def clear_shared_caches() -> None:
         _CSG_CACHE,
         _ANF_CACHE,
         _TRADE_CACHE,
+        _WALKS_CACHE,
+        _WALK_PMI_CACHE,
     ):
         for key in list(cache):
             val = cache.pop(key)

@@ -232,6 +232,115 @@ def _trade_digraph(spark: SparkSession, sf_dir: str) -> "Graph":
     return shared
 
 
+# Shared walk corpus + PMI-scored pair table (round 12):
+# `random_walks`, `walk_pmi` and `netmf_embeddings` all rebuilt the
+# IDENTICAL deterministic md5-mode walk corpus (length=8,
+# walks_per_vertex=1, seed=42) over the undirected customer-supplier
+# graph — three ~7-step checkpointed walk loops per suite pass — and
+# walk_pmi / netmf_embeddings additionally both ran the identical
+# positional pair self-join + PMI scoring on top of it. Built once per
+# (applicationId, sf_dir) and persisted; registered as bench family
+# "walk_corpus" so first-consumer-pays stays attributable. The frames
+# are the unchanged operator outputs — every consumer reads the same
+# rows it used to compute itself. Same one-entry eviction contract as
+# _COOC_CACHE; cleared between bench passes by clear_shared_caches.
+_WALKS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_WALK_PMI_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shared_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(walk_id, start, path array<long>) — the deterministic walk
+    corpus all three walk consumers replay (their oracles unroll the
+    same _walks_ctes trajectory, so the corpus is one artifact)."""
+    from pyspark_graph_spark.operators import RandomWalks
+
+    key = (_app_key(spark), sf_dir)
+    cached = _WALKS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    g = _cust_supp_graph(spark, sf_dir, directed=False)
+    out = (
+        RandomWalks(length=8, walks_per_vertex=1, hash_mode="md5")
+        .run(g)
+        .persist()
+    )
+    for old_key in list(_WALKS_CACHE):
+        if old_key != key:
+            _WALKS_CACHE.pop(old_key).unpersist()
+    _WALKS_CACHE[key] = out
+    return out
+
+
+def _shared_walk_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PMI-scored skip-gram pair table (a, b, n_pairs, pmi) over
+    the shared walk corpus — consumed by the walk_pmi gate readout and
+    the netmf_embeddings factorization, which must see the identical
+    trajectory the oracle replays. Arithmetic unchanged from the
+    pre-cache shape (queries/text.py r11); only the rebuild is shared."""
+    key = (_app_key(spark), sf_dir)
+    cached = _WALK_PMI_CACHE.get(key)
+    if cached is not None:
+        return cached
+    walks = _shared_walks(spark, sf_dir)
+    pos = walks.select(
+        "walk_id", F.posexplode(F.col("path")).alias("i", "v")
+    )
+    occ = pos.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    a = pos.alias("a")
+    b = pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.walk_id") == F.col("b.walk_id"),
+                F.col("b.i") > F.col("a.i"),
+                F.col("b.i") <= F.col("a.i") + 2,
+            ],
+        )
+        .select(
+            F.least(F.col("a.v"), F.col("b.v")).alias("pa"),
+            F.greatest(F.col("a.v"), F.col("b.v")).alias("pb"),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = pairs.agg(F.sum("n_pairs").alias("t"))
+    occ_tot = occ.agg(F.sum("n").alias("ot"))
+    scored = (
+        pairs.join(
+            occ.select(F.col("v").alias("pa"), F.col("n").alias("na")),
+            on="pa",
+        )
+        .join(
+            occ.select(F.col("v").alias("pb"), F.col("n").alias("nb")),
+            on="pb",
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(occ_tot))
+        .select(
+            F.col("pa").alias("a"),
+            F.col("pb").alias("b"),
+            "n_pairs",
+            F.round(
+                F.log2(
+                    (F.col("n_pairs") / F.col("t"))
+                    / (
+                        (F.col("na") / F.col("ot"))
+                        * (F.col("nb") / F.col("ot"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .persist()
+    )
+    for old_key in list(_WALK_PMI_CACHE):
+        if old_key != key:
+            _WALK_PMI_CACHE.pop(old_key).unpersist()
+    _WALK_PMI_CACHE[key] = scored
+    return scored
+
+
 # Shared ANF register evolution (round 11): neighborhood_function,
 # approx_closeness and effective_diameter all evolve the IDENTICAL
 # 16-register HLL sketch table over the customer-supplier graph

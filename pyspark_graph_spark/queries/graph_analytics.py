@@ -1190,11 +1190,13 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic node2vec-style walk corpus over the undirected
     customer-supplier graph, in cross-engine md5 hash mode so the oracle
     replays every step; paths serialized to comma-joined strings (the
-    checker cannot canonicalize arrays)."""
-    from pyspark_graph_spark.operators import RandomWalks
+    checker cannot canonicalize arrays). Round 12: the corpus comes
+    from the shared per-application cache (_shared._shared_walks,
+    bench family "walk_corpus") — walk_pmi and netmf_embeddings replay
+    the identical walks, so the loop ran three times per suite pass."""
+    from pyspark_graph_spark.queries._shared import _shared_walks
 
-    g = _cust_supp_graph(spark, sf_dir, directed=False)
-    out = RandomWalks(length=8, walks_per_vertex=1, hash_mode="md5").run(g)
+    out = _shared_walks(spark, sf_dir)
     return out.select(
         "walk_id",
         "start",

@@ -692,54 +692,14 @@ def _walk_pmi_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full PMI-scored skip-gram pair table (a, b, n_pairs, pmi) over
     the deterministic walk corpus — shared by the walk_pmi gate readout
     and the netmf_embeddings factorization (queries/ann.py), which must
-    see the identical trajectory the oracle replays."""
-    from pyspark_graph_spark.operators import RandomWalks
+    see the identical trajectory the oracle replays. Round 12: the
+    table is built once per (application, sf_dir) and persisted
+    (_shared._shared_walk_pmi, bench family "walk_corpus") — the two
+    consumers previously each reran the walk loop AND the positional
+    pair self-join; the arithmetic is byte-moved, not changed."""
+    from pyspark_graph_spark.queries._shared import _shared_walk_pmi
 
-    g = _cust_supp_graph(spark, sf_dir, directed=False)
-    walks = RandomWalks(length=8, walks_per_vertex=1, hash_mode="md5").run(g)
-    pos = walks.select(
-        "walk_id", F.posexplode(F.col("path")).alias("i", "v")
-    )
-    occ = pos.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
-    a = pos.alias("a")
-    b = pos.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.walk_id") == F.col("b.walk_id"),
-                F.col("b.i") > F.col("a.i"),
-                F.col("b.i") <= F.col("a.i") + 2,
-            ],
-        )
-        .select(
-            F.least(F.col("a.v"), F.col("b.v")).alias("pa"),
-            F.greatest(F.col("a.v"), F.col("b.v")).alias("pb"),
-        )
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-    tot = pairs.agg(F.sum("n_pairs").alias("t"))
-    occ_tot = occ.agg(F.sum("n").alias("ot"))
-    scored = (
-        pairs.join(occ.select(F.col("v").alias("pa"), F.col("n").alias("na")), on="pa")
-        .join(occ.select(F.col("v").alias("pb"), F.col("n").alias("nb")), on="pb")
-        .crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(occ_tot))
-        .select(
-            F.col("pa").alias("a"),
-            F.col("pb").alias("b"),
-            "n_pairs",
-            F.round(
-                F.log2(
-                    (F.col("n_pairs") / F.col("t"))
-                    / ((F.col("na") / F.col("ot")) * (F.col("nb") / F.col("ot")))
-                ),
-                6,
-            ).alias("pmi"),
-        )
-    )
-    return scored
+    return _shared_walk_pmi(spark, sf_dir)
 
 
 @query("walk_pmi", oracle=_walk_pmi_sql(length=8, seed=42, window=2, topn=100))
