@@ -41,6 +41,188 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Bounded-batch finish (round 12, guide §2.4): same contract and ulp
+# story as the SVD kernels (operators/svd.py module note) — below
+# batch_finish the whole alternation trajectory runs in one Arrow
+# kernel replaying the identical closed-form double algebra; the
+# per-alternation join/groupBy plan is unchanged above the bound and
+# remains the only 100 TB path. ALS has no degenerate regime to defer:
+# reg > 0 keeps every solve nonsingular by construction.
+
+_ALS_SCHEMA = (
+    "side tinyint, key long, f1 double, f2 double, b double"
+)
+
+
+def _als_coo(pdf):
+    import numpy as np
+
+    u = pdf["__u"].to_numpy(dtype=np.int64)
+    i = pdf["__i"].to_numpy(dtype=np.int64)
+    r = pdf["__r"].to_numpy(dtype=np.float64)
+    order = np.lexsort((i, u))
+    u, i, r = u[order], i[order], r[order]
+    users, u_idx = np.unique(u, return_inverse=True)
+    items, i_idx = np.unique(i, return_inverse=True)
+    return users, items, u_idx, i_idx, r
+
+
+def _als_segsum(n, idx, vals):
+    import numpy as np
+
+    out = np.zeros(n, dtype=np.float64)
+    np.add.at(out, idx, vals)
+    return out
+
+
+def _als_emit(users, uf, items, vf):
+    import pandas as pd
+
+    n_u, n_i = len(users), len(items)
+    return pd.DataFrame(
+        {
+            "side": [0] * n_u + [1] * n_i,
+            "key": list(users) + list(items),
+            "f1": list(uf[0]) + list(vf[0]),
+            "f2": list(uf[1]) + list(vf[1]),
+            "b": list(uf[2]) + list(vf[2]),
+        }
+    )
+
+
+def _als_batch_out(r: DataFrame, kernel) -> DataFrame:
+    return (
+        r.withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .applyInPandas(kernel, _ALS_SCHEMA)
+        .localCheckpoint()
+    )
+
+
+def _als_integral_keys(r: DataFrame) -> bool:
+    kinds = {f.name: f.dataType.typeName() for f in r.schema.fields}
+    return all(
+        kinds[k] in ("long", "integer", "short", "byte")
+        for k in ("__u", "__i")
+    )
+
+
+def _bias_batch_kernel(iterations: int, reg: float):
+    """Biased rank-2 ALS alternation in one Arrow batch — the identical
+    ug/ub/vg/vb closed forms in the identical order."""
+
+    def kern(pdf):
+        import numpy as np
+
+        users, items, u_idx, i_idx, rv = _als_coo(pdf)
+        mu = float(np.mean(rv))
+        v1 = 1.0 + np.mod(items, 2).astype(np.float64)
+        v2 = 1.0 + np.mod(items, 3).astype(np.float64)
+        bi = np.zeros(len(items), dtype=np.float64)
+        u1 = np.zeros(len(users), dtype=np.float64)
+        u2 = np.zeros(len(users), dtype=np.float64)
+        bu = np.zeros(len(users), dtype=np.float64)
+        n_u = _als_segsum(len(users), u_idx, np.ones_like(rv))
+        n_i = _als_segsum(len(items), i_idx, np.ones_like(rv))
+
+        def solve(n_side, s_idx, f1, f2, fb, ob):
+            """per side_key 2x2 ridge solve: f1/f2/fb indexed per COO
+            row on the FIXED side, ob the solving side's bias per row."""
+            e = rv - mu - ob - fb
+            g11 = _als_segsum(n_side, s_idx, f1 * f1)
+            g12 = _als_segsum(n_side, s_idx, f1 * f2)
+            g22 = _als_segsum(n_side, s_idx, f2 * f2)
+            r1 = _als_segsum(n_side, s_idx, e * f1)
+            r2 = _als_segsum(n_side, s_idx, e * f2)
+            a11 = g11 + reg
+            a22 = g22 + reg
+            det = a11 * a22 - g12 * g12
+            return (
+                (a22 * r1 - g12 * r2) / det,
+                (a11 * r2 - g12 * r1) / det,
+            )
+
+        def solve_bias(n_side, s_idx, f1, f2, fb, of1, of2, n_rows):
+            e = rv - mu - fb - (of1 * f1 + of2 * f2)
+            return _als_segsum(n_side, s_idx, e) / (reg + n_rows)
+
+        for _ in range(iterations):
+            u1, u2 = solve(
+                len(users), u_idx, v1[i_idx], v2[i_idx], bi[i_idx], bu[u_idx]
+            )
+            bu = solve_bias(
+                len(users),
+                u_idx,
+                v1[i_idx],
+                v2[i_idx],
+                bi[i_idx],
+                u1[u_idx],
+                u2[u_idx],
+                n_u,
+            )
+            v1n, v2n = solve(
+                len(items), i_idx, u1[u_idx], u2[u_idx], bu[u_idx], bi[i_idx]
+            )
+            bi = solve_bias(
+                len(items),
+                i_idx,
+                u1[u_idx],
+                u2[u_idx],
+                bu[u_idx],
+                v1n[i_idx],
+                v2n[i_idx],
+                n_i,
+            )
+            v1, v2 = v1n, v2n
+        return _als_emit(users, (u1, u2, bu), items, (v1, v2, bi))
+
+    return kern
+
+
+def _implicit_batch_kernel(iterations: int, reg: float, alpha: float):
+    """Implicit-feedback rank-2 ALS in one Arrow batch — the identical
+    global-Gram + sparse-correction closed forms."""
+
+    def kern(pdf):
+        import numpy as np
+
+        users, items, u_idx, i_idx, rv = _als_coo(pdf)
+        v1 = 1.0 + np.mod(items, 2).astype(np.float64)
+        v2 = 1.0 + np.mod(items, 3).astype(np.float64)
+        u1 = u2 = None
+        cw = alpha * rv
+
+        def solve(n_side, s_idx, f1_tab, f2_tab, f1, f2):
+            g11 = float(np.sum(f1_tab * f1_tab))
+            g12 = float(np.sum(f1_tab * f2_tab))
+            g22 = float(np.sum(f2_tab * f2_tab))
+            s11 = _als_segsum(n_side, s_idx, cw * f1 * f1)
+            s12 = _als_segsum(n_side, s_idx, cw * f1 * f2)
+            s22 = _als_segsum(n_side, s_idx, cw * f2 * f2)
+            b1 = _als_segsum(n_side, s_idx, (1.0 + cw) * f1)
+            b2 = _als_segsum(n_side, s_idx, (1.0 + cw) * f2)
+            a11 = g11 + s11 + reg
+            a12 = g12 + s12
+            a22 = g22 + s22 + reg
+            det = a11 * a22 - a12 * a12
+            return (
+                (a22 * b1 - a12 * b2) / det,
+                (a11 * b2 - a12 * b1) / det,
+            )
+
+        for _ in range(iterations):
+            u1, u2 = solve(
+                len(users), u_idx, v1, v2, v1[i_idx], v2[i_idx]
+            )
+            v1, v2 = solve(
+                len(items), i_idx, u1, u2, u1[u_idx], u2[u_idx]
+            )
+        zeros_u = np.zeros(len(users), dtype=np.float64)
+        zeros_i = np.zeros(len(items), dtype=np.float64)
+        return _als_emit(users, (u1, u2, zeros_u), items, (v1, v2, zeros_i))
+
+    return kern
+
 
 def als_bias_rank2(
     ratings: DataFrame,
@@ -49,6 +231,7 @@ def als_bias_rank2(
     rating_col: str,
     iterations: int = 2,
     reg: float = 0.1,
+    batch_finish: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Train r ≈ mu + b_u + b_i + u·v (rank-2 factors) by alternating
     closed-form ridge solves.
@@ -79,6 +262,26 @@ def als_bias_rank2(
         F.col(item_col).alias("__i"),
         F.col(rating_col).cast("double").alias("__r"),
     ).localCheckpoint()
+    if (
+        batch_finish
+        and _als_integral_keys(r)
+        and 0 < r.count() <= batch_finish
+    ):
+        out = _als_batch_out(r, _bias_batch_kernel(iterations, reg))
+        return (
+            out.filter(F.col("side") == 0).select(
+                F.col("key").alias(user_col),
+                F.col("f1").alias("u1"),
+                F.col("f2").alias("u2"),
+                F.col("b").alias("bu"),
+            ),
+            out.filter(F.col("side") == 1).select(
+                F.col("key").alias(item_col),
+                F.col("f1").alias("v1"),
+                F.col("f2").alias("v2"),
+                F.col("b").alias("bi"),
+            ),
+        )
     # two pre-partitioned copies of the (only) big operand, the Pregel
     # edges_by_src/dst trick: each step's join against a factor table
     # then shuffles only the |users|/|items|-sized side, never the
@@ -221,6 +424,7 @@ def als_implicit_rank2(
     iterations: int = 2,
     reg: float = 0.1,
     alpha: float = 1.0,
+    batch_finish: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Implicit-feedback ALS (Hu, Koren & Volinsky 2008) at rank 2 —
     the confidence-weighted half of the SVD++ model class.
@@ -261,6 +465,26 @@ def als_implicit_rank2(
         F.col(item_col).alias("__i"),
         F.col(rating_col).cast("double").alias("__r"),
     ).localCheckpoint()
+    if (
+        batch_finish
+        and _als_integral_keys(r)
+        and 0 < r.count() <= batch_finish
+    ):
+        out = _als_batch_out(
+            r, _implicit_batch_kernel(iterations, reg, alpha)
+        )
+        return (
+            out.filter(F.col("side") == 0).select(
+                F.col("key").alias(user_col),
+                F.col("f1").alias("u1"),
+                F.col("f2").alias("u2"),
+            ),
+            out.filter(F.col("side") == 1).select(
+                F.col("key").alias(item_col),
+                F.col("f1").alias("v1"),
+                F.col("f2").alias("v2"),
+            ),
+        )
     r_by_i = r.repartition("__i").localCheckpoint()
     r_by_u = r.repartition("__u").localCheckpoint()
     items = r.select("__i").distinct().select(
