@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 BETWEENNESS = "betweenness"
 
@@ -76,17 +77,19 @@ class BetweennessCentrality:
         depth = 0
         while depth < self.max_depth:
             depth += 1
-            expanded = (
+            # level-emptiness probe folded into the checkpoint job
+            # (round 12, checkpoint_observed)
+            expanded, m = checkpoint_observed(
                 frontier.join(edges, on=frontier["v"] == edges[SRC])
                 .select("s", edges[DST].alias("v"), "sigma")
                 .groupBy("s", "v")
                 .agg(F.sum("sigma").alias("sigma"))
                 .join(paths.select("s", "v"), on=["s", "v"], how="anti")
                 .withColumn("depth", F.lit(depth))
-                .select("s", "v", "depth", "sigma")
-                .localCheckpoint()
+                .select("s", "v", "depth", "sigma"),
+                __n=F.count(F.lit(1)),
             )
-            if expanded.isEmpty():
+            if not m["__n"]:
                 break
             levels.append(expanded)
             # union of already-checkpointed level frames: no re-checkpoint

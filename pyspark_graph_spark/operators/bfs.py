@@ -27,6 +27,7 @@ from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from pyspark_graph_spark.constants import DST, EDGE_ID, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 START = "start"
 END = "end"
@@ -95,8 +96,17 @@ class BreadthFirstSearch:
             F.array(ID).alias(VERTICES),
         ).localCheckpoint()
 
+        end_marked = end_ids.select(
+            F.col(ID).alias("__head"), F.lit(1).alias("__end")
+        )
         for _ in range(self.max_iterations):
-            expanded = (
+            # both per-level probes (frontier emptiness, endpoint hits)
+            # ride the checkpoint job itself (round 12,
+            # checkpoint_observed): the end-vertex marker left-joins into
+            # the expansion, so the previous separate isEmpty action and
+            # semi-join probe job disappear; the hit filter reads the
+            # same marker, and the output projection is unchanged.
+            expanded, m = checkpoint_observed(
                 frontier.join(edges, on=frontier["__head"] == edges[SRC])
                 .filter(~F.array_contains(F.col(EDGES), F.col(EDGE_ID)))
                 .select(
@@ -105,16 +115,15 @@ class BreadthFirstSearch:
                     F.array_append(F.col(EDGES), F.col(EDGE_ID)).alias(EDGES),
                     F.array_append(F.col(VERTICES), edges[DST]).alias(VERTICES),
                 )
-                .localCheckpoint()
+                .join(end_marked, on="__head", how="left"),
+                __n=F.count(F.lit(1)),
+                __hits=F.sum(F.col("__end").cast("long")),
             )
-            if expanded.isEmpty():
+            if not m["__n"]:
                 return empty
-            hits = expanded.join(
-                end_ids, on=expanded["__head"] == end_ids[ID], how="semi"
-            )
-            if not hits.isEmpty():
-                return hits.select(
+            if m["__hits"]:
+                return expanded.filter(F.col("__end").isNotNull()).select(
                     START, F.col("__head").alias(END), EDGES, VERTICES
                 )
-            frontier = expanded
+            frontier = expanded.drop("__end")
         return empty

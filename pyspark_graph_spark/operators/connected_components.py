@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark_graph_spark.constants import DST, ID, MSG, SRC, STATE
 from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.operators.pregel import Pregel
+from pyspark_graph_spark.util import checkpoint_observed
 
 COMPONENT = "component"
 
@@ -222,14 +223,19 @@ class AlternatingConnectedComponents:
         self.require_convergence = require_convergence
 
     def run(self, g: Graph) -> DataFrame:
-        # loop-free edge pairs (large-star symmetrizes per round)
-        edges = (
+        # loop-free edge pairs (large-star symmetrizes per round); the
+        # batch-bound count AND the initial content fingerprint ride the
+        # materializing job itself (round 12, checkpoint_observed) —
+        # previously two extra actions before the first round
+        edges, m0 = checkpoint_observed(
             g.edges.select(SRC, DST)
             .filter(F.col(SRC) != F.col(DST))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            __x=F.bit_xor(F.xxhash64(SRC, DST)),
+            __n=F.count(F.lit(1)),
         )
-        if self.batch_finish and edges.count() <= self.batch_finish:
+        n_edges = m0["__n"] or 0
+        if self.batch_finish and n_edges <= self.batch_finish:
             membership = (
                 edges.withColumn("__g", F.lit(0))
                 .groupBy("__g")
@@ -244,24 +250,23 @@ class AlternatingConnectedComponents:
             )
             return membership.unionByName(roots_and_isolated)
 
-        def fp(e: DataFrame) -> tuple:
-            # order-insensitive content fingerprint; ids span the full 64-bit
-            # hash range, so sums would overflow ANSI arithmetic — XOR of row
-            # hashes + count is overflow-free and cheap on checkpointed data
-            r = e.agg(
-                F.bit_xor(F.xxhash64(SRC, DST)).alias("x"),
-                F.count(F.lit(1)).alias("n"),
-            ).first()
-            return (r["x"], r["n"])
-
-        fingerprint = fp(edges)
+        # order-insensitive content fingerprint; ids span the full 64-bit
+        # hash range, so sums would overflow ANSI arithmetic — XOR of row
+        # hashes + count is overflow-free. The per-round probe rides each
+        # round's own checkpoint job (checkpoint_observed), not a
+        # separate action.
+        fingerprint = (m0["__x"], m0["__n"])
         converged = False
         rounds = 0
         budget = self.max_iterations
         while rounds < budget:
-            edges = _small_star(_large_star(edges)).localCheckpoint()
+            edges, m = checkpoint_observed(
+                _small_star(_large_star(edges)),
+                __x=F.bit_xor(F.xxhash64(SRC, DST)),
+                __n=F.count(F.lit(1)),
+            )
             rounds += 1
-            new_fingerprint = fp(edges)
+            new_fingerprint = (m["__x"], m["__n"])
             if new_fingerprint == fingerprint:
                 converged = True
                 break

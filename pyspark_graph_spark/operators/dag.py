@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 LAYER = "layer"
 
@@ -54,8 +55,13 @@ class TopologicalLayers:
         out: DataFrame | None = None
         for r in range(self.max_iterations):
             blocked = edges.select(F.col(DST).alias(ID)).distinct()
-            sources = active.join(blocked, on=ID, how="anti").localCheckpoint()
-            if sources.limit(1).count() == 0:
+            # emptiness probe rides the checkpoint job (round 12,
+            # checkpoint_observed) instead of a second limit-count action
+            sources, m = checkpoint_observed(
+                active.join(blocked, on=ID, how="anti"),
+                __n=F.count(F.lit(1)),
+            )
+            if not m["__n"]:
                 break
             layer = sources.withColumn(LAYER, F.lit(r))
             out = layer if out is None else out.unionByName(layer)
@@ -127,22 +133,35 @@ class CriticalPath:
                 F.col(DST).alias(ID),
                 (F.col("__d") + F.col("__w")).alias(DIST),
             )
-            new = (
-                dist.unionByName(cand)
-                .groupBy(ID)
-                .agg(F.max(DIST).alias(DIST))
-                .localCheckpoint()
-            )
-            changed = (
-                new.join(
-                    dist.select(ID, F.col(DIST).alias("__old")), on=ID
+            # identical max-plus relaxation, restructured so the changed
+            # probe rides the checkpoint job (round 12,
+            # checkpoint_observed): max over {old} ∪ candidates ==
+            # greatest(old, max(candidates)) exactly (max is order-free,
+            # both treat NaN as largest), and carrying __old through the
+            # aggregate lets the change flag fold into the same job —
+            # the previous shape paid a join + limit-count action per
+            # round on top of the checkpoint.
+            relaxed = (
+                dist.withColumnRenamed(DIST, "__old")
+                .join(cand.groupBy(ID).agg(F.max(DIST).alias("__c")), on=ID, how="left")
+                .select(
+                    ID,
+                    F.col("__old"),
+                    F.greatest(
+                        F.col("__old"), F.coalesce("__c", F.col("__old"))
+                    ).alias(DIST),
                 )
-                .filter(F.col(DIST) != F.col("__old"))
-                .limit(1)
-                .count()
             )
-            dist = new
-            if changed == 0:
+            new, m = checkpoint_observed(
+                relaxed.select(
+                    ID,
+                    DIST,
+                    (F.col(DIST) != F.col("__old")).alias("__chg"),
+                ),
+                __changed=F.sum(F.col("__chg").cast("long")),
+            )
+            dist = new.drop("__chg")
+            if not m["__changed"]:
                 return dist
         raise ValueError(
             "CriticalPath did not converge within max_iterations — "

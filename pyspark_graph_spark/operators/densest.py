@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 
 class DensestSubgraph:
@@ -56,9 +57,14 @@ class DensestSubgraph:
             sym = edges.unionByName(
                 edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
             )
-            deg = sym.groupBy(F.col(SRC).alias(ID)).agg(
-                F.count(F.lit(1)).alias("__d")
-            ).localCheckpoint()
+            # vertex-emptiness probe rides the checkpoint job
+            # (round 12, checkpoint_observed)
+            deg, md = checkpoint_observed(
+                sym.groupBy(F.col(SRC).alias(ID)).agg(
+                    F.count(F.lit(1)).alias("__d")
+                ),
+                __n=F.count(F.lit(1)),
+            )
             summary = deg.agg(
                 F.lit(r).alias("round"),
                 F.count(F.lit(1)).alias("n_vertices"),
@@ -70,7 +76,7 @@ class DensestSubgraph:
                 ).alias("density"),
             )
             rounds.append(summary)
-            if deg.limit(1).count() == 0:
+            if not md["__n"]:
                 emptied = True
                 break
             # peel: keep vertices with deg >= 2(1+eps) * density
@@ -86,19 +92,21 @@ class DensestSubgraph:
                 .filter(F.col("__d") >= F.col("__thr"))
                 .select(ID)
             )
-            edges = (
+            edges, me = checkpoint_observed(
                 edges.join(
                     keep.withColumnRenamed(ID, SRC), on=SRC, how="semi"
                 )
                 .join(keep.withColumnRenamed(ID, DST), on=DST, how="semi")
-                .select(SRC, DST)
-                .localCheckpoint()
+                .select(SRC, DST),
+                __n=F.count(F.lit(1)),
             )
+            n_edges_left = me["__n"] or 0
         if not emptied:
             # the emptiness probe runs at the TOP of each iteration, so a
             # peel that empties the graph exactly on the final allowed
-            # iteration is only observable here
-            emptied = edges.limit(1).count() == 0
+            # iteration is only observable here (from the last observed
+            # edge count — no extra action)
+            emptied = n_edges_left == 0
         if not emptied:
             # matching CriticalPath: a truncated trace silently loses the
             # 2(1+eps) approximation guarantee (log_{1+eps} n rounds are

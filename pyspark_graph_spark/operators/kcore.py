@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 CORE = "core"
 
@@ -46,22 +47,27 @@ class KCore:
 
     def run(self, g: Graph) -> DataFrame:
         """Vertex ids belonging to the k-core (single ``id`` column)."""
-        edges = _sym(g.edges).localCheckpoint()
+        # the stability probe rides each checkpoint job (round 12,
+        # checkpoint_observed): comparing this round's observed row count
+        # to last round's replaces the two count actions per round
+        edges, m = checkpoint_observed(_sym(g.edges), __n=F.count(F.lit(1)))
+        n_edges = m["__n"] or 0
         for _ in range(self.max_iterations):
             deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("__d"))
             keep = deg.filter(F.col("__d") >= self.k).select(
                 F.col(SRC).alias(ID)
             )
-            pruned = (
+            pruned, mp = checkpoint_observed(
                 edges.join(keep.withColumnRenamed(ID, SRC), SRC, "semi")
                 .join(keep.withColumnRenamed(ID, DST), DST, "semi")
-                .select(SRC, DST)
-                .localCheckpoint()
+                .select(SRC, DST),
+                __n=F.count(F.lit(1)),
             )
-            if pruned.count() == edges.count():
-                edges = pruned
-                break
+            n_pruned = mp["__n"] or 0
             edges = pruned
+            if n_pruned == n_edges:
+                break
+            n_edges = n_pruned
         return edges.select(F.col(SRC).alias(ID)).distinct()
 
 
@@ -73,25 +79,31 @@ def core_numbers(g: Graph, max_k: int | None = None) -> DataFrame:
     """
     verts = g.vertices.select(ID).localCheckpoint()
     result = verts.withColumn(CORE, F.lit(0))
-    edges = _sym(g.edges).localCheckpoint()
+    # same checkpoint_observed fold as KCore.run: one job per peel round
+    # instead of three, and the member-emptiness probe follows from the
+    # observed edge count (a nonempty symmetric edge list always has
+    # members)
+    edges, m0 = checkpoint_observed(_sym(g.edges), __n=F.count(F.lit(1)))
+    n_edges = m0["__n"] or 0
     k = 1
-    while not edges.isEmpty() and (max_k is None or k <= max_k):
+    while n_edges > 0 and (max_k is None or k <= max_k):
         # peel to the k-core within the current subgraph
         while True:
             deg = edges.groupBy(SRC).agg(F.count(F.lit(1)).alias("__d"))
             keep = deg.filter(F.col("__d") >= k).select(F.col(SRC).alias(ID))
-            pruned = (
+            pruned, mp = checkpoint_observed(
                 edges.join(keep.withColumnRenamed(ID, SRC), SRC, "semi")
                 .join(keep.withColumnRenamed(ID, DST), DST, "semi")
-                .select(SRC, DST)
-                .localCheckpoint()
+                .select(SRC, DST),
+                __n=F.count(F.lit(1)),
             )
-            stable = pruned.count() == edges.count()
+            stable = (mp["__n"] or 0) == n_edges
+            n_edges = mp["__n"] or 0
             edges = pruned
             if stable:
                 break
         members = edges.select(F.col(SRC).alias(ID)).distinct()
-        if members.isEmpty():
+        if n_edges == 0:
             break
         result = (
             result.join(members.withColumn("__in", F.lit(1)), ID, "left")

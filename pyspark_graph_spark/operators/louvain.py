@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 COMMUNITY = "community"
 
@@ -264,14 +265,23 @@ class Louvain:
         asg = deg.select("v", F.col("v").alias("c")).localCheckpoint()
         rounds = self.fixed_rounds or self.max_rounds
         for r in range(rounds):
-            nxt = self._move_round(sym, deg, asg, two_m, r).localCheckpoint()
             if self.fixed_rounds is None:
-                moved = nxt.filter(F.col("__moved")).count()
+                # moved-count probe rides the checkpoint job itself
+                # (round 12, checkpoint_observed) — r11 had already
+                # removed the probe's join; this removes its action
+                nxt, m = checkpoint_observed(
+                    self._move_round(sym, deg, asg, two_m, r),
+                    __moved=F.sum(F.col("__moved").cast("long")),
+                )
                 asg = nxt.drop("__moved")
-                if moved == 0:
+                if not m["__moved"]:
                     break
             else:
-                asg = nxt.drop("__moved")
+                asg = (
+                    self._move_round(sym, deg, asg, two_m, r)
+                    .drop("__moved")
+                    .localCheckpoint()
+                )
         return asg
 
     def run(self, g: Graph) -> DataFrame:

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 from pyspark_graph_spark.session import (
     default_parallelism as _default_parallelism,
 )
@@ -103,7 +104,10 @@ class MaximalMatching:
     def run(self, g: Graph) -> DataFrame:
         w = self.weight_col
         base = g.edges.select(SRC, DST, *([w] if w else []))
-        edges = (
+        # the per-round residual size probe rides each checkpoint job
+        # (round 12, checkpoint_observed) — previously one count action
+        # per peel round on the frame just materialized
+        edges, m = checkpoint_observed(
             base.unionByName(
                 base.select(
                     F.col(DST).alias(SRC),
@@ -117,8 +121,8 @@ class MaximalMatching:
             .withColumn(
                 "__np",
                 -F.col(w).cast("double") if w else F.lit(0.0),
-            )
-            .localCheckpoint()
+            ),
+            __n=F.count(F.lit(1)),
         )
         spark = edges.sparkSession
         # per-round winner frames, unioned ONCE after the loop — a running
@@ -147,7 +151,7 @@ class MaximalMatching:
             return pd.DataFrame(out, columns=[SRC, DST])
 
         for _ in range(self.max_iterations):
-            n_edges = edges.count()
+            n_edges = m["__n"] or 0
             if n_edges == 0:
                 return _merged()
             if self.batch_finish and n_edges <= self.batch_finish:
@@ -193,12 +197,11 @@ class MaximalMatching:
                 .unionByName(winners.select(F.col(DST).alias(ID)))
                 .distinct()
             )
-            edges = (
+            edges, m = checkpoint_observed(
                 edges.join(
                     mv.withColumnRenamed(ID, SRC), on=SRC, how="anti"
-                )
-                .join(mv.withColumnRenamed(ID, DST), on=DST, how="anti")
-                .localCheckpoint()
+                ).join(mv.withColumnRenamed(ID, DST), on=DST, how="anti"),
+                __n=F.count(F.lit(1)),
             )
         # a total priority order always yields >=1 winner per round (the
         # global minimum is a local minimum at both its endpoints), so

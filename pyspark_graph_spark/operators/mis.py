@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 
 class MaximalIndependentSet:
@@ -79,34 +80,43 @@ class MaximalIndependentSet:
                 .distinct()
                 .localCheckpoint()
             )
-        undecided = g.vertices.select(ID).localCheckpoint()
+        # size probes ride the materializing checkpoints (round 12,
+        # checkpoint_observed): the loop paid an undecided count, an edge
+        # count, and emptiness probes per round on frames it had just
+        # materialized
+        undecided, mu = checkpoint_observed(
+            g.vertices.select(ID), __n=F.count(F.lit(1))
+        )
+        n_und = mu["__n"] or 0
         edges = sym
+        n_edges = None  # lazily counted once, then tracked per round
         spark = undecided.sparkSession
         chosen = spark.createDataFrame([], f"{ID} long")
 
         rnd = 0
         while rnd < self.max_iterations:
-            n_und = undecided.count()
             if n_und == 0:
                 break
+            if n_edges is None:
+                n_edges = edges.count()
             if (
                 self.batch_finish
                 and n_und <= self.batch_finish
-                and edges.count() <= self.batch_finish
+                and n_edges <= self.batch_finish
             ):
                 res = self._batch_rounds(undecided, edges, rnd)
                 chosen = chosen.unionByName(
                     res.filter(F.col("chosen")).select(ID)
                 ).localCheckpoint()
-                undecided = (
-                    res.filter(~F.col("chosen"))
-                    .select(ID)
-                    .localCheckpoint()
+                undecided, mu = checkpoint_observed(
+                    res.filter(~F.col("chosen")).select(ID),
+                    __n=F.count(F.lit(1)),
                 )
+                n_und = mu["__n"] or 0
                 rnd += self._LOCAL_ROUNDS
-                if undecided.isEmpty():
+                if n_und == 0:
                     break
-                edges = (
+                edges, me = checkpoint_observed(
                     edges.join(
                         undecided.withColumnRenamed(ID, SRC),
                         on=SRC,
@@ -117,9 +127,10 @@ class MaximalIndependentSet:
                         on=DST,
                         how="semi",
                     )
-                    .select(SRC, DST)
-                    .localCheckpoint()
+                    .select(SRC, DST),
+                    __n=F.count(F.lit(1)),
                 )
+                n_edges = me["__n"] or 0
                 continue
             pri = undecided.withColumn(
                 "__p", F.xxhash64(F.col(ID), F.lit(self.seed), F.lit(rnd))
@@ -146,15 +157,20 @@ class MaximalIndependentSet:
                 edges.join(winners.withColumnRenamed(ID, SRC), on=SRC, how="semi")
                 .select(F.col(DST).alias(ID))
             ).distinct()
-            undecided = undecided.join(removed, on=ID, how="anti").localCheckpoint()
-            edges = (
+            undecided, mu = checkpoint_observed(
+                undecided.join(removed, on=ID, how="anti"),
+                __n=F.count(F.lit(1)),
+            )
+            n_und = mu["__n"] or 0
+            edges, me = checkpoint_observed(
                 edges.join(
                     undecided.withColumnRenamed(ID, SRC), on=SRC, how="semi"
                 )
                 .join(undecided.withColumnRenamed(ID, DST), on=DST, how="semi")
-                .select(SRC, DST)
-                .localCheckpoint()
+                .select(SRC, DST),
+                __n=F.count(F.lit(1)),
             )
+            n_edges = me["__n"] or 0
             rnd += 1
         # Mirror MaximalMatching's contract: returning with undecided
         # vertices would silently yield a non-maximal set (round-5 ADVICE).
@@ -162,7 +178,7 @@ class MaximalIndependentSet:
         # leftover-heavy batch can overshoot max_iterations — fail loudly
         # rather than hand back a set that violates the documented
         # maximality invariant.
-        if not undecided.isEmpty():
+        if n_und != 0:
             raise ValueError(
                 "MaximalIndependentSet did not decide every vertex within "
                 f"max_iterations={self.max_iterations}; Luby rounds are "

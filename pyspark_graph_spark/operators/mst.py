@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 from pyspark_graph_spark.operators.connected_components import (
     COMPONENT,
     AlternatingConnectedComponents,
@@ -117,7 +118,9 @@ class BoruvkaMST:
 
     def run(self, g: Graph) -> DataFrame:
         w = F.col(self.weight).alias(WEIGHT)
-        edges = (
+        # batch-bound probe rides the materializing checkpoint
+        # (round 12, checkpoint_observed)
+        edges, m0 = checkpoint_observed(
             g.edges.select(
                 F.least(SRC, DST).alias(SRC),
                 F.greatest(SRC, DST).alias(DST),
@@ -125,10 +128,10 @@ class BoruvkaMST:
             )
             .filter(F.col(SRC) != F.col(DST))
             .groupBy(SRC, DST)
-            .agg(F.min(WEIGHT).alias(WEIGHT))
-            .localCheckpoint()
+            .agg(F.min(WEIGHT).alias(WEIGHT)),
+            __n=F.count(F.lit(1)),
         )
-        if self.batch_cc and edges.count() <= self.batch_cc:
+        if self.batch_cc and (m0["__n"] or 0) <= self.batch_cc:
             # the whole deduped edge list fits the bound: the unique MSF
             # in ONE Arrow batch (Kruskal over the same total order)
             # instead of log(V) rounds of ~8 fixed-overhead jobs each —
@@ -155,7 +158,8 @@ class BoruvkaMST:
 
         forest: DataFrame | None = None
         for _ in range(self.max_iterations):
-            live = (
+            # emptiness probe rides the checkpoint job (round 12)
+            live, ml = checkpoint_observed(
                 edges.join(
                     comp.select(
                         F.col(ID).alias(SRC), F.col(COMPONENT).alias("__cs")
@@ -168,10 +172,10 @@ class BoruvkaMST:
                     ),
                     on=DST,
                 )
-                .filter(F.col("__cs") != F.col("__cd"))
-                .localCheckpoint()
+                .filter(F.col("__cs") != F.col("__cd")),
+                __n=F.count(F.lit(1)),
             )
-            if live.limit(1).count() == 0:
+            if not ml["__n"]:
                 break
             # next round never revisits intra-component edges
             edges = live.select(SRC, DST, WEIGHT)

@@ -42,7 +42,7 @@ from pyspark_graph_spark.constants import (
     STATE,
 )
 from pyspark_graph_spark.graph import Graph
-from pyspark_graph_spark.util import ne_null_safe
+from pyspark_graph_spark.util import checkpoint_observed, ne_null_safe
 
 
 class Pregel:
@@ -241,7 +241,11 @@ class Pregel:
             # inner-join semantics bit for bit; the changed flag rides
             # the same checkpointed frame, so one job per round replaces
             # two and the anti+union shuffle disappears outright.
-            updated = (
+            # the convergence probe rides the checkpoint job itself
+            # (round 12, guide §2.4 — checkpoint_observed): the previous
+            # shape paid one extra isEmpty action per round on the frame
+            # it had just materialized. Rows are byte-identical.
+            updated, probe = checkpoint_observed(
                 state.join(
                     agg.withColumn("__has_msg", F.lit(True)),
                     on=ID,
@@ -264,14 +268,13 @@ class Pregel:
                         F.col("__changed"), F.col("__new_state")
                     ).otherwise(F.col(STATE)),
                 )
-                .drop(OLD_STATE, MSG, "__has_msg", "__new_state")
-                .localCheckpoint()
+                .drop(OLD_STATE, MSG, "__has_msg", "__new_state"),
+                __n_changed=F.sum(F.col("__changed").cast("long")),
             )
             changed = updated.filter(F.col("__changed")).drop("__changed")
             state = updated.drop("__changed")
             self.rounds_run += 1
-            # the filter scans checkpointed partitions only — no recompute
-            if changed.isEmpty():
+            if not probe["__n_changed"]:
                 self.converged = True
                 break
             if (

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark_graph_spark.constants import DST, ID, MSG, SRC, STATE
 from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.operators.pregel import Pregel
+from pyspark_graph_spark.util import checkpoint_observed
 
 COMPONENT = "component"
 
@@ -362,10 +363,17 @@ def reachable_set(
                     "raise the budget toward the graph diameter"
                 ) from None
             raise
-    visited = seeds.select(F.col(seeds.columns[0]).alias(ID)).distinct(
-    ).localCheckpoint()
+    # size probes ride the materializing jobs (round 12,
+    # checkpoint_observed): the loop paid a count action per round on
+    # top of each checkpoint, and re-materialized the visited union
+    # every round even though every part is itself checkpointed (the
+    # betweenness r11 lesson — consumers scan the checkpointed parts).
+    visited, m0 = checkpoint_observed(
+        seeds.select(F.col(seeds.columns[0]).alias(ID)).distinct(),
+        __n=F.count(F.lit(1)),
+    )
     frontier = visited
-    n_front = frontier.count()
+    n_front = m0["__n"] or 0
     for _ in range(max_rounds):
         fr = frontier.withColumnRenamed(ID, out_col)
         if n_front <= broadcast_threshold:
@@ -375,11 +383,14 @@ def reachable_set(
             .select(F.col(in_col).alias(ID))
             .distinct()
         )
-        new_frontier = step.join(visited, on=ID, how="anti").localCheckpoint()
-        n_front = new_frontier.count()
+        new_frontier, m = checkpoint_observed(
+            step.join(visited, on=ID, how="anti"),
+            __n=F.count(F.lit(1)),
+        )
+        n_front = m["__n"] or 0
         if n_front == 0:
             return visited
-        visited = visited.unionByName(new_frontier).localCheckpoint()
+        visited = visited.unionByName(new_frontier)
         frontier = new_frontier
     raise ValueError(
         "reachable_set did not converge within max_rounds — raise the "

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark_graph_spark.util import checkpoint_observed
 
 
 def as_of_join(
@@ -358,7 +359,10 @@ def earliest_arrival(
         if hard_max_rounds is not None
         else (8 * max_rounds if auto_extend else max_rounds)
     )
-    state = (
+    # size probes ride the materializing checkpoints themselves
+    # (round 12, checkpoint_observed) — previously two extra count
+    # actions before the first round and one per round
+    state, ms = checkpoint_observed(
         seeds.select(
             F.col(seeds.columns[0]).alias("id"),
             F.col(seeds.columns[1]).cast("long").alias("arrival"),
@@ -367,21 +371,24 @@ def earliest_arrival(
         # upsert path only replaces rows that IMPROVE); keep the earliest,
         # consistent with reachable_set's .distinct() on seeds
         .groupBy("id")
-        .agg(F.min("arrival").alias("arrival"))
-        .localCheckpoint()
+        .agg(F.min("arrival").alias("arrival")),
+        __n=F.count(F.lit(1)),
     )
     frontier = state
-    n_front = frontier.count()
-    e = edges.select(
-        F.col(src_col).alias("__s"),
-        F.col(dst_col).alias("__d"),
-        F.col(ts_col).cast("long").alias("__t"),
-    ).localCheckpoint()
+    n_front = ms["__n"] or 0
+    e, me = checkpoint_observed(
+        edges.select(
+            F.col(src_col).alias("__s"),
+            F.col(dst_col).alias("__d"),
+            F.col(ts_col).cast("long").alias("__t"),
+        ),
+        __n=F.count(F.lit(1)),
+    )
     # the bound covers EVERYTHING funneled into the single Arrow task:
     # edges AND the seed/state frame (n_front is state.count() here) — a
     # huge seed set with a small edge list must take the distributed
     # rounds, not land on one executor (r9 ADVICE #2)
-    if batch_finish and e.count() + n_front <= batch_finish:
+    if batch_finish and (me["__n"] or 0) + n_front <= batch_finish:
         # bounded batch: the earliest-arrival table is a unique least
         # fixpoint, so one Arrow temporal-Dijkstra equals the distributed
         # rounds by definition (same adjudicated bounded-batch-finish
@@ -419,7 +426,7 @@ def earliest_arrival(
             .groupBy(F.col("__d").alias("id"))
             .agg(F.min("__t").alias("arrival"))
         )
-        improved = (
+        improved, mi = checkpoint_observed(
             cand.join(
                 state.withColumnRenamed("arrival", "__old"), "id", "left"
             )
@@ -427,11 +434,11 @@ def earliest_arrival(
                 F.col("__old").isNull()
                 | (F.col("arrival") < F.col("__old"))
             )
-            .select("id", "arrival")
-            .localCheckpoint()
+            .select("id", "arrival"),
+            __n=F.count(F.lit(1)),
         )
         rounds += 1
-        n_front = improved.count()
+        n_front = mi["__n"] or 0
         if n_front == 0:
             return state
         state = (

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark_graph_spark.constants import ADJ, ID
 from pyspark_graph_spark.functions.hashing import md5_hash60_concat
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 
 class RandomWalks:
@@ -90,24 +91,29 @@ class RandomWalks:
             # checkpoints, each re-running the same join), and the ended
             # rows are split off the materialized frame by a cheap filter.
             # Row content is expression-identical, so walks are unchanged.
-            stepped = joined.select(
-                "walk_id",
-                "start",
-                F.when(F.col("__nbrs").isNotNull(), nxt).alias("__cur"),
-                F.when(
-                    F.col("__nbrs").isNotNull(),
-                    F.array_append("path", nxt),
-                )
-                .otherwise(F.col("path"))
-                .alias("path"),
-            ).localCheckpoint()
+            # the live-walk probe rides the checkpoint job itself
+            # (round 12, checkpoint_observed) instead of a second action
+            stepped, m = checkpoint_observed(
+                joined.select(
+                    "walk_id",
+                    "start",
+                    F.when(F.col("__nbrs").isNotNull(), nxt).alias("__cur"),
+                    F.when(
+                        F.col("__nbrs").isNotNull(),
+                        F.array_append("path", nxt),
+                    )
+                    .otherwise(F.col("path"))
+                    .alias("path"),
+                ),
+                __live=F.sum(F.col("__cur").isNotNull().cast("long")),
+            )
             finished.append(
                 stepped.filter(F.col("__cur").isNull()).select(
                     "walk_id", "start", "path"
                 )
             )
             active = stepped.filter(F.col("__cur").isNotNull())
-            if active.isEmpty():
+            if not m["__live"]:
                 break
         out = active.select("walk_id", "start", "path")
         for f in finished:
@@ -233,22 +239,26 @@ class Node2VecWalks(RandomWalks):
             )["sel"]
             nxt = F.get(F.col("__nbrs"), sel)
             alive = F.col("__nbrs").isNotNull()
-            stepped = live.select(
-                "walk_id",
-                "start",
-                F.when(alive, F.col("__cur")).alias("__prev"),
-                F.when(alive, nxt).alias("__cur"),
-                F.when(alive, F.array_append("path", nxt))
-                .otherwise(F.col("path"))
-                .alias("path"),
-            ).localCheckpoint()
+            # live-walk probe folded into the checkpoint job (round 12)
+            stepped, m = checkpoint_observed(
+                live.select(
+                    "walk_id",
+                    "start",
+                    F.when(alive, F.col("__cur")).alias("__prev"),
+                    F.when(alive, nxt).alias("__cur"),
+                    F.when(alive, F.array_append("path", nxt))
+                    .otherwise(F.col("path"))
+                    .alias("path"),
+                ),
+                __live=F.sum(F.col("__cur").isNotNull().cast("long")),
+            )
             finished.append(
                 stepped.filter(F.col("__cur").isNull()).select(
                     "walk_id", "start", "path"
                 )
             )
             active = stepped.filter(F.col("__cur").isNotNull())
-            if active.isEmpty():
+            if not m["__live"]:
                 break
         out = active.select("walk_id", "start", "path")
         for f in finished:
