@@ -35,10 +35,18 @@ from pyspark_graph_spark.operators.connected_components import (
 
 
 class BipartiteCheck:
-    """Per-component bipartiteness + proper 2-coloring (double cover)."""
+    """Per-component bipartiteness + proper 2-coloring (double cover).
 
-    def __init__(self, max_iterations: int = 20):
+    ``batch_finish`` is stated in INPUT edges: the reduction emits
+    exactly 2 cover edges per input edge, so the CC stage is allowed
+    2x the bound (same Arrow-task memory object — the doubled rows are
+    mechanical copies of the same input; 1M input edges ≈ 32 MB of
+    cover pairs in one task). The distributed alternating-star fixpoint
+    remains the only path above the bound."""
+
+    def __init__(self, max_iterations: int = 20, batch_finish: int = 1_000_000):
         self.max_iterations = max_iterations
+        self.batch_finish = batch_finish
 
     def run(self, g: Graph) -> DataFrame:
         e = g.edges.select(SRC, DST)
@@ -54,7 +62,8 @@ class BipartiteCheck:
             v.select((F.col(ID) * 2 + 1).alias(ID))
         )
         cc = AlternatingConnectedComponents(
-            max_iterations=self.max_iterations
+            max_iterations=self.max_iterations,
+            batch_finish=2 * self.batch_finish,
         ).run(Graph(cover_vertices, cover_edges, directed=False, indexed=True))
 
         # shiftright decodes: the double `/ 2` silently lost low bits

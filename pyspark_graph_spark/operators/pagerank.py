@@ -28,8 +28,129 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
 
 PAGERANK = "pagerank"
+
+# Bounded-batch finish (round 12, guide §2.4): same contract and ulp
+# story as the SVD/ALS kernels (operators/svd.py module note) — below
+# batch_finish (vertices + edges in one bound) the whole power-iteration
+# trajectory runs in one cogrouped Arrow kernel replaying the identical
+# double algebra: per edge (pr(src) * w) / deg(src), per vertex
+# (1-α)·reset + α·(sum of contributions, 0 when none), the same
+# iteration count and the same optional L1-delta early stop. The
+# per-iteration join/aggregate plan is unchanged above the bound and
+# remains the only 100 TB path.
+
+
+def _pagerank_batch_kernel(alpha: float, max_iterations: int, tolerance):
+    def kern(_key, v_pdf, e_pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = v_pdf[ID].to_numpy(dtype=np.int64)
+        reset = v_pdf["__reset"].to_numpy(dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        ids, reset = ids[order], reset[order]
+        src = e_pdf[SRC].to_numpy(dtype=np.int64)
+        dst = e_pdf[DST].to_numpy(dtype=np.int64)
+        w = e_pdf["__w"].to_numpy(dtype=np.float64)
+        eorder = np.lexsort((dst, src))
+        src, dst, w = src[eorder], dst[eorder], w[eorder]
+        # out-degree (weight sum) over ALL edge sources, as the
+        # distributed deg aggregate does
+        dsrc, dinv = np.unique(src, return_inverse=True)
+        deg = np.zeros(len(dsrc), dtype=np.float64)
+        np.add.at(deg, dinv, w)
+        # edge endpoints resolved against the vertex table: a source
+        # with no rank row contributes nothing (the ranks join), a
+        # destination outside the vertex table is dropped (the verts
+        # left join)
+        s_idx = np.searchsorted(ids, src)
+        s_ok = (s_idx < len(ids)) & (ids[np.minimum(s_idx, len(ids) - 1)] == src)
+        d_idx = np.searchsorted(ids, dst)
+        d_ok = (d_idx < len(ids)) & (ids[np.minimum(d_idx, len(ids) - 1)] == dst)
+        keep = s_ok & d_ok
+        s_idx, d_idx = s_idx[keep], d_idx[keep]
+        wk = w[keep]
+        degk = deg[dinv[keep]]
+        if np.any(degk == 0.0):
+            # the distributed plan's division is unguarded — under ANSI
+            # a zero out-weight sum raises DIVIDE_BY_ZERO there; defer
+            # so that loud error is the behavior in both paths
+            raise RuntimeError("__PR_BATCH_DEGENERATE__")
+        pr = reset.copy()
+        for _ in range(max_iterations):
+            contrib = np.zeros(len(ids), dtype=np.float64)
+            np.add.at(contrib, d_idx, (pr[s_idx] * wk) / degk)
+            new = (1.0 - alpha) * reset + alpha * contrib
+            if tolerance is not None:
+                delta = float(np.sum(np.abs(new - pr)))
+                pr = new
+                if delta < tolerance:
+                    break
+            else:
+                pr = new
+        return pd.DataFrame({ID: ids, PAGERANK: pr})
+
+    return kern
+
+
+def _ppr_multi_batch_kernel(alpha: float, max_iterations: int):
+    """All-sources personalized PageRank in one Arrow batch. Per source
+    the recurrence runs dense over the edge-endpoint id universe; the
+    emitted row set equals the sparse plan's (restart ∪ reachable):
+    every sparse row's value is strictly positive — contributions are
+    (positive pr · positive w / positive deg) sums — so positive-mass
+    entries ARE the sparse row set. Nonpositive weights would break
+    that equivalence; the kernel defers them to the distributed plan."""
+
+    def kern(_key, r_pdf, e_pdf):
+        import numpy as np
+        import pandas as pd
+
+        src = e_pdf[SRC].to_numpy(dtype=np.int64)
+        dst = e_pdf[DST].to_numpy(dtype=np.int64)
+        w = e_pdf["__w"].to_numpy(dtype=np.float64)
+        if np.any(~(w > 0.0)):
+            raise RuntimeError("__PR_BATCH_DEGENERATE__")
+        eorder = np.lexsort((dst, src))
+        src, dst, w = src[eorder], dst[eorder], w[eorder]
+        dsrc, dinv = np.unique(src, return_inverse=True)
+        deg = np.zeros(len(dsrc), dtype=np.float64)
+        np.add.at(deg, dinv, w)
+        starts = sorted(
+            {(int(i), int(s)) for i, s in zip(r_pdf[ID], r_pdf["source"])}
+        )
+        ids = np.unique(
+            np.concatenate(
+                [src, dst, np.array([i for i, _ in starts], dtype=np.int64)]
+            )
+        )
+        s_idx = np.searchsorted(ids, src)
+        d_idx = np.searchsorted(ids, dst)
+        share_w = w
+        share_deg = deg[dinv]
+        out_id, out_src, out_pr = [], [], []
+        for start, source in starts:
+            reset = np.zeros(len(ids), dtype=np.float64)
+            reset[np.searchsorted(ids, start)] = 1.0
+            pr = reset.copy()
+            for _ in range(max_iterations):
+                contrib = np.zeros(len(ids), dtype=np.float64)
+                np.add.at(
+                    contrib, d_idx, (pr[s_idx] * share_w) / share_deg
+                )
+                pr = (1.0 - alpha) * reset + alpha * contrib
+            mask = pr > 0.0
+            out_id.extend(int(x) for x in ids[mask])
+            out_src.extend([source] * int(mask.sum()))
+            out_pr.extend(float(x) for x in pr[mask])
+        return pd.DataFrame(
+            {ID: out_id, "source": out_src, PAGERANK: out_pr}
+        )
+
+    return kern
 
 
 class PageRank:
@@ -40,6 +161,7 @@ class PageRank:
         tolerance: float | None = None,
         sources: list[int] | None = None,
         weight_col: str | None = None,
+        batch_finish: int = 1_000_000,
     ):
         """``sources``: personalize — the (1-α) reset mass lands uniformly
         on these vertex ids instead of everywhere (random walk with restart
@@ -55,6 +177,7 @@ class PageRank:
         self.tolerance = tolerance
         self.sources = sources
         self.weight_col = weight_col
+        self.batch_finish = batch_finish
 
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, pagerank)`` for every vertex."""
@@ -65,17 +188,15 @@ class PageRank:
             if self.weight_col
             else F.lit(1.0)
         )
-        edges = (
-            g.symmetric_edges.select(SRC, DST, w.alias("__w"))
-            .repartition(F.col(SRC))
-            .localCheckpoint()
+        # probes ride the materializing checkpoints (round 12,
+        # checkpoint_observed); the reset column folds into the one
+        # vertex checkpoint instead of a second materialization
+        edges, me = checkpoint_observed(
+            g.symmetric_edges.select(SRC, DST, w.alias("__w")).repartition(
+                F.col(SRC)
+            ),
+            __n=F.count(F.lit(1)),
         )
-        deg = (
-            edges.groupBy(SRC)
-            .agg(F.sum("__w").alias("__deg"))
-            .localCheckpoint()
-        )
-        verts = g.vertices.select(ID).localCheckpoint()
         if self.sources is None:
             reset = F.lit(1.0)
         else:
@@ -83,7 +204,49 @@ class PageRank:
             reset = F.when(
                 F.array_contains(src_set, F.col(ID)), F.lit(1.0)
             ).otherwise(F.lit(0.0))
-        verts = verts.withColumn("__reset", reset).localCheckpoint()
+        verts, mv = checkpoint_observed(
+            g.vertices.select(ID).withColumn("__reset", reset),
+            __n=F.count(F.lit(1)),
+        )
+        kinds = dict(
+            [(f.name, f.dataType.typeName()) for f in edges.schema.fields]
+            + [(f.name, f.dataType.typeName()) for f in verts.schema.fields]
+        )
+        integral = all(
+            kinds[c] in ("long", "integer", "short", "byte")
+            for c in (SRC, DST, ID)
+        )
+        if (
+            self.batch_finish
+            and integral
+            and 0
+            < (me["__n"] or 0) + (mv["__n"] or 0)
+            <= self.batch_finish
+        ):
+            out = (
+                verts.withColumn("__g", F.lit(0))
+                .groupBy("__g")
+                .cogroup(edges.withColumn("__g", F.lit(0)).groupBy("__g"))
+                .applyInPandas(
+                    _pagerank_batch_kernel(
+                        self.alpha, self.max_iterations, self.tolerance
+                    ),
+                    f"{ID} long, {PAGERANK} double",
+                )
+            )
+            try:
+                # eager so the zero-out-degree deferral surfaces here and
+                # the distributed plan (whose unguarded ANSI division is
+                # the loud behavior) takes over
+                return out.localCheckpoint()
+            except Exception as e:
+                if "__PR_BATCH_DEGENERATE__" not in str(e):
+                    raise
+        deg = (
+            edges.groupBy(SRC)
+            .agg(F.sum("__w").alias("__deg"))
+            .localCheckpoint()
+        )
         ranks = verts.select(
             ID, F.col("__reset").alias(PAGERANK)
         ).localCheckpoint()
@@ -135,6 +298,7 @@ def parallel_personalized_pagerank(
     alpha: float = 0.85,
     max_iterations: int = 10,
     weight_col: str | None = None,
+    batch_finish: int = 1_000_000,
 ) -> DataFrame:
     """Personalized PageRank from EVERY source at once — the reference
     README's one unsupported-matrix row with no counterpart here until
@@ -160,16 +324,42 @@ def parallel_personalized_pagerank(
         raise ValueError("sources must be non-empty")
     spark = g.edges.sparkSession
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
-    edges = (
-        g.symmetric_edges.select(SRC, DST, w.alias("__w"))
-        .repartition(F.col(SRC))
-        .localCheckpoint()
+    edges, me = checkpoint_observed(
+        g.symmetric_edges.select(SRC, DST, w.alias("__w")).repartition(
+            F.col(SRC)
+        ),
+        __n=F.count(F.lit(1)),
     )
-    deg = edges.groupBy(SRC).agg(F.sum("__w").alias("__deg")).localCheckpoint()
     restart = spark.createDataFrame(
         [(int(s), int(s)) for s in dict.fromkeys(sources)],
         f"{ID} long, source long",
     ).localCheckpoint()
+    ekinds = {f.name: f.dataType.typeName() for f in edges.schema.fields}
+    if (
+        batch_finish
+        and all(
+            ekinds[c] in ("long", "integer", "short", "byte")
+            for c in (SRC, DST)
+        )
+        and 0 < (me["__n"] or 0) + len(sources) <= batch_finish
+    ):
+        out = (
+            restart.withColumn("__g", F.lit(0))
+            .groupBy("__g")
+            .cogroup(edges.withColumn("__g", F.lit(0)).groupBy("__g"))
+            .applyInPandas(
+                _ppr_multi_batch_kernel(alpha, max_iterations),
+                f"{ID} long, source long, {PAGERANK} double",
+            )
+        )
+        try:
+            # eager so the nonpositive-weight deferral surfaces here
+            return out.localCheckpoint()
+        except Exception as e:
+            if "__PR_BATCH_DEGENERATE__" not in str(e):
+                raise
+            # fall through to the distributed plan
+    deg = edges.groupBy(SRC).agg(F.sum("__w").alias("__deg")).localCheckpoint()
     ranks = restart.withColumn(PAGERANK, F.lit(1.0)).localCheckpoint()
     for _ in range(max_iterations):
         # alpha is applied ONCE after the aggregate — pr_{k+1} =

@@ -50,21 +50,83 @@ def _maps_differ(old: Column, new: Column) -> Column:
     )
 
 
+def _batch_landmark_bfs(
+    landmarks: list[int], max_iterations: int, directed: bool
+):
+    """Multi-landmark hop-distance BFS in one Arrow batch (round 12,
+    guide §2.4 — the bounded-batch-finish contract of the CC/SCC/
+    reachable kernels). Hop distances are the unique integer BFS
+    fixpoint, so the batch equals the distributed Pregel BY
+    CONSTRUCTION, including the budget truncation: the Pregel delivers
+    distance-d entries in round d, so entries beyond ``max_iterations``
+    levels are absent from both. Messages only relay between state
+    vertices — edges with an endpoint outside the vertex table relay
+    nothing, exactly like the Pregel's state join."""
+
+    def kern(_key, v_pdf, e_pdf):
+        import pandas as pd
+
+        verts = [int(x) for x in v_pdf[ID]]
+        vset = set(verts)
+        # distances flow against edge direction (msg_to_src): BFS from
+        # each landmark over REVERSED edges; undirected adds forward
+        radj: dict[int, list[int]] = {}
+        for s, d in zip(e_pdf["src"], e_pdf["dst"]):
+            s, d = int(s), int(d)
+            if s not in vset or d not in vset:
+                continue
+            radj.setdefault(d, []).append(s)
+            if not directed:
+                radj.setdefault(s, []).append(d)
+        maps: dict[int, dict[int, int]] = {v: {} for v in verts}
+        for lm in dict.fromkeys(int(x) for x in landmarks):
+            if lm not in vset:
+                continue
+            maps[lm][lm] = 0
+            frontier = {lm}
+            seen = {lm}
+            for depth in range(1, max_iterations + 1):
+                nxt = {
+                    u
+                    for v in frontier
+                    for u in radj.get(v, ())
+                    if u not in seen
+                }
+                if not nxt:
+                    break
+                for u in nxt:
+                    maps[u][lm] = depth
+                seen |= nxt
+                frontier = nxt
+        return pd.DataFrame(
+            {ID: verts, DISTANCES: [maps[v] for v in verts]}
+        )
+
+    return kern
+
+
 class ShortestPaths:
     """Hop distances from every vertex to each landmark.
 
     ``landmarks``: vertex ids (sequence) or a single-column DataFrame of ids.
     ``run`` returns ``(id, distances map<long,int>)``; ``run_exploded``
     returns ``(id, landmark, distance)`` rows (SQL/oracle-friendly).
+
+    ``batch_finish``: once vertices + edges fit the bound, the whole
+    multi-landmark BFS runs in one cogrouped Arrow batch (see
+    _batch_landmark_bfs); the per-round Pregel stays the only path above
+    the bound and for DataFrame-valued landmark sets. 0 disables.
     """
 
     def __init__(
         self,
         landmarks: Sequence[int] | DataFrame,
         max_iterations: int = 10,
+        batch_finish: int = 1_000_000,
     ):
         self.landmarks = landmarks
         self.max_iterations = max_iterations
+        self.batch_finish = batch_finish
 
     def _landmark_df(self, g: Graph) -> DataFrame:
         if isinstance(self.landmarks, DataFrame):
@@ -77,6 +139,44 @@ class ShortestPaths:
         )
 
     def run(self, g: Graph) -> DataFrame:
+        if self.batch_finish and not isinstance(self.landmarks, DataFrame):
+            vkinds = {
+                f.name: f.dataType.typeName() for f in g.vertices.schema.fields
+            }
+            ekinds = {
+                f.name: f.dataType.typeName() for f in g.edges.schema.fields
+            }
+            integral = vkinds.get(ID) in (
+                "long",
+                "integer",
+                "short",
+                "byte",
+            ) and all(
+                ekinds.get(c) in ("long", "integer", "short", "byte")
+                for c in ("src", "dst")
+            )
+            if (
+                integral
+                and g.vertices.count() + g.edges.count()
+                <= self.batch_finish
+            ):
+                verts = g.vertices.select(ID)
+                edges = g.edges.select("src", "dst")
+                return (
+                    verts.withColumn("__g", F.lit(0))
+                    .groupBy("__g")
+                    .cogroup(
+                        edges.withColumn("__g", F.lit(0)).groupBy("__g")
+                    )
+                    .applyInPandas(
+                        _batch_landmark_bfs(
+                            [int(x) for x in self.landmarks],
+                            self.max_iterations,
+                            g.directed,
+                        ),
+                        f"{ID} long, {DISTANCES} map<bigint,int>",
+                    )
+                )
         lm = F.broadcast(self._landmark_df(g))
         seeded = g.vertices.select(ID).join(
             lm, on=F.col(ID) == F.col("__lm"), how="left"

@@ -158,10 +158,13 @@ def _power_batch_kernel(iterations: int):
         sigma = None
         for _ in range(iterations):
             y = _segsum(len(rows), r_idx, av * x[c_idx])
-            n = np.sqrt(np.sum(y * y))
+            # the rank-1 plan divides UNGUARDED — under ANSI a zero norm
+            # is a loud DIVIDE_BY_ZERO there; defer so the distributed
+            # plan raises it (guide: loud, never silently different)
+            n = _check_finite_norm(float(np.sqrt(np.sum(y * y))))
             u = y / n
             z = _segsum(len(cols), c_idx, av * u[r_idx])
-            vn = np.sqrt(np.sum(z * z))
+            vn = _check_finite_norm(float(np.sqrt(np.sum(z * z))))
             x = z / vn
             sigma = vn
         parts = [(0, int(rows[i]), 0, float(u[i]), None) for i in range(len(rows))]

@@ -212,6 +212,12 @@ SHARED_FAMILIES: dict[str, list[str]] = {
         "walk_pmi",
         "netmf_embeddings",
     ],
+    # r12: the shared exact triangle census (_shared_triangle_count) —
+    # both members ran the identical complement inclusion-exclusion
+    "supplier_triangles": [
+        "triangle_count",
+        "transitivity",
+    ],
     # r10: the persisted chunk table (_shared_cdc_chunks) binds
     # cdc_chunks and the capped variant into the same family — the
     # ~10 s hash-lambda pass lands on whichever member runs first
@@ -294,6 +300,9 @@ def clear_shared_caches() -> None:
         _TRADE_CACHE,
         _WALKS_CACHE,
         _WALK_PMI_CACHE,
+        # holds a driver int (no frames to unpersist; the loop's
+        # try/except tolerates it)
+        _TRI_COUNT_CACHE,
     ):
         for key in list(cache):
             val = cache.pop(key)

@@ -232,6 +232,33 @@ def _trade_digraph(spark: SparkSession, sf_dir: str) -> "Graph":
     return shared
 
 
+# Shared exact triangle count of the supplier co-occurrence graph
+# (round 12): `triangle_count` and `transitivity` both ran the identical
+# complement inclusion-exclusion census over the same shared graph —
+# the single most CPU-expensive scalar in the suite, computed twice per
+# pass. The value is a driver int (the operator's return type), cached
+# per (applicationId, sf_dir) with the same eviction/clearing contract
+# as every shared artifact; registered as bench family
+# "supplier_triangles" so first-consumer-pays stays attributable.
+_TRI_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _shared_triangle_count(spark: SparkSession, sf_dir: str) -> int:
+    from pyspark_graph_spark.operators.triangle_count import TriangleCount
+
+    key = (_app_key(spark), sf_dir)
+    cached = _TRI_COUNT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    g = _supplier_cooc_graph(spark, sf_dir)
+    n = TriangleCount().run(g)
+    for old_key in list(_TRI_COUNT_CACHE):
+        if old_key != key:
+            _TRI_COUNT_CACHE.pop(old_key)
+    _TRI_COUNT_CACHE[key] = n
+    return n
+
+
 # Shared walk corpus + PMI-scored pair table (round 12):
 # `random_walks`, `walk_pmi` and `netmf_embeddings` all rebuilt the
 # IDENTICAL deterministic md5-mode walk corpus (length=8,

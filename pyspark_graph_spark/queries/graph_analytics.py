@@ -1505,8 +1505,14 @@ def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer division at the end (cross-engine deterministic)."""
     from pyspark_graph_spark.sources.tables import supplier_co_occurrence_graph
 
+    # round 12: the exact census comes from the shared per-application
+    # cache (_shared_triangle_count, bench family "supplier_triangles")
+    # — triangle_count runs the identical complement inclusion-exclusion
+    # on the identical shared graph
+    from pyspark_graph_spark.queries._shared import _shared_triangle_count
+
     g = _supplier_cooc_graph(spark, sf_dir)
-    t = TriangleCount().run(g)
+    t = _shared_triangle_count(spark, sf_dir)
     tri = spark.createDataFrame([(t,)], "n_triangles long")
     # exact-integer wedge sum (r10 verdict #1): the double SUM lost
     # integers silently past 2^53 wedges; choose2_dec sums DECIMAL(38,0)

@@ -251,8 +251,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangles in the supplier co-occurrence graph (single-row count).
     Uses run(): on this dense graph the auto strategy counts via the
     complement inclusion-exclusion instead of the wedge join."""
-    g = _supplier_cooc_graph(spark, sf_dir)
-    n = TriangleCount().run(g)
+    # round 12: shared per-application census (_shared_triangle_count,
+    # bench family "supplier_triangles") — transitivity replays the
+    # identical complement inclusion-exclusion on the identical graph
+    from pyspark_graph_spark.queries._shared import _shared_triangle_count
+
+    n = _shared_triangle_count(spark, sf_dir)
     return spark.createDataFrame([(n,)], "n_triangles long")
 
 @query(
