@@ -35,14 +35,81 @@ from pyspark_graph_spark.util import checkpoint_observed
 BETWEENNESS = "betweenness"
 
 
+def _batch_brandes(sources: list[int], max_depth: int):
+    """Landmark-sampled Brandes in one Arrow batch (round 12, guide
+    §2.4) — the same forward sigma sums (exact: integer path counts in
+    doubles), the same per-level backward dependency accumulation
+    (sigma_v/sigma_w)*(1+delta_w), the same depth budget. The BFS runs
+    over ALL edge endpoints (the distributed sweeps never intersect
+    with the vertex table mid-flight); the output projects the vertex
+    table with 0 fill, exactly like the final left join. Same ulp story
+    as the SVD kernels: per-sum accumulation order is the only
+    divergence channel, the class of noise Spark's own shuffles carry."""
+
+    def kern(_key, v_pdf, e_pdf):
+        import numpy as np
+        import pandas as pd
+
+        vids = np.sort(v_pdf[ID].to_numpy(dtype=np.int64))
+        src = e_pdf[SRC].to_numpy(dtype=np.int64)
+        dst = e_pdf[DST].to_numpy(dtype=np.int64)
+        eorder = np.lexsort((dst, src))
+        src, dst = src[eorder], dst[eorder]
+        uni = np.unique(
+            np.concatenate(
+                [vids, src, dst, np.array(sources, dtype=np.int64)]
+            )
+        )
+        s_idx = np.searchsorted(uni, src)
+        d_idx = np.searchsorted(uni, dst)
+        n = len(uni)
+        score = np.zeros(n, dtype=np.float64)
+        for s in dict.fromkeys(int(x) for x in sources):
+            s_slot = int(np.searchsorted(uni, s))
+            dist = np.full(n, -1, dtype=np.int64)
+            sigma = np.zeros(n, dtype=np.float64)
+            dist[s_slot] = 0
+            sigma[s_slot] = 1.0
+            depth = 0
+            while depth < max_depth:
+                depth += 1
+                live = (dist[s_idx] == depth - 1) & (dist[d_idx] < 0)
+                if not live.any():
+                    depth -= 1
+                    break
+                np.add.at(sigma, d_idx[live], sigma[s_idx[live]])
+                dist[d_idx[live]] = depth
+            delta = np.zeros(n, dtype=np.float64)
+            for d in range(depth - 1, -1, -1):
+                step = (dist[s_idx] == d) & (dist[d_idx] == d + 1)
+                if not step.any():
+                    continue
+                np.add.at(
+                    delta,
+                    s_idx[step],
+                    (sigma[s_idx[step]] / sigma[d_idx[step]])
+                    * (1.0 + delta[d_idx[step]]),
+                )
+            delta[s_slot] = 0.0  # the s != v filter
+            score = score + delta
+        out = np.zeros(len(vids), dtype=np.float64)
+        v_slot = np.searchsorted(uni, vids)
+        out = score[v_slot]
+        return pd.DataFrame({ID: vids, BETWEENNESS: out})
+
+    return kern
+
+
 class BetweennessCentrality:
     def __init__(
         self,
         sources: Sequence[int] | DataFrame,
         max_depth: int = 20,
+        batch_finish: int = 1_000_000,
     ):
         self.sources = sources
         self.max_depth = max_depth
+        self.batch_finish = batch_finish
 
     def _source_df(self, g: Graph) -> DataFrame:
         if isinstance(self.sources, DataFrame):
@@ -56,13 +123,50 @@ class BetweennessCentrality:
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, betweenness double)`` for every vertex (0 where
         no sampled shortest path passes through)."""
-        edges = (
+        # batch-bound probe rides the materializing checkpoint
+        # (round 12, checkpoint_observed)
+        edges, me = checkpoint_observed(
             g.symmetric_edges.select(SRC, DST)
             .filter(F.col(SRC) != F.col(DST))
             .distinct()
-            .repartition(F.col(SRC))
-            .localCheckpoint()
+            .repartition(F.col(SRC)),
+            __n=F.count(F.lit(1)),
         )
+        src_list = (
+            None
+            if isinstance(self.sources, DataFrame)
+            else [int(x) for x in self.sources]
+        )
+        vk = {f.name: f.dataType.typeName() for f in g.vertices.schema.fields}
+        ek = {f.name: f.dataType.typeName() for f in edges.schema.fields}
+        ints = ("long", "integer", "short", "byte")
+        if (
+            self.batch_finish
+            and src_list is not None
+            and len(set(src_list)) == len(src_list)
+            and vk.get(ID) in ints
+            and ek.get(SRC) in ints
+            and ek.get(DST) in ints
+        ):
+            vv, mv = checkpoint_observed(
+                g.vertices.select(ID), __n=F.count(F.lit(1))
+            )
+            if (
+                0
+                < (me["__n"] or 0) + (mv["__n"] or 0)
+                <= self.batch_finish
+            ):
+                return (
+                    vv.withColumn("__g", F.lit(0))
+                    .groupBy("__g")
+                    .cogroup(
+                        edges.withColumn("__g", F.lit(0)).groupBy("__g")
+                    )
+                    .applyInPandas(
+                        _batch_brandes(src_list, self.max_depth),
+                        f"{ID} long, {BETWEENNESS} double",
+                    )
+                )
         sources = self._source_df(g).localCheckpoint()
 
         # ---- forward sweep: (s, v, depth, sigma) ----

@@ -24,6 +24,111 @@ from pyspark.sql import functions as F
 
 from pyspark_graph_spark.constants import DST, ID, SRC
 from pyspark_graph_spark.graph import Graph
+from pyspark_graph_spark.util import checkpoint_observed
+
+# Bounded-batch finish (round 12, guide §2.4): same contract and ulp
+# story as the SVD/ALS/PageRank kernels (operators/svd.py module note).
+# Both spectral iterations are fully guarded (`when(norm > 0)`), so no
+# degenerate deferral is needed — the kernels replay the zero-norm
+# branch exactly.
+
+
+def _integral_graph(g: Graph) -> bool:
+    vk = {f.name: f.dataType.typeName() for f in g.vertices.schema.fields}
+    ek = {f.name: f.dataType.typeName() for f in g.edges.schema.fields}
+    ints = ("long", "integer", "short", "byte")
+    return vk.get(ID) in ints and ek.get(SRC) in ints and ek.get(DST) in ints
+
+
+def _eigen_batch_kernel(iterations: int):
+    def kern(_key, v_pdf, e_pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.sort(v_pdf[ID].to_numpy(dtype=np.int64))
+        src = e_pdf[SRC].to_numpy(dtype=np.int64)
+        dst = e_pdf[DST].to_numpy(dtype=np.int64)
+        eorder = np.lexsort((dst, src))
+        src, dst = src[eorder], dst[eorder]
+        s_idx = np.searchsorted(ids, src)
+        d_idx = np.searchsorted(ids, dst)
+        ok = (
+            (s_idx < len(ids))
+            & (ids[np.minimum(s_idx, len(ids) - 1)] == src)
+            & (d_idx < len(ids))
+            & (ids[np.minimum(d_idx, len(ids) - 1)] == dst)
+        )
+        s_idx, d_idx = s_idx[ok], d_idx[ok]
+        x = np.ones(len(ids), dtype=np.float64)
+        for _ in range(iterations):
+            s = np.zeros(len(ids), dtype=np.float64)
+            np.add.at(s, d_idx, x[s_idx])
+            norm = np.sqrt(np.sum(s * s))
+            x = s / norm if norm > 0 else np.zeros(len(ids))
+        return pd.DataFrame({ID: ids, "eigenvector": x})
+
+    return kern
+
+
+def _hits_batch_kernel(iterations: int):
+    """HITS over the union universe of vertex ids and edge endpoints:
+    the distributed plan refills HUB on the vertex table each round
+    (non-vertex sources lose their score) but passes AUTH straight into
+    the hub step un-refilled — a non-vertex destination DOES relay
+    within a round. The kernel replays exactly that: auth accumulates
+    only from vertex-table sources (only they hold hub rows), hub reads
+    auth at any destination, and the output projects the vertex slots."""
+
+    def kern(_key, v_pdf, e_pdf):
+        import numpy as np
+        import pandas as pd
+
+        vids = np.sort(v_pdf[ID].to_numpy(dtype=np.int64))
+        src = e_pdf[SRC].to_numpy(dtype=np.int64)
+        dst = e_pdf[DST].to_numpy(dtype=np.int64)
+        eorder = np.lexsort((dst, src))
+        src, dst = src[eorder], dst[eorder]
+        uni = np.unique(np.concatenate([vids, src, dst]))
+        s_idx = np.searchsorted(uni, src)
+        d_idx = np.searchsorted(uni, dst)
+        v_slot = np.searchsorted(uni, vids)
+        is_vert = np.zeros(len(uni), dtype=bool)
+        is_vert[v_slot] = True
+        src_in_verts = is_vert[s_idx]
+        sa, da = s_idx[src_in_verts], d_idx[src_in_verts]
+        hub = np.zeros(len(uni), dtype=np.float64)
+        hub[v_slot] = 1.0
+        auth = np.zeros(len(uni), dtype=np.float64)
+        for i in range(iterations):
+            auth = np.zeros(len(uni), dtype=np.float64)
+            np.add.at(auth, da, hub[sa])
+            hub = np.zeros(len(uni), dtype=np.float64)
+            np.add.at(hub, s_idx, auth[d_idx])
+            if i < iterations - 1:
+                hub[~is_vert] = 0.0
+        hub = hub[v_slot]
+        auth = auth[v_slot]
+        hn = np.sqrt(np.sum(hub * hub))
+        an = np.sqrt(np.sum(auth * auth))
+        hub = hub / hn if hn > 0 else np.zeros(len(vids))
+        auth = auth / an if an > 0 else np.zeros(len(vids))
+        return pd.DataFrame({ID: vids, "hub": hub, "authority": auth})
+
+    return kern
+
+
+def _cogroup_graph(
+    verts: DataFrame, edges: DataFrame, kernel, schema: str
+) -> DataFrame:
+    return (
+        verts.select(ID)
+        .withColumn("__g", F.lit(0))
+        .groupBy("__g")
+        .cogroup(
+            edges.select(SRC, DST).withColumn("__g", F.lit(0)).groupBy("__g")
+        )
+        .applyInPandas(kernel, schema)
+    )
 
 
 def _l2_normalize(scores: DataFrame, col: str) -> DataFrame:
@@ -45,17 +150,33 @@ class EigenvectorCentrality:
     adjacency matrix. Fixed ``iterations`` (no tolerance) so external
     oracles can replay the exact computation."""
 
-    def __init__(self, iterations: int = 5):
+    def __init__(self, iterations: int = 5, batch_finish: int = 1_000_000):
         self.iterations = iterations
+        self.batch_finish = batch_finish
 
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, eigenvector)`` for every vertex."""
-        edges = (
-            g.symmetric_edges.select(SRC, DST)
-            .repartition(F.col(SRC))
-            .localCheckpoint()
+        # probes ride the materializing checkpoints (round 12)
+        edges, me = checkpoint_observed(
+            g.symmetric_edges.select(SRC, DST).repartition(F.col(SRC)),
+            __n=F.count(F.lit(1)),
         )
-        verts = g.vertices.select(ID).localCheckpoint()
+        verts, mv = checkpoint_observed(
+            g.vertices.select(ID), __n=F.count(F.lit(1))
+        )
+        if (
+            self.batch_finish
+            and _integral_graph(g)
+            and 0
+            < (me["__n"] or 0) + (mv["__n"] or 0)
+            <= self.batch_finish
+        ):
+            return _cogroup_graph(
+                verts,
+                edges,
+                _eigen_batch_kernel(self.iterations),
+                f"{ID} long, eigenvector double",
+            )
         x = verts.select(ID, F.lit(1.0).alias("eigenvector"))
         for _ in range(self.iterations):
             summed = (
@@ -96,12 +217,32 @@ class HITS:
     shuffle joins for graphs whose vertex set itself is too big to ship.
     """
 
-    def __init__(self, iterations: int = 4, broadcast_scores: bool = True):
+    def __init__(
+        self,
+        iterations: int = 4,
+        broadcast_scores: bool = True,
+        batch_finish: int = 1_000_000,
+    ):
         self.iterations = iterations
         self.broadcast_scores = broadcast_scores
+        self.batch_finish = batch_finish
 
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, hub, authority)`` for every vertex."""
+        if self.batch_finish and _integral_graph(g):
+            ev, me = checkpoint_observed(
+                g.edges.select(SRC, DST), __n=F.count(F.lit(1))
+            )
+            vv, mv = checkpoint_observed(
+                g.vertices.select(ID), __n=F.count(F.lit(1))
+            )
+            if 0 < (me["__n"] or 0) + (mv["__n"] or 0) <= self.batch_finish:
+                return _cogroup_graph(
+                    vv,
+                    ev,
+                    _hits_batch_kernel(self.iterations),
+                    f"{ID} long, hub double, authority double",
+                )
         # persist (NOT localCheckpoint) the static sides: a checkpointed
         # frame scans as a bare RDD with its outputPartitioning erased, so
         # every round would re-Exchange; the cache keeps the partitioning
