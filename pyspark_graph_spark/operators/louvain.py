@@ -128,6 +128,109 @@ def modularity(
     )
 
 
+def _batch_louvain_moving(fixed_rounds, max_rounds):
+    """Single-level synchronous local moving in one Arrow batch
+    (round 12, guide §2.4): the move scores are EXACT INTEGER
+    arithmetic (module docstring), the tie-break is the same
+    (score, stay-put, smallest community) struct order, and the
+    id-parity move gate replays per round — so batch == distributed
+    bit for bit, including early convergence when probing. Emits the
+    final (id, community) labeling (community = min member id)."""
+
+    def kern(_key, v_pdf, e_pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = np.sort(v_pdf["v"].to_numpy(dtype=np.int64))
+        a = e_pdf["a"].to_numpy(dtype=np.int64)
+        b = e_pdf["b"].to_numpy(dtype=np.int64)
+        w = e_pdf["w"].to_numpy(dtype=np.int64)
+        eorder = np.lexsort((b, a))
+        a, b, w = a[eorder], b[eorder], w[eorder]
+        n = len(ids)
+        a_idx = np.searchsorted(ids, a)
+        b_idx = np.searchsorted(ids, b)
+        # weighted degrees: self-loops count twice
+        deg = np.zeros(n, dtype=np.int64)
+        selfloop = a == b
+        np.add.at(deg, a_idx[selfloop], 2 * w[selfloop])
+        np.add.at(deg, a_idx[~selfloop], w[~selfloop])
+        np.add.at(deg, b_idx[~selfloop], w[~selfloop])
+        m2 = int(deg.sum())
+        # symmetric neighbor rows (self-loops excluded, as _local_moving)
+        u_idx = np.concatenate([a_idx[~selfloop], b_idx[~selfloop]])
+        n_idx = np.concatenate([b_idx[~selfloop], a_idx[~selfloop]])
+        uw = np.concatenate([w[~selfloop], w[~selfloop]])
+        asg = np.arange(n, dtype=np.int64)  # community SLOT per vertex
+        comm_of = ids.copy()  # community label = seed vertex id
+        rounds = fixed_rounds if fixed_rounds is not None else max_rounds
+        parity = np.mod(np.abs(ids), 2)
+        for r in range(rounds):
+            tot = np.zeros(n, dtype=np.int64)
+            np.add.at(tot, asg, deg)
+            # k(u, nc): sum of w to each neighbor community
+            nc = asg[n_idx]
+            key = u_idx.astype(np.int64) * n + nc
+            ukey, inv = np.unique(key, return_inverse=True)
+            k = np.zeros(len(ukey), dtype=np.int64)
+            np.add.at(k, inv, uw)
+            ku = (ukey // n).astype(np.int64)
+            knc = (ukey % n).astype(np.int64)
+            # candidate set = neighbor communities ∪ own (k=0), max-k dedup
+            own_key = np.arange(n, dtype=np.int64) * n + asg
+            extra = np.setdiff1d(own_key, ukey)
+            allkey = np.concatenate([ukey, extra])
+            allk = np.concatenate(
+                [k, np.zeros(len(extra), dtype=np.int64)]
+            )
+            korder = np.argsort(allkey, kind="stable")
+            allkey, allk = allkey[korder], allk[korder]
+            cu = (allkey // n).astype(np.int64)
+            cnc = (allkey % n).astype(np.int64)
+            du = deg[cu]
+            ctot = tot[cnc]
+            stay = cnc == asg[cu]
+            # int64 would WRAP silently where the distributed plan's
+            # ANSI longs error loudly — defer anywhere near the edge
+            # (conservative magnitude bound; gate graphs sit ~12 orders
+            # of magnitude below it)
+            kmax = int(allk.max()) if len(allk) else 0
+            if (
+                m2 * max(kmax, 1) > 2**61
+                or int(deg.max(initial=0)) * max(int(tot.max(initial=0)), 1)
+                > 2**61
+            ):
+                raise RuntimeError("__LOUVAIN_BATCH_DEGENERATE__")
+            score = m2 * allk - du * (ctot - np.where(stay, du, 0))
+            # argmax per u by (score, stay, smaller community label);
+            # community order is by LABEL (= ids[slot], monotone in slot)
+            sorder = np.lexsort(
+                (cnc, ~stay, -score, cu)
+            )  # within u: score desc, stay first, smallest nc
+            su = cu[sorder]
+            first = np.ones(len(su), dtype=bool)
+            first[1:] = su[1:] != su[:-1]
+            best_u = su[first]
+            best_c = cnc[sorder][first]
+            best = asg.copy()
+            best[best_u] = best_c
+            move = parity == (r % 2)
+            new_asg = np.where(move, best, asg)
+            if fixed_rounds is None and np.array_equal(new_asg, asg):
+                # the distributed probe breaks after ANY no-move round,
+                # even though the other parity might move next — replay
+                # the same stop
+                asg = new_asg
+                break
+            asg = new_asg
+        # canonical labels: minimum member vertex id
+        lab = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(lab, asg, ids)
+        return pd.DataFrame({ID: ids, COMMUNITY: lab[asg]})
+
+    return kern
+
+
 class Louvain:
     """Louvain community detection; returns ``(id, community)`` with the
     community labeled by its minimum member vertex id.
@@ -136,6 +239,11 @@ class Louvain:
     with no convergence probe (zero driver actions — the mode the oracle
     gate unrolls in SQL); otherwise rounds stop early when no vertex moves
     (one small count action per round, standard fixpoint probing).
+
+    ``batch_finish``: single-level (levels=1) runs whose canonical edge
+    list + vertex set fit the bound execute in one Arrow batch
+    (_batch_louvain_moving); multi-level runs and larger graphs keep the
+    per-round distributed plan. 0 disables.
     """
 
     def __init__(
@@ -144,6 +252,7 @@ class Louvain:
         levels: int = 1,
         weight_col: str | None = None,
         fixed_rounds: int | None = None,
+        batch_finish: int = 1_000_000,
     ):
         if levels < 1:
             raise ValueError("levels must be >= 1")
@@ -151,6 +260,7 @@ class Louvain:
         self.levels = levels
         self.weight_col = weight_col
         self.fixed_rounds = fixed_rounds
+        self.batch_finish = batch_finish
 
     # -- one synchronous local-moving round ---------------------------------
     def _move_round(
@@ -286,6 +396,45 @@ class Louvain:
 
     def run(self, g: Graph) -> DataFrame:
         und = canonical_undirected(g.edges, self.weight_col)
+        vk = {f.name: f.dataType.typeName() for f in g.vertices.schema.fields}
+        ek = {f.name: f.dataType.typeName() for f in g.edges.schema.fields}
+        ints = ("long", "integer", "short", "byte")
+        if (
+            self.levels == 1
+            and self.batch_finish
+            and vk.get(ID) in ints
+            and ek.get(SRC) in ints
+            and ek.get(DST) in ints
+        ):
+            und, mu = checkpoint_observed(und, __n=F.count(F.lit(1)))
+            verts, mv = checkpoint_observed(
+                g.vertices.select(F.col(ID).alias("v")),
+                __n=F.count(F.lit(1)),
+            )
+            if (
+                0
+                < (mu["__n"] or 0) + (mv["__n"] or 0)
+                <= self.batch_finish
+            ):
+                out = (
+                    verts.withColumn("__g", F.lit(0))
+                    .groupBy("__g")
+                    .cogroup(
+                        und.withColumn("__g", F.lit(0)).groupBy("__g")
+                    )
+                    .applyInPandas(
+                        _batch_louvain_moving(
+                            self.fixed_rounds, self.max_rounds
+                        ),
+                        f"{ID} long, {COMMUNITY} long",
+                    )
+                )
+                try:
+                    # eager so the int64-magnitude deferral surfaces here
+                    return out.localCheckpoint()
+                except Exception as e:
+                    if "__LOUVAIN_BATCH_DEGENERATE__" not in str(e):
+                        raise
         # mapping: original vertex id -> current-level community
         mapping = self._local_moving(
             und, g.vertices.select(F.col(ID).alias("v"))

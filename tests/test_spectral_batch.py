@@ -78,3 +78,84 @@ def test_betweenness_batch_equals_distributed(spark):
     a = BetweennessCentrality([0, 3, 99], max_depth=4).run(g)
     b = BetweennessCentrality([0, 3, 99], max_depth=4, batch_finish=0).run(g)
     _pin(a, b, ["betweenness"])
+
+
+def _louvain_pin(spark, **kw):
+    from pyspark_graph_spark.operators.louvain import Louvain
+
+    edges = [
+        (0, 1, 3), (1, 2, 1), (0, 2, 2), (3, 4, 4), (4, 5, 2),
+        (3, 5, 1), (2, 3, 1), (6, 6, 2), (6, 0, 1), (7, 8, 5),
+    ]
+    v = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    g = Graph(v, e, directed=False, indexed=True)
+    a = Louvain(weight_col="w", **kw).run(g)
+    b = Louvain(weight_col="w", batch_finish=0, **kw).run(g)
+    am = {r[ID]: r["community"] for r in a.collect()}
+    bm = {r[ID]: r["community"] for r in b.collect()}
+    assert am == bm
+
+
+def test_louvain_batch_equals_distributed_fixed_rounds(spark):
+    """Exact integer move arithmetic: batch == distributed bit for bit
+    (the gate shape, fixed_rounds=3)."""
+    _louvain_pin(spark, fixed_rounds=3)
+
+
+def test_louvain_batch_equals_distributed_probed(spark):
+    """Probed mode replays the stop-after-any-no-move-round rule."""
+    _louvain_pin(spark, max_rounds=10)
+
+
+def test_kahn_batch_equals_distributed(spark):
+    """Batch Kahn == distributed peel exactly, including cycle NULLs,
+    self-loops, the round budget, and a non-vertex edge source that
+    blocks its destination forever."""
+    from pyspark_graph_spark.operators.dag import TopologicalLayers
+
+    edges = [
+        (0, 1), (1, 2), (0, 2), (2, 3), (4, 5), (5, 4),  # 4<->5 cycle
+        (6, 6),  # self-loop
+        (99, 7),  # non-vertex source blocks 7
+    ]
+    v = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph(v, e, directed=True, indexed=True)
+    for itr in (30, 2):  # full run and a truncating budget
+        a = TopologicalLayers(max_iterations=itr).run(g)
+        b = TopologicalLayers(max_iterations=itr, batch_finish=0).run(g)
+        am = {r[ID]: r["layer"] for r in a.collect()}
+        bm = {r[ID]: r["layer"] for r in b.collect()}
+        assert am == bm
+
+
+def test_critical_path_batch_equals_distributed(spark):
+    from pyspark_graph_spark.operators.dag import CriticalPath
+
+    edges = [
+        (0, 1, 2.5), (1, 2, 1.0), (0, 2, 1.25), (2, 3, 4.0), (1, 3, 0.5),
+    ]
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    g = Graph(v, e, directed=True, indexed=True)
+    a = CriticalPath().run(g)
+    b = CriticalPath(batch_finish=0).run(g)
+    am = {r[ID]: r["critical_path"] for r in a.collect()}
+    bm = {r[ID]: r["critical_path"] for r in b.collect()}
+    assert am == bm  # exact: max-plus has no accumulation
+
+
+def test_critical_path_batch_cycle_raises_same(spark):
+    import pytest as _pt
+
+    from pyspark_graph_spark.operators.dag import CriticalPath
+
+    v = spark.createDataFrame([(0,), (1,)], "id long")
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0)], "src long, dst long, weight double"
+    )
+    g = Graph(v, e, directed=True, indexed=True)
+    for bf in (1_000_000, 0):
+        with _pt.raises(ValueError, match="did not converge"):
+            CriticalPath(max_iterations=5, batch_finish=bf).run(g)
