@@ -28,6 +28,48 @@ from pyspark_graph_spark.graph import Graph
 from pyspark_graph_spark.util import checkpoint_observed
 
 
+def _batch_walks_md5(length: int, walks_per_vertex: int, seed: int):
+    """The md5-mode walk loop in one Arrow batch (round 12, guide §2.4):
+    every step is a pure function of (graph, seed) via
+    md5_hash60_concat — hashlib.md5 over the identical comma-joined
+    string replays it bit for bit, the adjacency arrays are the same
+    sorted distinct neighbor sets, and pmod of the 60-bit nonnegative
+    hash equals Python %. Batch == distributed by construction."""
+
+    def kern(_key, v_pdf, e_pdf):
+        import hashlib
+
+        import pandas as pd
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(e_pdf["src"], e_pdf["dst"]):
+            adj.setdefault(int(s), set()).add(int(d))
+        adj = {k: sorted(v) for k, v in adj.items()}
+        wids, starts, paths = [], [], []
+        for v in sorted(int(x) for x in v_pdf[ID]):
+            for wi in range(walks_per_vertex):
+                wid = h60(f"{v},{wi},{seed}")
+                path = [v]
+                cur = v
+                for step in range(1, length):
+                    nbrs = adj.get(cur)
+                    if not nbrs:
+                        break
+                    cur = nbrs[h60(f"{wid},{step},{seed}") % len(nbrs)]
+                    path.append(cur)
+                wids.append(wid)
+                starts.append(v)
+                paths.append(path)
+        return pd.DataFrame(
+            {"walk_id": wids, "start": starts, "path": paths}
+        )
+
+    return kern
+
+
 class RandomWalks:
     def __init__(
         self,
@@ -35,6 +77,7 @@ class RandomWalks:
         walks_per_vertex: int = 1,
         seed: int = 42,
         hash_mode: str = "xxhash64",
+        batch_finish: int = 1_000_000,
     ):
         if length < 1:
             raise ValueError("length must be >= 1")
@@ -47,6 +90,10 @@ class RandomWalks:
         # md5-60-bit variant so an external SQL oracle can replay the
         # exact same walks; xxhash64 stays the (faster) default.
         self.hash_mode = hash_mode
+        # md5-mode walks below the bound run in one Arrow batch
+        # (_batch_walks_md5); xxhash64 mode and larger graphs keep the
+        # per-step distributed loop. 0 disables.
+        self.batch_finish = batch_finish
 
     def _h(self, *cols):
         cols = [F.col(c) if isinstance(c, str) else c for c in cols]
@@ -56,6 +103,47 @@ class RandomWalks:
 
     def run(self, g: Graph) -> DataFrame:
         """(walk_id, start, path array<long>) — one row per walk."""
+        if self.batch_finish and self.hash_mode == "md5":
+            vk = {
+                f.name: f.dataType.typeName()
+                for f in g.vertices.schema.fields
+            }
+            ek = {
+                f.name: f.dataType.typeName() for f in g.edges.schema.fields
+            }
+            ints = ("long", "integer", "short", "byte")
+            if (
+                vk.get(ID) in ints
+                and ek.get("src") in ints
+                and ek.get("dst") in ints
+            ):
+                pairs, me = checkpoint_observed(
+                    g.symmetric_edges.select("src", "dst"),
+                    __n=F.count(F.lit(1)),
+                )
+                verts, mv = checkpoint_observed(
+                    g.vertices.select(ID), __n=F.count(F.lit(1))
+                )
+                if (
+                    0
+                    < (me["__n"] or 0) + (mv["__n"] or 0)
+                    <= self.batch_finish
+                ):
+                    return (
+                        verts.withColumn("__g", F.lit(0))
+                        .groupBy("__g")
+                        .cogroup(
+                            pairs.withColumn("__g", F.lit(0)).groupBy("__g")
+                        )
+                        .applyInPandas(
+                            _batch_walks_md5(
+                                self.length,
+                                self.walks_per_vertex,
+                                self.seed,
+                            ),
+                            "walk_id long, start long, path array<long>",
+                        )
+                    )
         adj = g.adjacency.filter(F.size(ADJ) > 0).localCheckpoint()
 
         starts = g.vertices.select(ID)

@@ -159,3 +159,21 @@ def test_critical_path_batch_cycle_raises_same(spark):
     for bf in (1_000_000, 0):
         with _pt.raises(ValueError, match="did not converge"):
             CriticalPath(max_iterations=5, batch_finish=bf).run(g)
+
+
+def test_md5_walks_batch_equals_distributed(spark):
+    """md5-mode walks are a pure function of (graph, seed): batch ==
+    distributed bit for bit, including early-ended walks."""
+    from pyspark_graph_spark.operators.walks import RandomWalks
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 1), (4, 4), (5, 6)]
+    v = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    g = Graph(v, e, directed=True, indexed=True)
+    a = RandomWalks(length=6, walks_per_vertex=2, hash_mode="md5").run(g)
+    b = RandomWalks(
+        length=6, walks_per_vertex=2, hash_mode="md5", batch_finish=0
+    ).run(g)
+    am = {(r["walk_id"], r["start"]): list(r["path"]) for r in a.collect()}
+    bm = {(r["walk_id"], r["start"]): list(r["path"]) for r in b.collect()}
+    assert am == bm
