@@ -105,10 +105,15 @@ class BetweennessCentrality:
         self,
         sources: Sequence[int] | DataFrame,
         max_depth: int = 20,
-        batch_finish: int = 1_000_000,
+        batch_finish: int = 2_000_000,
     ):
         self.sources = sources
         self.max_depth = max_depth
+        # the kernel's rows are two int64 columns (the SYMMETRIC pair
+        # list — the operator doubles an undirected input mechanically),
+        # so 2M rows ≈ 32 MB in one Arrow task — the same per-task byte
+        # budget as the 1M-row partition/matching kernels whose rows are
+        # twice as wide. Distributed sweeps above the bound; 0 disables.
         self.batch_finish = batch_finish
 
     def _source_df(self, g: Graph) -> DataFrame:

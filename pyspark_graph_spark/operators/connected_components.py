@@ -142,17 +142,16 @@ class ConnectedComponents:
             and ek.get(SRC) in ints
             and ek.get(DST) in ints
         ):
-            verts, mv = checkpoint_observed(
-                g.vertices.select(ID), __n=F.count(F.lit(1))
-            )
-            edges, me2 = checkpoint_observed(
-                g.edges.select(SRC, DST), __n=F.count(F.lit(1))
-            )
-            if (
-                0
-                < (mv["__n"] or 0) + (me2["__n"] or 0)
-                <= self.batch_finish
-            ):
+            # plain count probes, NOT materializing checkpoints: above
+            # the bound the distributed Pregel repartitions and
+            # checkpoints the edge side itself, so a gate checkpoint
+            # would be a wasted full write at exactly the scale where it
+            # hurts (sf1-real A/B); below the bound the kernel's single
+            # job re-derives the small frames trivially
+            verts = g.vertices.select(ID)
+            edges = g.edges.select(SRC, DST)
+            n_total = verts.count() + edges.count()
+            if 0 < n_total <= self.batch_finish:
                 hard = (
                     self.hard_max_iterations
                     if self.hard_max_iterations is not None

@@ -83,17 +83,11 @@ class TopologicalLayers:
             and ek.get(SRC) in ints
             and ek.get(DST) in ints
         ):
-            verts, mv = checkpoint_observed(
-                g.vertices.select(ID), __n=F.count(F.lit(1))
-            )
-            edges0, me = checkpoint_observed(
-                g.edges.select(SRC, DST), __n=F.count(F.lit(1))
-            )
-            if (
-                0
-                < (mv["__n"] or 0) + (me["__n"] or 0)
-                <= self.batch_finish
-            ):
+            # plain count probes (no extra materialization above the
+            # bound — the distributed body checkpoints its own frames)
+            verts = g.vertices.select(ID)
+            edges0 = g.edges.select(SRC, DST)
+            if 0 < verts.count() + edges0.count() <= self.batch_finish:
                 return (
                     verts.withColumn("__g", F.lit(0))
                     .groupBy("__g")

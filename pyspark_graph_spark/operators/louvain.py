@@ -406,16 +406,14 @@ class Louvain:
             and ek.get(SRC) in ints
             and ek.get(DST) in ints
         ):
-            und, mu = checkpoint_observed(und, __n=F.count(F.lit(1)))
-            verts, mv = checkpoint_observed(
-                g.vertices.select(F.col(ID).alias("v")),
-                __n=F.count(F.lit(1)),
-            )
-            if (
-                0
-                < (mu["__n"] or 0) + (mv["__n"] or 0)
-                <= self.batch_finish
-            ):
+            # gate probe on the RAW edge count (>= the canonical row
+            # count, so the bound stays conservative): counting `und`
+            # would recompute the canonical groupBy just to decide, and
+            # a checkpoint would be a wasted full write above the bound
+            # (sf1-real A/B); the raw edge frame is typically the
+            # persisted shared graph, so its count is a cache scan
+            verts = g.vertices.select(F.col(ID).alias("v"))
+            if 0 < g.edges.count() + verts.count() <= self.batch_finish:
                 out = (
                     verts.withColumn("__g", F.lit(0))
                     .groupBy("__g")

@@ -230,13 +230,12 @@ class HITS:
     def run(self, g: Graph) -> DataFrame:
         """Returns ``(id, hub, authority)`` for every vertex."""
         if self.batch_finish and _integral_graph(g):
-            ev, me = checkpoint_observed(
-                g.edges.select(SRC, DST), __n=F.count(F.lit(1))
-            )
-            vv, mv = checkpoint_observed(
-                g.vertices.select(ID), __n=F.count(F.lit(1))
-            )
-            if 0 < (me["__n"] or 0) + (mv["__n"] or 0) <= self.batch_finish:
+            # plain count probes — above the bound the distributed body
+            # builds its own persisted by_dst/by_src frames, so a gate
+            # checkpoint would be a wasted full write at data scale
+            ev = g.edges.select(SRC, DST)
+            vv = g.vertices.select(ID)
+            if 0 < ev.count() + vv.count() <= self.batch_finish:
                 return _cogroup_graph(
                     vv,
                     ev,

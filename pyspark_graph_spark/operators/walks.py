@@ -117,16 +117,16 @@ class RandomWalks:
                 and ek.get("src") in ints
                 and ek.get("dst") in ints
             ):
-                pairs, me = checkpoint_observed(
-                    g.symmetric_edges.select("src", "dst"),
-                    __n=F.count(F.lit(1)),
-                )
-                verts, mv = checkpoint_observed(
-                    g.vertices.select(ID), __n=F.count(F.lit(1))
-                )
+                # gate probe on 2x the RAW edge count (>= the symmetric
+                # pair count, conservative): the raw edge frame is
+                # typically the persisted shared graph, so the probe is
+                # a cache scan — no recompute, no wasted write above the
+                # bound
+                pairs = g.symmetric_edges.select("src", "dst")
+                verts = g.vertices.select(ID)
                 if (
                     0
-                    < (me["__n"] or 0) + (mv["__n"] or 0)
+                    < 2 * g.edges.count() + verts.count()
                     <= self.batch_finish
                 ):
                     return (
