@@ -117,18 +117,18 @@ class RandomWalks:
                 and ek.get("src") in ints
                 and ek.get("dst") in ints
             ):
-                # gate probe on 2x the RAW edge count (>= the symmetric
-                # pair count, conservative): the raw edge frame is
-                # typically the persisted shared graph, so the probe is
-                # a cache scan — no recompute, no wasted write above the
-                # bound
+                # plain count probes (no materializing checkpoint — the
+                # distributed loop builds its own adjacency, so a gate
+                # checkpoint would be a wasted write above the bound;
+                # the count itself is a scan of the typically-persisted
+                # shared graph). NOTE: do NOT estimate this as
+                # 2x|edges| — symmetric_edges is an identity projection
+                # for graphs that already store both directions, and an
+                # overestimate silently disables the batch (caught when
+                # the walk_corpus family doubled in a bench pass).
                 pairs = g.symmetric_edges.select("src", "dst")
                 verts = g.vertices.select(ID)
-                if (
-                    0
-                    < 2 * g.edges.count() + verts.count()
-                    <= self.batch_finish
-                ):
+                if 0 < pairs.count() + verts.count() <= self.batch_finish:
                     return (
                         verts.withColumn("__g", F.lit(0))
                         .groupBy("__g")
